@@ -1,0 +1,195 @@
+package graft.lake
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructType}
+import graft.model.Schemas
+
+/** From-scratch Iceberg-style lake table over Parquet: hash-bucketed data
+  * files + JSON snapshot manifests + atomic `_current` pointer swap.
+  *
+  * Layout:
+  * {{{
+  *   <root>/data/bucket=NN/e<epoch>-<uuid>.parquet
+  *   <root>/_manifests/manifest-<version>.json
+  *   <root>/_current            (single line: committed manifest version)
+  * }}}
+  *
+  * Design points for 100 TB scale:
+  *   - `bucket = pmod(xxhash64(conv_id), numBuckets)` — storage-level hash
+  *     partitioning so a MERGE only rewrites touched buckets (copy-on-write
+  *     at bucket granularity; dynamic "partition pruning" = manifest file
+  *     list restricted to affected buckets).
+  *   - Readers never list directories: the manifest carries the exact file
+  *     list, so stale/orphaned files are invisible (snapshot isolation) and
+  *     S3-style listing storms are avoided.
+  *   - Schema evolution is read-time: files keep their write-time schemaId;
+  *     reads group by schemaId and cast/align to the current schema.
+  *
+  * Reference analogue: owid-etl dataset dir + `index.json` + checksum-last
+  * commit (`lib/catalog/owid/catalog/datasets.py:59-98`,
+  * `etl/steps/__init__.py:938-953`).
+  */
+final class LakeTable private (val root: Path, spark: SparkSession) {
+  import LakeTable._
+
+  def manifestDir: Path = root.resolve("_manifests")
+  def dataDir: Path = root.resolve("data")
+  private def currentPtr: Path = root.resolve("_current")
+
+  def currentVersion: Long = {
+    val s = new String(Files.readAllBytes(currentPtr)).trim
+    s.toLong
+  }
+
+  def manifest: Manifest = manifestAt(currentVersion)
+
+  def manifestAt(version: Long): Manifest = {
+    val p = manifestDir.resolve(f"manifest-$version%010d.json")
+    Manifest.fromJson(new String(Files.readAllBytes(p)))
+  }
+
+  def userSchema: StructType = userSchema(manifest)
+  def userSchema(m: Manifest): StructType =
+    StructType.fromDDL(m.schemas.find(_.id == m.currentSchemaId).get.ddl)
+
+  /** Bucket assignment expression — deterministic from the key, so it is
+    * recomputable at read time and never stored.
+    */
+  def bucketExpr(numBuckets: Int) =
+    pmod(xxhash64(col("conv_id")), lit(numBuckets.toLong)).cast(IntegerType)
+
+  /** Physical snapshot (includes `_lsn`/`_deleted` bookkeeping and
+    * tombstones) for the given buckets (None = all). Files written under
+    * older schemas are aligned to the current schema: missing columns →
+    * null, widened types → cast.
+    */
+  def snapshotPhysical(buckets: Option[Set[Int]] = None): DataFrame = {
+    val m = manifest
+    val target = Schemas.physical(userSchema(m))
+    val wanted = buckets match {
+      case Some(bs) => m.filesForBuckets(bs)
+      case None => m.files
+    }
+    if (wanted.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
+    } else {
+      val bySchema = wanted.groupBy(_.schemaId)
+      val parts = bySchema.map { case (sid, fs) =>
+        val fileSchema = Schemas.physical(
+          StructType.fromDDL(m.schemas.find(_.id == sid).get.ddl))
+        val df = spark.read.schema(fileSchema)
+          .parquet(fs.map(f => root.resolve(f.path).toString): _*)
+        alignTo(df, target)
+      }
+      parts.reduce(_ unionByName _)
+    }
+  }
+
+  /** User-facing snapshot: live rows only, user columns only. */
+  def snapshot(): DataFrame = {
+    val m = manifest
+    snapshotPhysical(None)
+      .filter(!col(Schemas.DELETED_COL))
+      .select(userSchema(m).fieldNames.map(col).toSeq: _*)
+  }
+
+  /** Order-invariant content checksum of the live snapshot — sum of per-row
+    * 64-bit hashes (reference analogue: `pd.util.hash_pandas_object(df).sum()`
+    * in owid-etl `etl/grapher_import.py:419-421`). Used by replay tests to
+    * assert reconvergence without sorting 10^10 rows.
+    */
+  def contentChecksum(): Long = {
+    val df = snapshot()
+    val cols = df.columns.sorted.map(col).toSeq
+    // sum in decimal(38,0) — ANSI-safe (no long overflow at 10^10 rows),
+    // then fold back to 64 bits (narrowing keeps the low 64 bits).
+    val r = df.select(sum(xxhash64(cols: _*).cast("decimal(38,0)")).as("c")).collect()(0)
+    if (r.isNullAt(0)) 0L else r.getDecimal(0).toBigInteger.longValue()
+  }
+
+  /** Atomically commit a new manifest. Single-writer CAS: fails if the
+    * current version moved under us.
+    */
+  def commit(newManifest: Manifest, expectedParent: Long): Unit = synchronized {
+    val cur = currentVersion
+    require(cur == expectedParent,
+      s"concurrent commit: current=$cur expected=$expectedParent")
+    require(newManifest.version == expectedParent + 1)
+    val mp = manifestDir.resolve(f"manifest-${newManifest.version}%010d.json")
+    Manifest.writeAtomic(mp, Manifest.toJson(newManifest))
+    Manifest.writeAtomic(currentPtr, newManifest.version.toString)
+  }
+
+  /** Move a staged file into the data dir; returns the table-relative path. */
+  def adoptStagedFile(staged: Path, bucket: Int, epoch: Long): String = {
+    val dir = dataDir.resolve(s"bucket=$bucket")
+    Files.createDirectories(dir)
+    val name = s"e$epoch-${staged.getFileName.toString}"
+    Files.move(staged, dir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+    s"data/bucket=$bucket/$name"
+  }
+
+  /** Delete files no longer referenced by any of the last `keepVersions`
+    * manifests (vacuum). Safe because readers resolve through `_current`.
+    */
+  def vacuum(keepVersions: Int = 2): Int = {
+    val cur = currentVersion
+    val keep = (math.max(0L, cur - keepVersions + 1) to cur)
+      .flatMap(v => scala.util.Try(manifestAt(v)).toOption)
+      .flatMap(_.files.map(_.path)).toSet
+    if (!Files.exists(dataDir)) return 0
+    var removed = 0
+    Files.walk(dataDir).iterator().asScala
+      .filter(p => Files.isRegularFile(p))
+      .foreach { p =>
+        val rel = root.relativize(p).toString
+        if (!keep.contains(rel)) { Files.delete(p); removed += 1 }
+      }
+    removed
+  }
+}
+
+object LakeTable {
+
+  /** Align `df` to `target` schema: missing columns → typed nulls, differing
+    * types → cast; column order = target order.
+    */
+  def alignTo(df: DataFrame, target: StructType): DataFrame = {
+    val have = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val cols = target.fields.map { tf =>
+      have.get(tf.name) match {
+        case Some(dt) if dt == tf.dataType => col(tf.name)
+        case Some(_) => col(tf.name).cast(tf.dataType).as(tf.name)
+        case None => lit(null).cast(tf.dataType).as(tf.name)
+      }
+    }
+    df.select(cols.toSeq: _*)
+  }
+
+  def create(spark: SparkSession, dir: String, schema: StructType,
+             numBuckets: Int): LakeTable = {
+    val root = Paths.get(dir)
+    require(!Files.exists(root.resolve("_current")), s"table already exists at $dir")
+    Files.createDirectories(root.resolve("_manifests"))
+    Files.createDirectories(root.resolve("data"))
+    val t = new LakeTable(root, spark)
+    val m = Manifest.empty(numBuckets, schema.toDDL)
+    Manifest.writeAtomic(t.manifestDir.resolve(f"manifest-${0L}%010d.json"), Manifest.toJson(m))
+    Manifest.writeAtomic(root.resolve("_current"), "0")
+    t
+  }
+
+  def load(spark: SparkSession, dir: String): LakeTable = {
+    val root = Paths.get(dir)
+    require(Files.exists(root.resolve("_current")), s"no lake table at $dir")
+    new LakeTable(root, spark)
+  }
+
+  def createOrLoad(spark: SparkSession, dir: String, schema: StructType,
+                   numBuckets: Int): LakeTable =
+    if (Files.exists(Paths.get(dir).resolve("_current"))) load(spark, dir)
+    else create(spark, dir, schema, numBuckets)
+}

@@ -1,0 +1,97 @@
+package graft.lake
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption, StandardOpenOption}
+import org.json4s.{Formats, NoTypeHints}
+import org.json4s.jackson.Serialization
+
+/** One committed data file. `path` is relative to the table root.
+  * `schemaId` points into [[Manifest.schemas]] — files written before a
+  * schema evolution keep their original schema and are cast at read time
+  * (Iceberg-style read-time evolution; reference analogue: ghost/new variable
+  * reconciliation in owid-etl `etl/grapher_import.py:457-575`).
+  */
+final case class FileEntry(
+    path: String,
+    bucket: Int,
+    rows: Long,
+    maxLsn: Long,
+    schemaId: Int
+)
+
+/** A versioned user schema, serialized as Spark DDL. */
+final case class SchemaEntry(id: Int, ddl: String)
+
+/** Per-commit lineage record (reference analogue: per-step wall-time JSON,
+  * owid-etl `etl/command.py:531-562`, and ProcessingLog lineage entries).
+  */
+final case class CommitInfo(
+    version: Long,
+    epoch: Long,
+    batchRows: Long,
+    upsertedBuckets: Seq[Int],
+    maxLsn: Long,
+    wallMs: Long,
+    committedAtMs: Long
+)
+
+/** Snapshot manifest of a [[LakeTable]]. The manifest is the ONLY source of
+  * truth for which files constitute the table (snapshot isolation: readers
+  * resolve `_current` → `manifest-<v>.json` → explicit file list; stale files
+  * on disk are invisible).
+  *
+  * Reference analogue: owid-etl's dataset `index.json` + per-table
+  * `.meta.json` sidecars + `source_checksum` committed last
+  * (`etl/steps/__init__.py:938-953`) — here unified into one atomic document.
+  */
+final case class Manifest(
+    formatVersion: Int,
+    version: Long,
+    lastEpoch: Long,
+    numBuckets: Int,
+    currentSchemaId: Int,
+    schemas: Seq[SchemaEntry],
+    files: Seq[FileEntry],
+    totalRows: Long,
+    maxLsn: Long,
+    lineage: Seq[CommitInfo]
+) {
+  def filesForBuckets(buckets: Set[Int]): Seq[FileEntry] =
+    files.filter(f => buckets.contains(f.bucket))
+}
+
+object Manifest {
+  implicit val formats: Formats = Serialization.formats(NoTypeHints)
+  val FORMAT_VERSION = 1
+
+  def empty(numBuckets: Int, schemaDdl: String): Manifest = Manifest(
+    formatVersion = FORMAT_VERSION,
+    version = 0L,
+    lastEpoch = -1L,
+    numBuckets = numBuckets,
+    currentSchemaId = 0,
+    schemas = Seq(SchemaEntry(0, schemaDdl)),
+    files = Nil,
+    totalRows = 0L,
+    maxLsn = -1L,
+    lineage = Nil
+  )
+
+  def toJson(m: Manifest): String = Serialization.writePretty(m)
+  def fromJson(s: String): Manifest = Serialization.read[Manifest](s)
+
+  /** Atomic file write: temp file in the same directory + ATOMIC_MOVE. */
+  def writeAtomic(target: Path, content: String): Unit = {
+    val dir = target.getParent
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(target.getFileName.toString + ".tmp." + java.util.UUID.randomUUID())
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    try {
+      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    } catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+}

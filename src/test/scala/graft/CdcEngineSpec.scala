@@ -1,0 +1,165 @@
+package graft
+
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.functions._
+import graft.gen.WalGen
+import graft.lake.{LakeTable, SchemaReconciler}
+import graft.merge.CdcMerge
+import graft.model.Schemas
+import graft.stream.CdcStream
+
+/** End-to-end correctness of the CDC engine vs the driver-side oracle
+  * reducer (SURVEY.md §5): apply a deterministic WAL (with duplicate
+  * deliveries, reordering, deletes, hot keys), then assert per-turn `text`
+  * equality under stable (conv_id, turn_idx) ordering — the BASELINE
+  * per-row invariant.
+  */
+class CdcEngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def assertMatchesOracle(table: LakeTable, cfg: WalGen.Config): Unit = {
+    val oracle = WalGen.oracleState(cfg)
+    val got = table.snapshot()
+      .orderBy("conv_id", "turn_idx")
+      .select("conv_id", "turn_idx", "role", "text", "tool")
+      .collect()
+    assert(got.length == oracle.size, s"row count: got ${got.length}, oracle ${oracle.size}")
+    val expected = oracle.toSeq.sortBy { case ((c, t), _) => (c, t) }
+    got.zip(expected).foreach { case (row, ((c, t), e)) =>
+      assert(row.getString(0) == c && row.getInt(1) == t, s"key mismatch at ($c,$t)")
+      assert(row.getString(3) == e.text, s"text mismatch at ($c,$t)")
+      assert(row.getString(2) == e.role && row.getString(4) == e.tool, s"payload mismatch at ($c,$t)")
+    }
+  }
+
+  test("batch merge: WAL with dups/reorder/deletes reconverges to oracle") {
+    val dir = tmpDir("lake")
+    val cfg = WalGen.Config(numEvents = 20000, numConvs = 200, maxTurns = 30)
+    try {
+      val table = LakeTable.create(spark, s"$dir/t", Schemas.transcript, numBuckets = 8)
+      // apply in 4 sequential batches, each internally reordered
+      val per = cfg.numEvents / 4
+      (0 until 4).foreach { b =>
+        val batch = WalGen.events(spark, cfg, b * per, (b + 1) * per)
+          .orderBy(xxhash64(col("lsn"))) // reorder within batch
+        CdcMerge.apply(table, batch.toDF(), epoch = b.toLong)
+      }
+      assertMatchesOracle(table, cfg)
+      // uniqueness invariant on the key
+      val dupKeys = table.snapshot().groupBy("conv_id", "turn_idx")
+        .count().filter(col("count") > 1).count()
+      assert(dupKeys == 0)
+    } finally rmrf(dir)
+  }
+
+  test("replay idempotence: re-applying a committed epoch is a no-op") {
+    val dir = tmpDir("lake")
+    val cfg = WalGen.Config(numEvents = 5000, numConvs = 50)
+    try {
+      val table = LakeTable.create(spark, s"$dir/t", Schemas.transcript, numBuckets = 4)
+      val batch = WalGen.events(spark, cfg, 0, cfg.numEvents).toDF()
+      val s1 = CdcMerge.apply(table, batch, epoch = 0)
+      assert(s1.applied)
+      val check1 = table.contentChecksum()
+      val v1 = table.currentVersion
+      val s2 = CdcMerge.apply(table, batch, epoch = 0) // replayed micro-batch
+      assert(!s2.applied)
+      assert(table.currentVersion == v1)
+      assert(table.contentChecksum() == check1)
+      assertMatchesOracle(table, cfg)
+    } finally rmrf(dir)
+  }
+
+  test("tombstone: stale lower-LSN update never resurrects a deleted row") {
+    val dir = tmpDir("lake")
+    try {
+      val table = LakeTable.create(spark, s"$dir/t", Schemas.transcript, numBuckets = 2)
+      val ts = new java.sql.Timestamp(1700000000000L)
+      val b0 = Seq(
+        ("I", 1L, "c1", 0, "user", "hello", null: String, ts),
+        ("I", 2L, "c1", 1, "assistant", "hi", null: String, ts)
+      ).toDF("op", "lsn", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+      CdcMerge.apply(table, b0, 0)
+      val b1 = Seq(("D", 10L, "c1", 0, null: String, null: String, null: String, ts))
+        .toDF("op", "lsn", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+      CdcMerge.apply(table, b1, 1)
+      // stale update (lsn 5 < delete's 10) arrives in a LATER batch
+      val b2 = Seq(("U", 5L, "c1", 0, "user", "resurrect?", null: String, ts))
+        .toDF("op", "lsn", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+      CdcMerge.apply(table, b2, 2)
+      val rows = table.snapshot().orderBy("turn_idx").collect()
+      assert(rows.length == 1 && rows(0).getInt(1) == 1, "deleted row must stay deleted")
+    } finally rmrf(dir)
+  }
+
+  test("streaming foreachBatch: tail WAL dir, drain, match oracle; restart resumes from checkpoint") {
+    val dir = tmpDir("stream")
+    val cfg = WalGen.Config(numEvents = 12000, numConvs = 120)
+    try {
+      WalGen.writeWal(spark, s"$dir/wal", cfg, numChunks = 6)
+      val table = LakeTable.create(spark, s"$dir/t", Schemas.transcript, numBuckets = 8)
+      // drain in multiple micro-batches (2 files/trigger under AvailableNow)
+      val q1 = CdcStream.start(spark, s"$dir/wal", table, s"$dir/cp", maxFilesPerTrigger = 2)
+      q1.awaitTermination()
+      assertMatchesOracle(table, cfg)
+      // restart over same checkpoint: nothing new → no state change
+      val check = table.contentChecksum()
+      CdcStream.runToCompletion(spark, s"$dir/wal", table, s"$dir/cp")
+      assert(table.contentChecksum() == check)
+      // append more WAL, resume
+      val cfg2 = cfg.copy(numEvents = 16000)
+      val extra = WalGen.events(spark, cfg2, 12000, 16000).toDF()
+      extra.coalesce(1).write.mode("overwrite").parquet(s"$dir/walextra")
+      val f = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/walextra"))
+        .iterator().asScala.find(_.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(f, java.nio.file.Paths.get(s"$dir/wal/chunk-99999.parquet"))
+      CdcStream.runToCompletion(spark, s"$dir/wal", table, s"$dir/cp")
+      assertMatchesOracle(table, cfg2)
+    } finally rmrf(dir)
+  }
+
+  test("schema evolution: added column + widened type, old files readable") {
+    val dir = tmpDir("evo")
+    try {
+      val table = LakeTable.create(spark, s"$dir/t", Schemas.transcript, numBuckets = 2)
+      val ts = new java.sql.Timestamp(1700000000000L)
+      val b0 = Seq(("I", 1L, "c1", 0, "user", "hello", null: String, ts))
+        .toDF("op", "lsn", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+      CdcMerge.apply(table, b0, 0)
+      // batch 1 adds tool_meta column and widens turn_idx to long
+      val b1 = Seq(("I", 2L, "c1", 1L, "assistant", "hi", null: String, ts, """{"v":1}"""))
+        .toDF("op", "lsn", "conv_id", "turn_idx", "role", "text", "tool", "ts", "tool_meta")
+      CdcMerge.apply(table, b1, 1)
+      val snap = table.snapshot().orderBy("turn_idx")
+      assert(snap.schema("turn_idx").dataType == org.apache.spark.sql.types.LongType)
+      assert(snap.columns.contains("tool_meta"))
+      val rows = snap.collect()
+      assert(rows.length == 2)
+      assert(rows(0).getAs[String]("tool_meta") == null) // old row null-filled
+      assert(rows(1).getAs[String]("tool_meta") == """{"v":1}""")
+      // narrowing / incompatible rejected
+      val bad = SchemaReconciler.reconcile(
+        table.userSchema,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.IntegerType))))
+      assert(bad.isLeft)
+    } finally rmrf(dir)
+  }
+
+  test("vacuum removes unreferenced files; snapshot unaffected") {
+    val dir = tmpDir("vac")
+    val cfg = WalGen.Config(numEvents = 4000, numConvs = 40)
+    try {
+      val table = LakeTable.create(spark, s"$dir/t", Schemas.transcript, numBuckets = 4)
+      (0 until 4).foreach { b =>
+        val batch = WalGen.events(spark, cfg, b * 1000L, (b + 1) * 1000L).toDF()
+        CdcMerge.apply(table, batch, b.toLong)
+      }
+      val before = table.contentChecksum()
+      val removed = table.vacuum(keepVersions = 1)
+      assert(removed > 0, "multi-version table should have unreferenced files")
+      assert(table.contentChecksum() == before)
+      assertMatchesOracle(table, cfg)
+    } finally rmrf(dir)
+  }
+}

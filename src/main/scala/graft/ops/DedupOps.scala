@@ -1,0 +1,177 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication for training-data pipelines, scale-first:
+  *  - exact: hash-groupBy (one shuffle on a 128-bit digest);
+  *  - MinHash + LSH: shingle → k minhashes → b bands → bucket join, so
+  *    candidate generation is a hash-partitioned equi-join (no O(n²)
+  *    cross product); exact Jaccard verifies candidates;
+  *  - SimHash: 64-bit signature, near-dups via banded Hamming join;
+  *  - n-gram Jaccard within a blocking key;
+  *  - embedding cosine near-dup via [[SimilarityOps]].
+  * All candidate generation is equi-join-shaped → Catalyst gives us
+  * shuffle-hash/broadcast joins and AQE skew splitting for free.
+  */
+object DedupOps {
+
+  /** Exact dedup: one representative (min key) per identical text.
+    * Returns (digest, keeper, n_copies).
+    */
+  def exactDuplicates(df: DataFrame, textCol: String, keyCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("digest"))
+      .agg(min(col(keyCol)).as("keeper"), count(lit(1)).as("n_copies"))
+
+  /** Exact-dedup'd table: keeps the min-key row per distinct text. */
+  def dropExactDuplicates(df: DataFrame, textCol: String, keyCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(textCol))).orderBy(col(keyCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** MinHash signature from PRE-HASHED shingles: one xxhash64 pass over the
+    * shingles, then k universal-hash permutations `(a_s·h + b_s) mod p`
+    * (p = 2^31-1, coefficients SplitMix64-seeded) — cheap arithmetic in the
+    * inner loop instead of k full string-hash passes. Inputs are reduced to
+    * [0, p) first so ANSI-mode long multiplication cannot overflow.
+    */
+  def minhashSignatureFromHashes(shingleHashes: Column, k: Int, seed: Long = 42L): Column = {
+    val p = 2147483647L // 2^31 - 1
+    val perms = (0 until k).map { s =>
+      val a = 1L + java.lang.Math.floorMod(graft.util.DetHash.splitmix64(seed ^ (2L * s)), p - 1)
+      val b = java.lang.Math.floorMod(graft.util.DetHash.splitmix64(seed ^ (2L * s + 1)), p)
+      array_min(transform(shingleHashes, h => pmod(pmod(h, lit(p)) * lit(a) + lit(b), lit(p))))
+    }
+    array(perms: _*)
+  }
+
+  /** Convenience: signature straight from text (hashes shingles inline). */
+  def minhashSignature(text: Column, k: Int, shingleN: Int = 3): Column =
+    minhashSignatureFromHashes(
+      transform(TextOps.shingles(text, shingleN), x => xxhash64(x)), k)
+
+  /** LSH candidate pairs by banded minhash: signature split into `bands`
+    * bands of `rowsPerBand`; docs sharing any band bucket become a
+    * candidate pair; exact Jaccard on shingle sets filters to >= minJaccard.
+    * Returns (key_a, key_b, jaccard) with key_a < key_b.
+    */
+  def minhashLshPairs(df: DataFrame, textCol: String, keyCol: String,
+                      bands: Int = 8, rowsPerBand: Int = 4,
+                      minJaccard: Double = 0.7): DataFrame = {
+    val k = bands * rowsPerBand
+    // stage 1: shingle + hash once per doc; persisted — reused by the band
+    // self-join (both sides) and the final verification joins
+    val sh = df.select(col(keyCol).as("key"),
+        TextOps.shingles(col(textCol), 3).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = sh
+      .select(col("key"), transform(col("sh"), x => xxhash64(x)).as("hs"))
+      .select(col("key"), minhashSignatureFromHashes(col("hs"), k).as("sig"))
+    // stage 2: narrow banded table (key, band, bucket) — no arrays through
+    // the shuffle; persisted so the self-join doesn't recompute signatures
+    val banded = sig.select(col("key"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket")))).as("bb"))
+      .select(col("key"), col("bb.band"), col("bb.bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = banded.select(col("band"), col("bucket"), col("key").as("key_a"))
+      .join(banded.select(col("band"), col("bucket"), col("key").as("key_b")),
+        Seq("band", "bucket"))
+      .filter(col("key_a") < col("key_b"))
+      .select("key_a", "key_b")
+      .dropDuplicates("key_a", "key_b")
+    // stage 3: exact-Jaccard verification only on the (small) candidate set
+    cand
+      .join(sh.select(col("key").as("key_a"), col("sh").as("sh_a")), Seq("key_a"))
+      .join(sh.select(col("key").as("key_b"), col("sh").as("sh_b")), Seq("key_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("key_a", "key_b", "jaccard")
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per-bit weighted vote of token
+    * hashes, built with one aggregate over a 64-slot counter array.
+    */
+  /** 64 per-bit majority votes of cheap shift/mask arithmetic over a
+    * PRE-HASHED token array (pass an attribute, not an inline expression —
+    * the hash pass then runs once, not 64×).
+    */
+  def simhashFromHashes(hs: Column): Column = {
+    val bits = (0 until 64).map { i =>
+      val vote = aggregate(hs, lit(0),
+        (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(vote > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  def tokenHashes(text: Column): Column =
+    transform(split(trim(text), "\\s+"), t => xxhash64(t))
+
+  def simhash(text: Column): Column = simhashFromHashes(tokenHashes(text))
+
+  /** SimHash near-dup pairs: Hamming distance <= maxHamming, candidates via
+    * the 4×16-bit band pigeonhole (any pair within Hamming 3 shares at
+    * least one exact 16-bit band).
+    */
+  def simhashPairs(df: DataFrame, textCol: String, keyCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val withSig = df
+      .select(col(keyCol).as("key"), tokenHashes(col(textCol)).as("hs"))
+      .select(col("key"), simhashFromHashes(col("hs")).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = withSig.select(col("key"), col("sig"),
+      explode(transform(sequence(lit(0), lit(3)),
+        b => struct(b.as("band"),
+          call_function("shiftright", col("sig"), (b * 16).cast("int")).bitwiseAND(0xFFFFL).as("bucket")))).as("bb"))
+      .select(col("key"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val l = banded.select(col("band"), col("bucket"), col("key").as("key_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("bucket"), col("key").as("key_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("key_a") < col("key_b"))
+      .dropDuplicates("key_a", "key_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("key_a", "key_b", "hamming")
+  }
+
+  /** n-gram Jaccard similarity pairs within a blocking key (no LSH): for
+    * corpora where a natural block exists (language, domain, length band).
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, keyCol: String,
+                        blockCols: Seq[String], n: Int = 3,
+                        minJaccard: Double = 0.5): DataFrame = {
+    val base = df.select((blockCols.map(col) :+ col(keyCol).as("key") :+
+      TextOps.shingles(col(textCol), n).as("sh")): _*)
+    val l = base.withColumnsRenamed(Map("key" -> "key_a", "sh" -> "sh_a"))
+    val r = base.withColumnsRenamed(Map("key" -> "key_b", "sh" -> "sh_b"))
+    l.join(r, blockCols)
+      .filter(col("key_a") < col("key_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select((blockCols.map(col) :+ col("key_a") :+ col("key_b") :+ col("jaccard")): _*)
+  }
+
+  /** Embedding near-dup pairs: cosine >= minCosine via LSH bucketing
+    * (random-hyperplane signs) + in-bucket verification.
+    */
+  def embeddingCosinePairs(df: DataFrame, vecCol: String, keyCol: String,
+                           minCosine: Double = 0.95, planes: Int = 12,
+                           seed: Long = 42L): DataFrame = {
+    val sig = SimilarityOps.hyperplaneSignature(col(vecCol), planes, seed)
+    val base = df.select(col(keyCol).as("key"), col(vecCol).as("vec"), sig.as("bucket"))
+    val l = base.select(col("bucket"), col("key").as("key_a"), col("vec").as("vec_a"))
+    val r = base.select(col("bucket"), col("key").as("key_b"), col("vec").as("vec_b"))
+    l.join(r, Seq("bucket"))
+      .filter(col("key_a") < col("key_b"))
+      .withColumn("cosine", SimilarityOps.cosine(col("vec_a"), col("vec_b")))
+      .filter(col("cosine") >= minCosine)
+      .select("key_a", "key_b", "cosine")
+  }
+}

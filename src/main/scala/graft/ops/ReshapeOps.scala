@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Reshaping operators — the reference's signature ops (SURVEY.md §2.9). */
+object ReshapeOps {
+
+  /** Wide→long (owid-etl `melt`, `tables.py:1478-1537`) via Spark's native
+    * unpivot (Spark 3.4+) — one narrow codegen'd pass, no shuffle.
+    */
+  def melt(df: DataFrame, idVars: Seq[String], valueVars: Seq[String],
+           varName: String = "variable", valueName: String = "value"): DataFrame =
+    df.unpivot(idVars.map(col).toArray, valueVars.map(col).toArray, varName, valueName)
+
+  /** Long→wide (owid-etl `pivot`, `tables.py:1553-1620`):
+    * groupBy(index).pivot(column).agg(first(value)). Callers pass explicit
+    * `values` when known — skips the extra distinct job Spark otherwise
+    * runs to discover pivot values (matters at scale).
+    */
+  def pivot(df: DataFrame, index: Seq[String], column: String, value: String,
+            values: Seq[String] = Nil): DataFrame = {
+    val g = df.groupBy(index.map(col): _*)
+    val p = if (values.nonEmpty) g.pivot(column, values) else g.pivot(column)
+    p.agg(first(col(value)))
+  }
+
+  /** Dimension fan-out (owid-etl `_yield_wide_table`,
+    * `etl/grapher_helpers.py:74-191`): every combination of dimension
+    * values becomes its own column named `col__dim1_v1__dim2_v2`. In Spark
+    * this is a pivot on the concatenated dimension key; all-null slices are
+    * dropped like the reference.
+    */
+  def wideTableFanOut(df: DataFrame, index: Seq[String], dims: Seq[String],
+                      valueCol: String): DataFrame = {
+    val nameExpr = concat_ws("__",
+      (lit(valueCol) +: dims.map(d => concat_ws("_", lit(TableOps.underscoreName(d)),
+        col(d).cast("string")))): _*)
+    val long = df.withColumn("__wide_name", nameExpr)
+    val wide = pivot(long, index, "__wide_name", valueCol)
+    // drop all-null slices (reference drops empty dimension combos) —
+    // one aggregation job for all columns, not one job per column
+    val valueColumns = wide.columns.filterNot(index.contains)
+    val counts = wide.select(valueColumns.map(c => count(col(s"`$c`")).as(c)).toSeq: _*).collect()(0)
+    val keep = valueColumns.zipWithIndex.collect { case (c, i) if counts.getLong(i) > 0 => c }
+    wide.select((index ++ keep).map(c => col(s"`$c`")).toSeq: _*)
+  }
+
+  /** Split a long (variable, value) table into per-variable tables
+    * (owid-etl `long_to_wide_tables`, `grapher_helpers.py:284-317`).
+    */
+  def longToWideTables(df: DataFrame, index: Seq[String], varCol: String,
+                       valueCol: String): Map[String, DataFrame] = {
+    val vars = df.select(varCol).distinct().collect().map(_.getString(0))
+    vars.map { v =>
+      v -> df.filter(col(varCol) === v)
+        .select((index.map(col) :+ col(valueCol).as(TableOps.underscoreName(v))): _*)
+    }.toMap
+  }
+
+  /** Dynamic-partition write of the dimension fan-out — the at-scale form
+    * of `_yield_wide_table`: one directory per dimension combination,
+    * written in a single job (`df.write.partitionBy(dims)`).
+    */
+  def writePartitionedByDims(df: DataFrame, dims: Seq[String], outDir: String): Unit =
+    df.write.mode("overwrite").partitionBy(dims: _*).parquet(outDir)
+}

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.util.DetHash
+
+/** Similarity search over embedding columns (`Array[Float]`):
+  *  - brute-force cosine top-k (the exact baseline): broadcast the query
+  *    set, one codegen'd scan over the corpus, per-query top-k window;
+  *  - LSH-bucketed ANN (the scale path): random-hyperplane signatures
+  *    turn candidate generation into an equi-join on bucket ids.
+  * Dot products use `zip_with` + `aggregate` higher-order functions in
+  * double precision — no UDF, stays in WholeStageCodegen.
+  */
+object SimilarityOps {
+
+  /** dot(a, b) in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic random hyperplanes (SplitMix64-seeded, unit-free signs):
+    * bucket id = bit pattern of sign(dot(v, r_i)), i < planes.
+    */
+  def hyperplaneSignature(vec: Column, planes: Int, seed: Long): Column = {
+    val dims = 64 // embeddings table dimension; generic callers pass vectors >= planes dims
+    val planeLits: Seq[Column] = (0 until planes).map { p =>
+      array((0 until dims).map(d =>
+        lit(if (DetHash.splitmix64(seed ^ (p * 1009L + d)) >= 0) 1.0 else -1.0)): _*)
+    }
+    val bits = planeLits.zipWithIndex.map { case (plane, i) =>
+      when(dot(vec, plane) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** Exact brute-force top-k by cosine for each query vector. `queries`
+    * must be small enough to broadcast (the baseline / verification path).
+    * Returns (query_id, corpus_id, cosine, rank).
+    */
+  def bruteForceTopK(corpus: DataFrame, corpusVec: String, corpusId: String,
+                     queries: DataFrame, queryVec: String, queryId: String,
+                     k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("qv")))
+    val c = corpus.select(col(corpusId).as("corpus_id"), col(corpusVec).as("cv"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("corpus_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "cosine", "rank")
+  }
+
+  /** ANN top-k via hyperplane LSH buckets: candidates share a bucket in at
+    * least one of `tables` independent hash tables; recall grows with
+    * tables, cost stays equi-join-shaped. Returns same shape as brute force.
+    */
+  def lshTopK(corpus: DataFrame, corpusVec: String, corpusId: String,
+              queries: DataFrame, queryVec: String, queryId: String,
+              k: Int, planes: Int = 10, tables: Int = 4, seed: Long = 42L): DataFrame = {
+    def withBuckets(df: DataFrame, vec: String, idAs: String, vecAs: String): DataFrame =
+      df.select(col(idAs), col(vecAs),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("tbl"),
+            hyperplaneSignature(col(vecAs), planes, seed + 7919L * t).as("bucket"))): _*)).as("bb"))
+        .select(col(idAs), col(vecAs), col("bb.tbl"), col("bb.bucket"))
+    val c = withBuckets(
+      corpus.select(col(corpusId).as("corpus_id"), col(corpusVec).as("cv")), corpusVec, "corpus_id", "cv")
+    val q = withBuckets(
+      queries.select(col(queryId).as("query_id"), col(queryVec).as("qv")), queryVec, "query_id", "qv")
+    val cand = q.join(c, Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .dropDuplicates("query_id", "corpus_id")
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "cosine", "rank")
+  }
+}

@@ -1,0 +1,164 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Row/column operators with owid-etl semantics (SURVEY.md §2.2, §2.3,
+  * §2.6, §2.7), expressed as declarative DataFrame transforms so Catalyst
+  * gets pushdown/pruning for free. Citations are into /root/reference.
+  */
+object TableOps {
+
+  // ---------- §2.2 projections / filters / row ops ----------
+
+  /** snake_case normalization of a single name (owid-etl `underscore`,
+    * `lib/catalog/owid/catalog/utils.py:41-50`).
+    */
+  def underscoreName(s: String): String = {
+    val cleaned = s.trim
+      .replaceAll("([a-z\\d])([A-Z])", "$1_$2")
+      .toLowerCase
+      .replaceAll("[^a-z0-9]+", "_")
+      .replaceAll("_+", "_")
+      .stripPrefix("_").stripSuffix("_")
+    if (cleaned.isEmpty) "_" else if (cleaned.head.isDigit) "_" + cleaned else cleaned
+  }
+
+  /** Normalize all column names to snake_case; collisions raise
+    * (`tables.py:700-744`, `_resolve_collisions` `tables.py:1981-2005`).
+    */
+  def underscore(df: DataFrame): DataFrame = {
+    val names = df.columns.map(underscoreName)
+    val dups = names.groupBy(identity).filter(_._2.length > 1).keys
+    require(dups.isEmpty, s"name collision after underscore: ${dups.mkString(", ")}")
+    df.toDF(names.toIndexedSeq: _*)
+  }
+
+  /** `format` = underscore + primary-key uniqueness check + stable sort
+    * (`tables.py:746-817` with verify_integrity; the uniqueness assert is
+    * the Spark version of the pandas MultiIndex unique check).
+    */
+  def format(df: DataFrame, primaryKey: Seq[String], verifyIntegrity: Boolean = true): DataFrame = {
+    val u = underscore(df)
+    if (verifyIntegrity) {
+      val dups = u.groupBy(primaryKey.map(col): _*).count().filter(col("count") > 1).limit(1).count()
+      require(dups == 0, s"primary key ${primaryKey.mkString(",")} not unique")
+    }
+    u.orderBy(primaryKey.map(col): _*)
+  }
+
+  /** Column subset by regex (GRAPHER_FILTER behavior, `tables.py:849-850`). */
+  def filterColumns(df: DataFrame, pattern: String, keep: Seq[String] = Nil): DataFrame = {
+    val re = pattern.r
+    df.select(df.columns.filter(c => keep.contains(c) || re.findFirstIn(c).isDefined).map(col).toSeq: _*)
+  }
+
+  /** Dict-based value mapping with strict handling of unmapped values
+    * (owid-etl `map_series`, `datautils/dataframes.py:400-494`): unmapped →
+    * pass-through (warnOnMissing) or null.
+    */
+  def mapValues(df: DataFrame, column: String, mapping: Map[String, String],
+                keepUnmapped: Boolean = true): DataFrame = {
+    val m = typedLit(mapping)
+    val mapped = element_at(m, col(column))
+    val out = if (keepUnmapped) coalesce(mapped, col(column)) else mapped
+    df.withColumn(column, out)
+  }
+
+  /** Fill nulls of `column` in `df` from the same column of `other`
+    * (table-valued fillna, `tables.py:1033-1049`): left join on keys +
+    * coalesce.
+    */
+  def fillFrom(df: DataFrame, other: DataFrame, keys: Seq[String], columns: Seq[String]): DataFrame = {
+    val o = other.select((keys ++ columns).map(c => col(c)).toSeq: _*)
+      .withColumnsRenamed(columns.map(c => c -> s"__fill_$c").toMap)
+    val joined = df.join(o, keys, "left")
+    columns.foldLeft(joined) { (d, c) =>
+      d.withColumn(c, coalesce(col(c), col(s"__fill_$c")))
+    }.drop(columns.map(c => s"__fill_$c"): _*)
+  }
+
+  /** Assertion helpers (owid-etl `check_known_columns` /
+    * `check_values_in_column`, `misc.py:29-58`).
+    */
+  def checkKnownColumns(df: DataFrame, known: Seq[String]): Unit = {
+    val unknown = df.columns.toSet -- known.toSet
+    require(unknown.isEmpty, s"unknown columns: ${unknown.mkString(", ")}")
+  }
+
+  def checkValuesInColumn(df: DataFrame, column: String, allowed: Seq[Any]): Unit = {
+    val bad = df.select(column).distinct()
+      .filter(!col(column).isin(allowed: _*)).limit(20).collect()
+    require(bad.isEmpty, s"unexpected values in $column: ${bad.mkString(", ")}")
+  }
+
+  // ---------- §2.3 joins ----------
+
+  /** Metadata-combining merge (owid-etl `tables.py:1300-1401`): plain Spark
+    * join; shared non-key columns get suffixes like pandas.
+    */
+  def merge(left: DataFrame, right: DataFrame, on: Seq[String], how: String = "inner",
+            suffixes: (String, String) = ("_x", "_y")): DataFrame = {
+    val shared = (left.columns.toSet & right.columns.toSet) -- on.toSet
+    val l = shared.foldLeft(left)((d, c) => d.withColumnRenamed(c, c + suffixes._1))
+    val r = shared.foldLeft(right)((d, c) => d.withColumnRenamed(c, c + suffixes._2))
+    l.join(r, on, how)
+  }
+
+  /** Fold-left merge of N tables on common keys (`tables.py:2008-2028`). */
+  def multiMerge(tables: Seq[DataFrame], on: Seq[String], how: String = "inner"): DataFrame =
+    tables.reduce((a, b) => merge(a, b, on, how))
+
+  /** Priority coalesce join — df1 wins, df2 fills the gaps (owid-etl
+    * `combine_two_overlapping_dataframes`, `dataframes.py:578-654`):
+    * full-outer join on keys + per-column coalesce. The closest reference
+    * analogue to upsert-as-a-transform.
+    */
+  def combineTwoOverlapping(df1: DataFrame, df2: DataFrame, keys: Seq[String]): DataFrame = {
+    val valueCols = (df1.columns ++ df2.columns).distinct.filterNot(keys.contains)
+    val a = df1.withColumnsRenamed(df1.columns.filterNot(keys.contains).map(c => c -> s"__a_$c").toMap)
+    val b = df2.withColumnsRenamed(df2.columns.filterNot(keys.contains).map(c => c -> s"__b_$c").toMap)
+    val j = a.join(b, keys, "full_outer")
+    val cols = keys.map(col) ++ valueCols.map { c =>
+      val hasA = df1.columns.contains(c)
+      val hasB = df2.columns.contains(c)
+      (if (hasA && hasB) coalesce(col(s"__a_$c"), col(s"__b_$c"))
+       else if (hasA) col(s"__a_$c") else col(s"__b_$c")).as(c)
+    }
+    j.select(cols.toSeq: _*)
+  }
+
+  /** Broadcast lookup join to a dimension table, appending new dim rows for
+    * unseen keys (owid-etl entity creation under the upsert,
+    * `etl/grapher_helpers.py:320-399`): returns (factWithIds, updatedDim).
+    * `dim` must have columns (naturalKey, idCol).
+    */
+  def lookupOrCreate(fact: DataFrame, dim: DataFrame, naturalKey: String,
+                     idCol: String): (DataFrame, DataFrame) = {
+    val maxId = dim.agg(coalesce(max(col(idCol)), lit(0L)).cast("long")).collect()(0).getLong(0)
+    val missing = fact.select(col(naturalKey)).distinct()
+      .join(dim.select(col(naturalKey)), Seq(naturalKey), "left_anti")
+      .withColumn(idCol, row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col(naturalKey))).cast("long") + lit(maxId))
+    val dim2 = dim.select(col(naturalKey), col(idCol).cast("long")).unionByName(missing)
+    (fact.join(broadcast(dim2), Seq(naturalKey), "left"), dim2)
+  }
+
+  // ---------- §2.6 / §2.7 sorts & set ops ----------
+
+  /** Union-by-name with missing columns allowed, like metadata-combining
+    * concat axis=0 (`tables.py:1404-1475`).
+    */
+  def concat(tables: Seq[DataFrame]): DataFrame =
+    tables.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  /** Column-wise stitch on keys; duplicate value columns are an error
+    * (concat axis=1, `tables.py:1448-1458`).
+    */
+  def concatColumns(a: DataFrame, b: DataFrame, keys: Seq[String]): DataFrame = {
+    val dup = (a.columns.toSet & b.columns.toSet) -- keys.toSet
+    require(dup.isEmpty, s"duplicate columns in concat axis=1: ${dup.mkString(", ")}")
+    a.join(b, keys, "full_outer")
+  }
+}

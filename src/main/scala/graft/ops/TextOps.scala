@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for large-scale training-data pipelines: token counting,
+  * language ID, quality scoring, document fingerprinting. All pure column
+  * expressions (codegen'd, no UDFs) so they run at 100 TB scan speed.
+  */
+object TextOps {
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(split(trim(text), "\\s+"))
+
+  /** BPE-ish token count: alpha runs, digit runs, single punctuation. */
+  def tokenCountBpe(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Count of whole-word occurrences of `word`. */
+  def wordCount(text: Column, word: String): Column =
+    regexp_count(text, lit("\\b" + word + "\\b"))
+
+  /** Quality score in [0,1]: blend of stopword ratio and length signal —
+    * the shape of heuristic quality filters used on web corpora (length /
+    * punctuation / stopword gates). Deterministic double math.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokenCount(text).cast("double")
+    val stop = (wordCount(text, "the") + wordCount(text, "and") + wordCount(text, "of"))
+      .cast("double")
+    lit(0.5) * (stop / toks) + lit(0.5) * (least(toks, lit(200.0)) / lit(200.0))
+  }
+
+  /** Language ID by stopword-count heuristic over a fixed n-gram/stopword
+    * table; deterministic argmax tie-break (en > de > fr > es).
+    */
+  def langIdScore(text: Column, words: Seq[String]): Column =
+    words.map(w => wordCount(text, w)).reduce(_ + _)
+
+  def langId(text: Column): Column = {
+    val en = langIdScore(text, Seq("the", "and", "of"))
+    val de = langIdScore(text, Seq("der", "die", "und"))
+    val fr = langIdScore(text, Seq("le", "la", "et"))
+    val es = langIdScore(text, Seq("el", "los", "y"))
+    when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+  }
+
+  /** Rolling (Karp-Rabin-style) document fingerprint over whitespace tokens:
+    * polynomial hash mod 1e9+7, computed with a higher-order `aggregate`
+    * over the token array — ANSI-safe (the modulus keeps the accumulator
+    * bounded, no long overflow).
+    */
+  def fingerprint(text: Column): Column = {
+    val M = 1000000007L
+    aggregate(
+      split(trim(text), "\\s+"),
+      lit(0L),
+      (acc, tok) => pmod(acc * lit(31L) + pmod(xxhash64(tok), lit(M)), lit(M)))
+  }
+
+  /** n-gram shingles over whitespace tokens (n fixed at call site). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = split(trim(text), "\\s+")
+    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+    array_distinct(
+      transform(idx, i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+  }
+}

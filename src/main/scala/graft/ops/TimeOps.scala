@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-axis operators (SURVEY.md §2.5, §2.9): window functions, gap
+  * densification, interpolation, gap-filling — all on (entity, time)
+  * series like owid-etl's, all pure window/sequence/explode expressions
+  * (no UDFs), so they stay inside WholeStageCodegen.
+  */
+object TimeOps {
+
+  /** Rolling aggregate over the trailing `n` rows per entity (owid-etl
+    * `rolling`, `tables.py:1229-1276`): e.g. rollingAvg(df, "country",
+    * "year", "v", 3) = 3-year trailing mean.
+    */
+  def rollingAvg(df: DataFrame, entity: Seq[String], timeCol: String,
+                 valueCol: String, n: Int, minPeriods: Int = 1): DataFrame = {
+    val w = Window.partitionBy(entity.map(col): _*).orderBy(col(timeCol))
+      .rowsBetween(-(n - 1), 0)
+    val cnt = count(col(valueCol)).over(w)
+    df.withColumn(s"${valueCol}_rolling",
+      when(cnt >= minPeriods, avg(col(valueCol)).over(w)))
+  }
+
+  /** Lag-based percent change per entity series (owid-etl `pct_change`,
+    * `variables.py:286-292`).
+    */
+  def pctChange(df: DataFrame, entity: Seq[String], timeCol: String,
+                valueCol: String, periods: Int = 1): DataFrame = {
+    val w = Window.partitionBy(entity.map(col): _*).orderBy(col(timeCol))
+    df.withColumn(s"${valueCol}_pct_change",
+      col(valueCol) / lag(col(valueCol), periods).over(w) - 1)
+  }
+
+  /** Densify the time axis (owid-etl `expand_time_column`,
+    * `misc.py:109-349`). method:
+    *  - "full_range": every entity gets the global [min,max] range;
+    *  - "full_range_entity": each entity its own [min,max];
+    *  - "observed": every entity × every observed time value.
+    * Missing rows appear with null values.
+    */
+  def expandTimeColumn(df: DataFrame, entity: Seq[String], timeCol: String,
+                       method: String = "full_range_entity"): DataFrame = {
+    val spine = method match {
+      case "full_range" =>
+        val range = df.agg(min(col(timeCol)).as("mn"), max(col(timeCol)).as("mx"))
+        df.select(entity.map(col): _*).distinct()
+          .crossJoin(range)
+          .select((entity.map(col) :+ explode(sequence(col("mn"), col("mx"))).as(timeCol)): _*)
+      case "full_range_entity" =>
+        df.groupBy(entity.map(col): _*)
+          .agg(min(col(timeCol)).as("mn"), max(col(timeCol)).as("mx"))
+          .select((entity.map(col) :+ explode(sequence(col("mn"), col("mx"))).as(timeCol)): _*)
+      case "observed" =>
+        df.select(entity.map(col): _*).distinct()
+          .crossJoin(df.select(col(timeCol)).distinct())
+      case other => throw new IllegalArgumentException(s"unknown method: $other")
+    }
+    spine.join(df, entity :+ timeCol, "left")
+  }
+
+  /** Forward-fill per entity: last non-null value at or before each row
+    * (owid-etl fill strategies under `expand_time_column`,
+    * `misc.py:138-145`).
+    */
+  def ffill(df: DataFrame, entity: Seq[String], timeCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(entity.map(col): _*).orderBy(col(timeCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
+  }
+
+  /** Backward-fill per entity. */
+  def bfill(df: DataFrame, entity: Seq[String], timeCol: String, valueCol: String): DataFrame = {
+    val w = Window.partitionBy(entity.map(col): _*).orderBy(col(timeCol))
+      .rowsBetween(0, Window.unboundedFollowing)
+    df.withColumn(valueCol, first(col(valueCol), ignoreNulls = true).over(w))
+  }
+
+  /** Per-entity linear interpolation over the time axis with
+    * limit_direction="both" semantics (owid-etl `misc.py:59-108` /
+    * `geo.py:656-722`): interior gaps are linearly interpolated between
+    * the previous and next observation; leading/trailing gaps take the
+    * nearest observation. Pure window expressions: prev/next value and
+    * their time positions, then a linear weight by time distance.
+    */
+  def interpolate(df: DataFrame, entity: Seq[String], timeCol: String,
+                  valueCol: String): DataFrame = {
+    val back = Window.partitionBy(entity.map(col): _*).orderBy(col(timeCol))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = Window.partitionBy(entity.map(col): _*).orderBy(col(timeCol))
+      .rowsBetween(0, Window.unboundedFollowing)
+    val v = col(valueCol)
+    val tAt = when(v.isNotNull, col(timeCol))
+    val prevV = last(v, ignoreNulls = true).over(back)
+    val prevT = last(tAt, ignoreNulls = true).over(back)
+    val nextV = first(v, ignoreNulls = true).over(fwd)
+    val nextT = first(tAt, ignoreNulls = true).over(fwd)
+    val interp = when(v.isNotNull, v)
+      .when(prevV.isNull, nextV) // leading gap
+      .when(nextV.isNull, prevV) // trailing gap
+      .when(nextT === prevT, prevV)
+      .otherwise(prevV + (nextV - prevV) *
+        ((col(timeCol) - prevT).cast("double") / (nextT - prevT).cast("double")))
+    df.withColumn(valueCol, interp)
+  }
+
+  /** One row per time unit in [startCol, endCol] (owid-etl
+    * `explode_rows_by_time_range`, `misc.py:350-412`) — literally
+    * `explode(sequence(...))`.
+    */
+  def explodeTimeRange(df: DataFrame, startCol: String, endCol: String,
+                       asCol: String): DataFrame =
+    df.withColumn(asCol, explode(sequence(col(startCol), col(endCol))))
+
+  /** Cross-join all entities × the full observed time range (owid-etl
+    * `fill_date_gaps`, `geo.py:1342-1359`).
+    */
+  def fillTimeGaps(df: DataFrame, entity: Seq[String], timeCol: String): DataFrame =
+    expandTimeColumn(df, entity, timeCol, "full_range")
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Dedup + similarity semantics on planted duplicates: LSH must surface the
+  * planted near-dup pairs, and verification scores must match
+  * driver-computed references.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkDoc(seed: Int, words: Int): String =
+    (0 until words).map(i => s"w${graft.util.DetHash.nextLong(seed * 1000003L + i, 50L)}")
+      .mkString(" ")
+
+  test("exact dedup keeps min key per identical text") {
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z")).toDF("doc_id", "text")
+    val out = DedupOps.exactDuplicates(docs, "text", "doc_id")
+      .orderBy("keeper").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(1) == 1L && out(0).getLong(2) == 2L)
+    assert(DedupOps.dropExactDuplicates(docs, "text", "doc_id").count() == 2)
+  }
+
+  test("minhash LSH finds planted near-duplicates, skips dissimilar") {
+    val base = (0 until 40).map(i => (i.toLong, mkDoc(i, 60)))
+    // plant: doc 100 = copy of doc 0 with one word changed (high jaccard)
+    val nearDup = (100L, base(0)._2.split(" ").updated(3, "CHANGED").mkString(" "))
+    val docs = (base :+ nearDup).toDF("doc_id", "text")
+    val pairs = DedupOps.minhashLshPairs(docs, "text", "doc_id",
+      bands = 8, rowsPerBand = 4, minJaccard = 0.5).collect()
+    assert(pairs.exists(r => r.getLong(0) == 0L && r.getLong(1) == 100L),
+      s"planted pair not found; got ${pairs.mkString(", ")}")
+    // all reported pairs genuinely exceed the threshold (exact verify ran)
+    assert(pairs.forall(_.getDouble(2) >= 0.5))
+  }
+
+  test("simhash: planted near-dup within hamming radius, random docs far") {
+    val base = (0 until 30).map(i => (i.toLong, mkDoc(i + 77, 80)))
+    val nearDup = (200L, base(5)._2.split(" ").updated(10, "Z").mkString(" "))
+    val docs = (base :+ nearDup).toDF("doc_id", "text")
+    val pairs = DedupOps.simhashPairs(docs, "text", "doc_id", maxHamming = 12).collect()
+    assert(pairs.exists(r => r.getLong(0) == 5L && r.getLong(1) == 200L),
+      s"planted simhash pair not found; got ${pairs.mkString(", ")}")
+  }
+
+  test("ngram jaccard pairs within blocks match driver-computed jaccard") {
+    val docs = Seq(
+      (1L, "en", "a b c d e f"),
+      (2L, "en", "a b c d e g"),   // high overlap with 1
+      (3L, "en", "p q r s t u"),
+      (4L, "de", "a b c d e f")    // same text but different block → no pair
+    ).toDF("doc_id", "lang", "text")
+    val pairs = DedupOps.ngramJaccardPairs(docs, "text", "doc_id", Seq("lang"),
+      n = 3, minJaccard = 0.3).collect()
+    assert(pairs.length == 1)
+    val r = pairs(0)
+    assert(r.getAs[Long]("key_a") == 1L && r.getAs[Long]("key_b") == 2L)
+    // shingles(1)={abc,bcd,cde,def}, shingles(2)={abc,bcd,cde,deg} → J=3/5
+    assert(math.abs(r.getAs[Double]("jaccard") - 0.6) < 1e-12)
+  }
+
+  test("ANN: LSH top-k achieves recall vs brute force on clustered vectors") {
+    val rnd = new scala.util.Random(42)
+    // 3 clusters of 30 vectors each in 64 dims
+    val vecs = (0 until 90).map { i =>
+      val c = i % 3
+      val center = Array.tabulate(64)(d => if (d % 3 == c) 1.0f else 0.0f)
+      (i.toLong, center.map(x => x + (rnd.nextFloat() - 0.5f) * 0.2f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val queries = df.filter(col("vec_id") < 3)
+    val brute = SimilarityOps.bruteForceTopK(df, "embedding", "vec_id",
+      queries, "embedding", "vec_id", k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SimilarityOps.lshTopK(df, "embedding", "vec_id",
+      queries, "embedding", "vec_id", k = 5, planes = 6, tables = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.8, s"LSH recall $recall too low")
+    // brute-force cosine matches a driver-side computation for one pair
+    val a = vecs(0)._2.map(_.toDouble); val b = vecs(3)._2.map(_.toDouble)
+    val expected = a.zip(b).map { case (x, y) => x * y }.sum /
+      (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    val cos = queries.filter(col("vec_id") === 0)
+      .crossJoin(df.filter(col("vec_id") === 3).select(col("embedding").as("e2")))
+      .select(SimilarityOps.cosine(col("embedding"), col("e2"))).collect()(0).getDouble(0)
+    assert(math.abs(cos - expected) < 1e-9)
+  }
+
+  test("multimodal decode: schema + modality-dependent metadata") {
+    val docs = Seq((0L, "image", "abcdef"), (1L, "audio", "hello world"),
+      (2L, "video", "0123456789")).toDF("id", "modality", "t")
+      .withColumn("payload", encode(col("t"), "utf-8"))
+    val out = MultimodalOps.decode(docs, "id", "payload", "modality").collect()
+      .sortBy(_.media_id)
+    assert(out(0).width.contains(16 + 6 % 64) && out(0).sample_rate.isEmpty)
+    assert(out(1).sample_rate.contains(8000 + (11 % 3) * 4000) && out(1).width.isEmpty)
+    assert(out(2).n_frames.contains(1 + 10 % 30))
+    val frames = MultimodalOps.sampleFrames(
+      MultimodalOps.decode(docs, "id", "payload", "modality").toDF(), stride = 5)
+    assert(frames.filter(col("media_id") === 2).count() == 3) // frames 0,5,10 of 11
+  }
+
+  test("langid + quality + fingerprint are deterministic and sane") {
+    val docs = Seq(
+      (1L, "the cat and the dog of the house"),
+      (2L, "der hund und die katze und der vogel")).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"), TextOps.langId(col("text")).as("lang"),
+      TextOps.qualityScore(col("text")).as("q"), TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getString(1) == "en" && out(1).getString(1) == "de")
+    assert(out(0).getDouble(2) > 0 && out(0).getDouble(2) <= 1.0)
+    // fingerprint stable across evaluation
+    val fp2 = docs.select(TextOps.fingerprint(col("text"))).collect().map(_.getLong(0))
+    assert(fp2.toSeq == out.map(_.getLong(3)).toSeq)
+  }
+}

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops._
+
+/** Per-operator semantics tests on small hand-built frames — mirrors the
+  * reference's data-model unit tests (lib/catalog/tests/test_tables.py).
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("underscore normalizes names and detects collisions") {
+    assert(TableOps.underscoreName("CamelCase Name") == "camel_case_name")
+    assert(TableOps.underscoreName("GDP (current US$)") == "gdp_current_us")
+    assert(TableOps.underscoreName("9years") == "_9years")
+    val df = Seq((1, 2)).toDF("My Col", "my-col")
+    intercept[IllegalArgumentException](TableOps.underscore(df))
+  }
+
+  test("format verifies primary-key uniqueness") {
+    val ok = Seq(("a", 1, "x"), ("a", 2, "y")).toDF("k1", "k2", "v")
+    TableOps.format(ok, Seq("k1", "k2"))
+    val dup = Seq(("a", 1, "x"), ("a", 1, "y")).toDF("k1", "k2", "v")
+    intercept[IllegalArgumentException](TableOps.format(dup, Seq("k1", "k2")))
+  }
+
+  test("combineTwoOverlapping: df1 wins, df2 fills") {
+    val a = Seq(("k1", Some(1.0)), ("k2", None)).toDF("k", "v")
+    val b = Seq(("k2", 20.0), ("k3", 30.0)).toDF("k", "v")
+    val out = TableOps.combineTwoOverlapping(a, b, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.get(1)))
+    assert(out.toSeq == Seq(("k1", 1.0), ("k2", 20.0), ("k3", 30.0)))
+  }
+
+  test("NaN-aware groupby_agg gates") {
+    val df = Seq(
+      ("g1", Some(1.0)), ("g1", Some(2.0)), ("g1", None),
+      ("g2", Some(5.0)), ("g2", None), ("g2", None)
+    ).toDF("g", "v")
+    // allow at most 1 null per group → g2 (2 nulls) gated to null
+    val out = AggOps.groupbyAggNanAware(df, Seq("g"), "v", "sum",
+      numAllowedNulls = Some(1))
+      .orderBy("g").collect()
+    assert(out(0).getDouble(1) == 3.0)
+    assert(out(1).isNullAt(1))
+  }
+
+  test("regionAggregates must-have gate drops incomplete regions") {
+    val df = Seq(("fr", 2020, 1.0), ("de", 2020, 2.0), ("fr", 2021, 5.0))
+      .toDF("entity", "year", "v")
+    val memberOf = Map("fr" -> "EU", "de" -> "EU")
+    val mustHave = Map("EU" -> Seq("fr", "de"))
+    val out = AggOps.regionAggregates(df, "entity", Seq("year"), Seq("v"), memberOf, mustHave)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+    // 2020 has both members → kept; 2021 only fr → gated out
+    assert(out.toSeq == Seq(("EU", 2020, 3.0)))
+  }
+
+  test("interpolate: interior linear, edges nearest") {
+    val df = Seq(
+      ("e", 0, Some(10.0)), ("e", 1, None), ("e", 2, None), ("e", 3, Some(40.0)),
+      ("e", 4, None)).toDF("ent", "t", "v")
+    val out = TimeOps.interpolate(df, Seq("ent"), "t", "v")
+      .orderBy("t").collect().map(_.getDouble(2))
+    assert(out.toSeq == Seq(10.0, 20.0, 30.0, 40.0, 40.0))
+  }
+
+  test("expandTimeColumn densifies per-entity ranges") {
+    val df = Seq(("a", 2000, 1.0), ("a", 2003, 2.0), ("b", 2010, 3.0))
+      .toDF("ent", "year", "v")
+    val out = TimeOps.expandTimeColumn(df, Seq("ent"), "year")
+    assert(out.count() == 5) // a: 2000..2003 (4), b: 2010 (1)
+    assert(out.filter(col("v").isNull).count() == 2)
+  }
+
+  test("melt/pivot round-trip") {
+    val df = Seq((1, 10.0, 100.0), (2, 20.0, 200.0)).toDF("id", "a", "b")
+    val long = ReshapeOps.melt(df, Seq("id"), Seq("a", "b"))
+    assert(long.count() == 4)
+    val wide = ReshapeOps.pivot(long, Seq("id"), "variable", "value", Seq("a", "b"))
+      .orderBy("id").collect()
+    assert(wide(0).getDouble(1) == 10.0 && wide(1).getDouble(2) == 200.0)
+  }
+
+  test("wideTableFanOut mangles dimension combos into columns") {
+    val df = Seq(("US", 2000, "m", 1.0), ("US", 2000, "f", 2.0), ("FR", 2001, "m", 3.0))
+      .toDF("country", "year", "sex", "v")
+    val out = ReshapeOps.wideTableFanOut(df, Seq("country", "year"), Seq("sex"), "v")
+    assert(out.columns.toSet == Set("country", "year", "v__sex_m", "v__sex_f"))
+    val us = out.filter(col("country") === "US").collect()(0)
+    assert(us.getAs[Double]("v__sex_m") == 1.0 && us.getAs[Double]("v__sex_f") == 2.0)
+  }
+
+  test("metadata: travels through ops, combines on arithmetic") {
+    val df = Seq((1.0, 2.0)).toDF("a", "b")
+    val withMeta = MetaOps.withVarMeta(
+      MetaOps.withVarMeta(df, "a", VariableMeta(title = Some("A"), unit = Some("t"), origins = List("o1"))),
+      "b", VariableMeta(title = Some("B"), unit = Some("t"), origins = List("o2")))
+    val out = ArithOps.add(withMeta, "a", "b", "c")
+    val mc = MetaOps.varMeta(out, "c").get
+    assert(mc.unit.contains("t"))          // identical units kept
+    assert(mc.title.isEmpty)               // differing titles dropped
+    assert(mc.origins.toSet == Set("o1", "o2")) // origins unioned
+    // survives select/filter
+    val m2 = MetaOps.varMeta(out.filter(col("a") > 0).select("c"), "c")
+    assert(m2.contains(mc))
+  }
+
+  test("keepMeta lifts plain transforms") {
+    val df = MetaOps.withVarMeta(Seq((1.0, 1)).toDF("a", "k"), "a",
+      VariableMeta(unit = Some("kg")))
+    val out = MetaOps.keepMeta(_.groupBy("k").agg(sum("a").as("a")))(df)
+    assert(MetaOps.varMeta(out, "a").get.unit.contains("kg"))
+  }
+
+  test("TableIO: sidecar round-trip + repack narrows ints") {
+    val dir = tmpDir("tio")
+    try {
+      val df = MetaOps.withVarMeta(
+        Seq((1L, 100L, "x"), (2L, 200L, "y")).toDF("big_id", "small", "s"),
+        "small", VariableMeta(unit = Some("ct")))
+      TableIO.writeParquet(df, s"$dir/t.parquet", TableMeta("t", primaryKey = List("big_id")))
+      val (back, meta) = TableIO.readParquet(spark, s"$dir/t.parquet")
+      assert(meta.get.primaryKey == List("big_id"))
+      assert(MetaOps.varMeta(back, "small").get.unit.contains("ct"))
+      val packed = TableIO.repack(back)
+      assert(packed.schema("small").dataType == org.apache.spark.sql.types.ShortType)
+      assert(packed.schema("big_id").dataType == org.apache.spark.sql.types.ByteType)
+    } finally rmrf(dir)
+  }
+
+  test("contentChecksum is order-invariant") {
+    val df = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+    val shuffled = df.orderBy(rand(7))
+    val c1 = df.agg(AggOps.contentChecksum(df, Seq("k", "v"))).collect()(0).getDecimal(0)
+    val c2 = shuffled.agg(AggOps.contentChecksum(shuffled, Seq("k", "v"))).collect()(0).getDecimal(0)
+    assert(c1 == c2)
+  }
+}

@@ -95,19 +95,23 @@ object WalGen {
     * reordered (sorted by a hash of the lsn) to exercise out-of-order apply.
     */
   def writeWal(spark: SparkSession, dir: String, cfg: Config, numChunks: Int): Seq[Path] = {
-    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val out = Paths.get(dir)
     Files.createDirectories(out)
     val per = math.max(1L, cfg.numEvents / numChunks)
-    (0 until numChunks).map { c =>
+    // chunks are generated as concurrent Spark jobs (scheduler interleaves
+    // them); repartition(1) keeps generation parallel with one writer task
+    val futures = (0 until numChunks).map { c => Future {
       val from = c * per
       val until = if (c == numChunks - 1) cfg.numEvents else math.min(cfg.numEvents, (c + 1) * per)
       val tmp = out.resolve(s".tmp-chunk-$c")
       events(spark, cfg, from, until)
         .withColumn("_shuffle", org.apache.spark.sql.functions.xxhash64(org.apache.spark.sql.functions.col("lsn")))
+        .repartition(1)
         .sortWithinPartitions("_shuffle")
         .drop("_shuffle")
-        .coalesce(1)
         .write.mode("overwrite").parquet(tmp.toString)
       val part = Files.list(tmp).iterator().asScala
         .find(_.getFileName.toString.endsWith(".parquet"))
@@ -117,7 +121,8 @@ object WalGen {
       // clean the tmp dir (crc/_SUCCESS leftovers)
       Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
       target
-    }
+    }}
+    Await.result(Future.sequence(futures), Duration.Inf)
   }
 
   /** Driver-side oracle: fold the WAL slice [0, numEvents) in LSN order into

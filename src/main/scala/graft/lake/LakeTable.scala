@@ -65,6 +65,10 @@ final class LakeTable private (val root: Path, spark: SparkSession) {
     * tombstones) for the given buckets (None = all). Files written under
     * older schemas are aligned to the current schema: missing columns →
     * null, widened types → cast.
+    *
+    * Merge-on-read: when delta files are present, the per-key max-LSN row
+    * wins across base+deltas (one window; ties carry identical payloads by
+    * construction — duplicate deliveries of the same (key, lsn)).
     */
   def snapshotPhysical(buckets: Option[Set[Int]] = None): DataFrame = {
     val m = manifest
@@ -74,17 +78,24 @@ final class LakeTable private (val root: Path, spark: SparkSession) {
       case None => m.files
     }
     if (wanted.isEmpty) {
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
-    } else {
-      val bySchema = wanted.groupBy(_.schemaId)
-      val parts = bySchema.map { case (sid, fs) =>
-        val fileSchema = Schemas.physical(
-          StructType.fromDDL(m.schemas.find(_.id == sid).get.ddl))
-        val df = spark.read.schema(fileSchema)
-          .parquet(fs.map(f => root.resolve(f.path).toString): _*)
-        alignTo(df, target)
-      }
-      parts.reduce(_ unionByName _)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
+    }
+    val bySchema = wanted.groupBy(_.schemaId)
+    val parts = bySchema.map { case (sid, fs) =>
+      val fileSchema = Schemas.physical(
+        StructType.fromDDL(m.schemas.find(_.id == sid).get.ddl))
+      val df = spark.read.schema(fileSchema)
+        .parquet(fs.map(f => root.resolve(f.path).toString): _*)
+      alignTo(df, target)
+    }
+    val all = parts.reduce(_ unionByName _)
+    if (wanted.forall(_.kind == FileEntry.BASE)) all // fast path: already resolved
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(Schemas.KEY_COLS.map(col): _*)
+        .orderBy(col(Schemas.LSN_COL).desc)
+      all.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
     }
   }
 
@@ -124,10 +135,11 @@ final class LakeTable private (val root: Path, spark: SparkSession) {
   }
 
   /** Move a staged file into the data dir; returns the table-relative path. */
-  def adoptStagedFile(staged: Path, bucket: Int, epoch: Long): String = {
+  def adoptStagedFile(staged: Path, bucket: Int, epoch: Long,
+                      kind: String = FileEntry.BASE): String = {
     val dir = dataDir.resolve(s"bucket=$bucket")
     Files.createDirectories(dir)
-    val name = s"e$epoch-${staged.getFileName.toString}"
+    val name = s"$kind-e$epoch-${staged.getFileName.toString}"
     Files.move(staged, dir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
     s"data/bucket=$bucket/$name"
   }

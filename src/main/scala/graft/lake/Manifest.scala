@@ -10,14 +10,26 @@ import org.json4s.jackson.Serialization
   * schema evolution keep their original schema and are cast at read time
   * (Iceberg-style read-time evolution; reference analogue: ghost/new variable
   * reconciliation in owid-etl `etl/grapher_import.py:457-575`).
+  *
+  * `kind` is "base" (per-key resolved, at most one row per key per bucket)
+  * or "delta" (merge-on-read append: raw deduped batch rows; readers
+  * resolve max-LSN per key across base+deltas, compaction folds deltas
+  * back into base files).
   */
 final case class FileEntry(
     path: String,
     bucket: Int,
     rows: Long,
     maxLsn: Long,
-    schemaId: Int
+    schemaId: Int,
+    kind: String,
+    epoch: Long
 )
+
+object FileEntry {
+  val BASE = "base"
+  val DELTA = "delta"
+}
 
 /** A versioned user schema, serialized as Spark DDL. */
 final case class SchemaEntry(id: Int, ddl: String)

@@ -5,43 +5,45 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types.StructType
 import graft.lake.{CommitInfo, FileEntry, LakeTable, Manifest, SchemaEntry, SchemaReconciler}
 import graft.model.Schemas._
 
 /** The CDC apply: one micro-batch of change events → MERGE INTO the lake
-  * table.
+  * table. Two physical strategies, both LSN-gated and replay-idempotent:
   *
-  * Pipeline (all declarative DataFrame ops; Catalyst/Tungsten pick the
-  * physical strategy):
-  *   1. dedup within batch by key, keeping max LSN (window);
-  *   2. determine affected buckets → read ONLY those buckets' files
-  *      (manifest-level partition pruning);
-  *   3. full-outer join current×updates on (conv_id, turn_idx) — the LSN
-  *      comparison makes the apply order-insensitive and replay-idempotent;
-  *      deletes become tombstones (kept so a stale lower-LSN update can
-  *      never resurrect a deleted row);
-  *   4. salted repartition on (bucket, hash(turn_idx) % salt) so one hot
-  *      conversation fans out over `salt` writer tasks;
-  *   5. write new bucket files to staging, collect per-file stats, adopt
-  *      files, atomically commit the manifest.
+  *  - **MergeOnRead** (default, write-optimized — the 10^10-events/day
+  *    path): dedup the batch by max LSN, append it as per-bucket DELTA
+  *    files, commit. O(batch) work per micro-batch, no join against the
+  *    table. Readers resolve per-key max LSN across base+deltas;
+  *    [[Compactor]] folds deltas back into base files when they pile up
+  *    (amortized O(bucket)).
+  *  - **CopyOnWrite** (read-optimized): full-outer join the deduped batch
+  *    against the affected buckets' current state and rewrite those
+  *    buckets — every read afterwards is a plain scan.
   *
-  * Exactly-once: `foreachBatch` may replay a batch after a crash; the commit
-  * records the epoch and `apply` no-ops when `manifest.lastEpoch >= epoch`
-  * (reference analogue: checksum-written-last commit protocol in owid-etl
-  * `etl/steps/__init__.py:938-953` and the per-variable checksum
-  * short-circuit `etl/grapher_import.py:287-289`).
+  * This mirrors Iceberg's MOR/COW duality; the reference's analogue is the
+  * threaded grapher upsert with per-variable checksum short-circuit
+  * (owid-etl `etl/steps/__init__.py:887-936`, `etl/grapher_import.py:227-323`).
+  *
+  * Exactly-once: `foreachBatch` may replay a batch after a crash; commits
+  * record the epoch and `apply` no-ops when `manifest.lastEpoch >= epoch`
+  * (reference analogue: checksum-written-last commit protocol,
+  * `etl/steps/__init__.py:938-953`).
   */
 object CdcMerge {
 
+  sealed trait Mode
+  case object MergeOnRead extends Mode
+  case object CopyOnWrite extends Mode
+
   final case class Stats(
-      epoch: Long, applied: Boolean, batchRows: Long, dedupedRows: Long,
+      epoch: Long, applied: Boolean, batchRows: Long,
       affectedBuckets: Int, wallMs: Long)
 
   /** Keep the latest change per key within the batch:
     * `row_number() over (partition by key order by lsn desc) = 1`.
-    * Duplicate deliveries of the same (key, lsn) collapse to one row
-    * (tie broken deterministically on op).
+    * Duplicate deliveries of the same (key, lsn) collapse to one row.
     */
   def dedupMaxLsn(batch: DataFrame): DataFrame = {
     val w = Window.partitionBy(KEY_COLS.map(col): _*)
@@ -51,17 +53,39 @@ object CdcMerge {
       .drop("_rn")
   }
 
-  /** Apply one change batch. `saltBuckets` bounds how many writer tasks a
-    * single hot storage bucket fans out to.
+  /** Same max-LSN-per-key semantics as [[dedupMaxLsn]], but as a hash
+    * aggregation (`max_by(struct(*), lsn)`): partial aggregation combines
+    * duplicate keys map-side BEFORE the shuffle, so the exchange carries
+    * only surviving rows — the hot-path choice for merge-on-read. (Ties on
+    * identical (key, lsn) duplicate deliveries pick an arbitrary copy; the
+    * copies are identical by construction.)
     */
+  def dedupMaxLsnAgg(batch: DataFrame): DataFrame = {
+    val all = struct(batch.columns.map(col).toIndexedSeq: _*)
+    batch.groupBy(KEY_COLS.map(col): _*)
+      .agg(max_by(all, col("lsn")).as("__r"))
+      .select(col("__r.*"))
+  }
+
+  private val trace = sys.env.contains("GRAFT_TRACE")
+  @inline private def traced[T](label: String)(f: => T): T = {
+    if (!trace) f
+    else {
+      val t = System.nanoTime()
+      val r = f
+      System.err.println(f"[merge-trace] $label: ${(System.nanoTime() - t) / 1e9}%.2fs")
+      r
+    }
+  }
+
   def apply(table: LakeTable, batch: DataFrame, epoch: Long,
-            saltBuckets: Int = 8): Stats = {
+            saltBuckets: Int = 8, mode: Mode = MergeOnRead): Stats = {
     val t0 = System.nanoTime()
     val spark = batch.sparkSession
     val m = table.manifest
     if (m.lastEpoch >= epoch) {
       // replayed micro-batch after restart → already committed, no-op
-      return Stats(epoch, applied = false, -1, -1, 0, 0)
+      return Stats(epoch, applied = false, -1, 0, 0)
     }
 
     // ---- schema reconciliation (batch user-schema vs table schema) ----
@@ -79,99 +103,194 @@ object CdcMerge {
         (m.schemas :+ SchemaEntry(id, newUser.toDDL), id)
       } else (m.schemas, m.currentSchemaId)
 
-    // ---- dedup + align ----
-    val deduped = dedupMaxLsn(batch)
-    val aligned = LakeTable.alignTo(deduped, StructType(
-      StructType(Seq()).add("op", "string", nullable = false)
-        .add("lsn", "long", nullable = false).fields ++ newUser.fields))
-    val bucketed = aligned
-      .withColumn("_bucket", table.bucketExpr(m.numBuckets))
-
-    // ---- affected buckets (small driver-side set; numBuckets is bounded) --
-    val affected = bucketed.select("_bucket").distinct()
-      .collect().map(_.getInt(0)).toSet
-    if (affected.isEmpty) {
-      // empty batch: still commit the epoch so replay bookkeeping advances
-      val m2 = m.copy(version = m.version + 1, lastEpoch = epoch,
-        schemas = schemas2, currentSchemaId = schemaId2,
-        lineage = (m.lineage :+ CommitInfo(m.version + 1, epoch, 0, Nil, m.maxLsn,
-          (System.nanoTime() - t0) / 1000000, System.currentTimeMillis())).takeRight(1000))
-      table.commit(m2, m.version)
-      return Stats(epoch, applied = true, 0, 0, 0, (System.nanoTime() - t0) / 1000000)
+    // ---- dedup + align to physical shape ----
+    val deduped = mode match {
+      case MergeOnRead => dedupMaxLsnAgg(batch) // map-side partial combine
+      case CopyOnWrite => dedupMaxLsn(batch)    // the canonical window form
     }
+    val physTarget = physical(newUser)
+    val asPhysical = LakeTable.alignTo(
+      deduped
+        .withColumn(LSN_COL, col("lsn"))
+        .withColumn(DELETED_COL, col("op") === "D"),
+      physTarget)
 
-    // ---- current snapshot of affected buckets only ----
-    val physTarget = graft.model.Schemas.physical(newUser)
-    val current = LakeTable.alignTo(table.snapshotPhysical(Some(affected)), physTarget)
-
-    // ---- merge: full-outer on key, LSN-gated ----
-    val payload = newUser.fields.filterNot(f => KEY_COLS.contains(f.name))
-    val u = bucketed.select(
-      (KEY_COLS.map(col) ++
-        payload.map(f => col(f.name).as(s"_u_${f.name}")) ++
-        Seq(col("op").as("_u_op"), col("lsn").as("_u_lsn"))): _*)
-    val joined = current.join(u, KEY_COLS, "full_outer")
-    val newer = col("_u_lsn").isNotNull &&
-      (col("_u_lsn") > coalesce(col(LSN_COL), lit(Long.MinValue)))
-    val isDel = col("_u_op") === "D"
-    val mergedCols =
-      KEY_COLS.map(col) ++
-      payload.map { f =>
-        when(newer, when(isDel, lit(null).cast(f.dataType)).otherwise(col(s"_u_${f.name}")))
-          .otherwise(col(f.name)).as(f.name)
-      } ++ Seq(
-        when(newer, col("_u_lsn")).otherwise(col(LSN_COL)).as(LSN_COL),
-        when(newer, isDel).otherwise(coalesce(col(DELETED_COL), lit(false))).as(DELETED_COL)
-      )
-    val merged = joined.select(mergedCols.toSeq: _*)
-
-    // ---- salted write: hot conversations split across salt sub-partitions -
     val staging = table.root.resolve(s"_staging/epoch-$epoch")
     deleteRecursively(staging)
-    val salted = merged
-      .withColumn("bucket", table.bucketExpr(m.numBuckets))
-      .repartition(spark.sessionState.conf.numShufflePartitions,
-        col("bucket"), pmod(xxhash64(col("turn_idx")), lit(saltBuckets.toLong)))
-    salted.write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
 
-    // ---- per-file stats from the staged footers (cheap: one long column) --
-    val staged = spark.read.parquet(staging.toString)
-    val stats = staged
-      .groupBy(input_file_name().as("file"), col("bucket"))
-      .agg(count(lit(1)).as("rows"), max(col(LSN_COL)).as("maxLsn"))
-      .collect()
+    val (newFiles, carried, affected) = mode match {
+      case MergeOnRead =>
+        // O(batch): write deduped rows as per-bucket DELTA files.
+        // ADAPTIVE salting: one writer task per bucket keeps file count at
+        // ~1 file/bucket/batch, but a bucket holding a hot conversation
+        // (Zipf head) would straggle — so buckets whose PREVIOUS batch
+        // share exceeded 2x fair share are split across `saltBuckets`
+        // tasks on hash(turn_idx). Detection is free: per-bucket row
+        // counts of the last delta epoch live in the manifest (one-batch
+        // lag is fine for steady streams, and avoids a counting job +
+        // full-batch persist).
+        val lastDeltas = m.files.filter(f =>
+          f.kind == FileEntry.DELTA && f.epoch == m.lastEpoch)
+        val counts = lastDeltas.groupBy(_.bucket).view.mapValues(_.map(_.rows).sum).toMap
+        val fair = math.max(1L, counts.values.sum / math.max(1, m.numBuckets))
+        val hot = counts.filter(_._2 > 2 * fair).keys.toSeq
+        val saltExpr =
+          if (hot.isEmpty || saltBuckets <= 1) lit(0L)
+          else when(col("bucket").isin(hot: _*),
+            pmod(xxhash64(col("turn_idx")), lit(saltBuckets.toLong))).otherwise(lit(0L))
+        val nParts = math.max(spark.sessionState.conf.numShufflePartitions,
+          math.min(m.numBuckets + hot.size * (saltBuckets - 1), 4096))
+        val salted = asPhysical
+          .withColumn("bucket", table.bucketExpr(m.numBuckets))
+          .repartition(nParts, col("bucket"), saltExpr)
+        traced("delta-write")(
+          salted.write.mode("overwrite").partitionBy("bucket").parquet(staging.toString))
+        val files = traced("adopt-staged")(
+          adoptStaged(table, spark, staging, epoch, schemaId2, FileEntry.DELTA))
+        (files, m.files, files.map(_.bucket).toSet)
 
-    // ---- adopt files + commit ----
-    val newFiles = stats.map { r =>
-      val uri = new java.net.URI(r.getString(0))
-      val p = Paths.get(uri.getPath)
-      val bucket = r.getInt(1)
-      val rel = table.adoptStagedFile(p, bucket, epoch)
-      FileEntry(rel, bucket, r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3), schemaId2)
-    }.toSeq
+      case CopyOnWrite =>
+        val bucketed = asPhysical
+          .withColumn("bucket", table.bucketExpr(m.numBuckets))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val aff = bucketed.select("bucket").distinct().collect().map(_.getInt(0)).toSet
+        if (aff.isEmpty) { bucketed.unpersist(); (Nil, m.files, Set.empty[Int]) }
+        else {
+          val current = LakeTable.alignTo(table.snapshotPhysical(Some(aff)), physTarget)
+          val payload = physTarget.fields.filterNot(f => KEY_COLS.contains(f.name))
+          val u = bucketed.select(
+            (KEY_COLS.map(col) ++ payload.map(f => col(f.name).as(s"_u_${f.name}"))): _*)
+          val newer = col(s"_u_$LSN_COL").isNotNull &&
+            (col(s"_u_$LSN_COL") > coalesce(col(LSN_COL), lit(Long.MinValue)))
+          val mergedCols = KEY_COLS.map(col) ++ payload.map { f =>
+            when(newer, col(s"_u_${f.name}")).otherwise(col(f.name)).as(f.name)
+          }
+          val merged = current.join(u, KEY_COLS, "full_outer").select(mergedCols.toSeq: _*)
+          val salted = merged
+            .withColumn("bucket", table.bucketExpr(m.numBuckets))
+            .repartition(spark.sessionState.conf.numShufflePartitions,
+              col("bucket"), pmod(xxhash64(col("turn_idx")), lit(saltBuckets.toLong)))
+          salted.write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
+          bucketed.unpersist()
+          val files = adoptStaged(table, spark, staging, epoch, schemaId2, FileEntry.BASE)
+          (files, m.files.filterNot(f => aff.contains(f.bucket)), aff)
+        }
+    }
     deleteRecursively(staging)
-    val carried = m.files.filterNot(f => affected.contains(f.bucket))
+
     val allFiles = carried ++ newFiles
     val batchMaxLsn = math.max(m.maxLsn, newFiles.map(_.maxLsn).foldLeft(-1L)(math.max))
     val wallMs = (System.nanoTime() - t0) / 1000000
-    val dedupedRows = -1L // not separately counted in the hot path
     val m2 = m.copy(
       version = m.version + 1,
       lastEpoch = epoch,
       currentSchemaId = schemaId2,
       schemas = schemas2,
       files = allFiles,
-      totalRows = allFiles.map(_.rows).sum,
+      totalRows = allFiles.map(_.rows).sum, // physical rows (deltas may shadow)
       maxLsn = batchMaxLsn,
       lineage = (m.lineage :+ CommitInfo(m.version + 1, epoch,
         newFiles.map(_.rows).sum, affected.toSeq.sorted, batchMaxLsn, wallMs,
         System.currentTimeMillis())).takeRight(1000))
     table.commit(m2, m.version)
-    Stats(epoch, applied = true, newFiles.map(_.rows).sum, dedupedRows,
-      affected.size, wallMs)
+    Stats(epoch, applied = true, newFiles.map(_.rows).sum, affected.size, wallMs)
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
+  /** Collect per-file stats straight from the parquet FOOTERS (row counts
+    * + `_lsn` column min/max statistics Spark already wrote) — a
+    * driver-side metadata read, not a Spark job. Then move files into the
+    * table and return their entries.
+    */
+  private[merge] def adoptStaged(table: LakeTable, spark: SparkSession,
+                                 staging: java.nio.file.Path, epoch: Long,
+                                 schemaId: Int, kind: String): Seq[FileEntry] = {
+    if (!Files.exists(staging)) return Nil
+    val bucketRe = ".*bucket=(\\d+).*".r
+    val parquetFiles = Files.walk(staging).iterator().asScala
+      .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
+    val conf = spark.sessionState.newHadoopConf()
+    parquetFiles.map { p =>
+      val bucket = p.getParent.toString match {
+        case bucketRe(b) => b.toInt
+        case other => throw new IllegalStateException(s"no bucket dir in $other")
+      }
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(p.toUri), conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val (rows, maxLsn) = try {
+        val blocks = reader.getFooter.getBlocks.asScala
+        val rows = blocks.map(_.getRowCount).sum
+        val maxLsn = blocks.flatMap { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == LSN_COL)
+            .flatMap(c => Option(c.getStatistics))
+            .collect { case s if !s.isEmpty && s.hasNonNullValue =>
+              s.genericGetMax.asInstanceOf[java.lang.Long].longValue() }
+        }.foldLeft(-1L)(math.max)
+        (rows, maxLsn)
+      } finally reader.close()
+      val rel = table.adoptStagedFile(p, bucket, epoch, kind)
+      FileEntry(rel, bucket, rows, maxLsn, schemaId, kind, epoch)
+    }
+  }
+
+  private[merge] def deleteRecursively(p: java.nio.file.Path): Unit =
     if (Files.exists(p))
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+}
+
+/** Folds delta files back into per-key-resolved base files, bucket by
+  * bucket — the amortized half of merge-on-read. Tombstones are KEPT in
+  * the compacted base (a resurrect-guard for arbitrarily late stale
+  * updates); `dropTombstones` exists for terminal compactions where the
+  * upstream WAL is known to be fully drained.
+  */
+object Compactor {
+
+  final case class Result(compactedBuckets: Seq[Int], wallMs: Long)
+
+  /** Compact every bucket whose deltas span >= `deltaThreshold` DISTINCT
+    * epochs (not raw file count — a salted hot bucket writes several delta
+    * files per batch and must not trigger compaction more often for it).
+    */
+  def compactIfNeeded(table: LakeTable, deltaThreshold: Int = 4,
+                      dropTombstones: Boolean = false): Option[Result] = {
+    val m = table.manifest
+    val byBucket = m.files.groupBy(_.bucket)
+    val due = byBucket.collect {
+      case (b, fs) if fs.filter(_.kind == FileEntry.DELTA)
+        .map(_.epoch).distinct.size >= deltaThreshold => b
+    }.toSeq.sorted
+    if (due.isEmpty) None else Some(compact(table, due.toSet, dropTombstones))
+  }
+
+  def compact(table: LakeTable, buckets: Set[Int],
+              dropTombstones: Boolean = false): Result = {
+    val t0 = System.nanoTime()
+    val spark = table.snapshot().sparkSession
+    val m = table.manifest
+    val resolved0 = table.snapshotPhysical(Some(buckets)) // max-LSN resolved, tombstones kept
+    val resolved = if (dropTombstones)
+      resolved0.filter(!col(graft.model.Schemas.DELETED_COL)) else resolved0
+    val staging = table.root.resolve(s"_staging/compact-${m.version + 1}")
+    CdcMerge.deleteRecursively(staging)
+    resolved
+      .withColumn("bucket", table.bucketExpr(m.numBuckets))
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
+    val newFiles = CdcMerge.adoptStaged(table, spark, staging, m.lastEpoch,
+      m.currentSchemaId, FileEntry.BASE)
+    CdcMerge.deleteRecursively(staging)
+    val carried = m.files.filterNot(f => buckets.contains(f.bucket))
+    val allFiles = carried ++ newFiles
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    val m2 = m.copy(
+      version = m.version + 1,
+      files = allFiles,
+      totalRows = allFiles.map(_.rows).sum,
+      lineage = (m.lineage :+ CommitInfo(m.version + 1, m.lastEpoch,
+        newFiles.map(_.rows).sum, buckets.toSeq.sorted, m.maxLsn, wallMs,
+        System.currentTimeMillis())).takeRight(1000))
+    table.commit(m2, m.version)
+    Result(buckets.toSeq.sorted, wallMs)
+  }
 }

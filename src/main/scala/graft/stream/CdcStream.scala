@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
 import graft.lake.LakeTable
-import graft.merge.CdcMerge
+import graft.merge.{CdcMerge, Compactor}
 import graft.model.Schemas
 
 /** Structured Streaming WAL tail: file source over the binlog directory →
@@ -39,10 +39,14 @@ object CdcStream {
 
   /** Start the WAL tail. `maxFilesPerTrigger` bounds micro-batch size
     * (backpressure; reference analogue `GRAPHER_INSERT_WORKERS` sizing).
+    * Merge-on-read appends deltas per micro-batch; buckets whose delta
+    * count reaches `compactEvery` are folded into base files inline
+    * (amortized — most batches skip it).
     */
   def start(spark: SparkSession, walDir: String, table: LakeTable,
             checkpointDir: String, maxFilesPerTrigger: Int = 4,
-            saltBuckets: Int = 8,
+            saltBuckets: Int = 8, mode: CdcMerge.Mode = CdcMerge.MergeOnRead,
+            compactEvery: Int = 8,
             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val src = spark.readStream
       .schema(Schemas.changeEvent)
@@ -52,7 +56,9 @@ object CdcStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (df: DataFrame, epoch: Long) =>
-        CdcMerge.apply(table, df, epoch, saltBuckets)
+        CdcMerge.apply(table, df, epoch, saltBuckets, mode)
+        if (mode == CdcMerge.MergeOnRead && compactEvery > 0)
+          Compactor.compactIfNeeded(table, compactEvery)
         ()
       }
       .start()
@@ -61,8 +67,11 @@ object CdcStream {
   /** Drain everything currently in the WAL dir and stop (test/bench mode). */
   def runToCompletion(spark: SparkSession, walDir: String, table: LakeTable,
                       checkpointDir: String, maxFilesPerTrigger: Int = 4,
-                      saltBuckets: Int = 8): Unit = {
-    val q = start(spark, walDir, table, checkpointDir, maxFilesPerTrigger, saltBuckets)
+                      saltBuckets: Int = 8,
+                      mode: CdcMerge.Mode = CdcMerge.MergeOnRead,
+                      compactEvery: Int = 8): Unit = {
+    val q = start(spark, walDir, table, checkpointDir, maxFilesPerTrigger,
+      saltBuckets, mode, compactEvery)
     try q.awaitTermination() finally if (q.isActive) q.stop()
   }
 }

@@ -4,7 +4,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
 import graft.gen.WalGen
 import graft.lake.{LakeTable, SchemaReconciler}
-import graft.merge.CdcMerge
+import graft.merge.{CdcMerge, Compactor}
 import graft.model.Schemas
 import graft.stream.CdcStream
 
@@ -32,7 +32,9 @@ class CdcEngineSpec extends SparkSpec {
     }
   }
 
-  test("batch merge: WAL with dups/reorder/deletes reconverges to oracle") {
+  for ((mode, label) <- Seq(CdcMerge.MergeOnRead -> "merge-on-read",
+                            CdcMerge.CopyOnWrite -> "copy-on-write"))
+  test(s"batch merge ($label): WAL with dups/reorder/deletes reconverges to oracle") {
     val dir = tmpDir("lake")
     val cfg = WalGen.Config(numEvents = 20000, numConvs = 200, maxTurns = 30)
     try {
@@ -42,13 +44,45 @@ class CdcEngineSpec extends SparkSpec {
       (0 until 4).foreach { b =>
         val batch = WalGen.events(spark, cfg, b * per, (b + 1) * per)
           .orderBy(xxhash64(col("lsn"))) // reorder within batch
-        CdcMerge.apply(table, batch.toDF(), epoch = b.toLong)
+        CdcMerge.apply(table, batch.toDF(), epoch = b.toLong, mode = mode)
       }
       assertMatchesOracle(table, cfg)
       // uniqueness invariant on the key
       val dupKeys = table.snapshot().groupBy("conv_id", "turn_idx")
         .count().filter(col("count") > 1).count()
       assert(dupKeys == 0)
+    } finally rmrf(dir)
+  }
+
+  test("compaction folds deltas into base, preserving state + tombstones") {
+    val dir = tmpDir("compact")
+    val cfg = WalGen.Config(numEvents = 12000, numConvs = 100)
+    try {
+      val table = LakeTable.create(spark, s"$dir/t", Schemas.transcript, numBuckets = 4)
+      (0 until 4).foreach { b =>
+        val batch = WalGen.events(spark, cfg, b * 3000L, (b + 1) * 3000L).toDF()
+        CdcMerge.apply(table, batch, b.toLong, mode = CdcMerge.MergeOnRead)
+      }
+      val m1 = table.manifest
+      assert(m1.files.count(_.kind == graft.lake.FileEntry.DELTA) > 0)
+      val before = table.contentChecksum()
+      val res = Compactor.compactIfNeeded(table, deltaThreshold = 1)
+      assert(res.isDefined)
+      val m2 = table.manifest
+      assert(m2.files.forall(_.kind == graft.lake.FileEntry.BASE))
+      assert(table.contentChecksum() == before)
+      assertMatchesOracle(table, cfg)
+      // tombstones survive compaction: stale update after compaction can't resurrect
+      val ts = new java.sql.Timestamp(1700000000000L)
+      val del = Seq(("D", 10_000_000L, "conv00000000", 0, null: String, null: String, null: String, ts))
+        .toDF("op", "lsn", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+      CdcMerge.apply(table, del, 100L)
+      Compactor.compact(table, (0 until 4).toSet)
+      val stale = Seq(("U", 5_000_000L, "conv00000000", 0, "user", "zombie", null: String, ts))
+        .toDF("op", "lsn", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+      CdcMerge.apply(table, stale, 101L)
+      assert(table.snapshot()
+        .filter(col("conv_id") === "conv00000000" && col("turn_idx") === 0).count() == 0)
     } finally rmrf(dir)
   }
 
@@ -155,6 +189,8 @@ class CdcEngineSpec extends SparkSpec {
         val batch = WalGen.events(spark, cfg, b * 1000L, (b + 1) * 1000L).toDF()
         CdcMerge.apply(table, batch, b.toLong)
       }
+      // compaction orphans the delta files in older manifest versions
+      Compactor.compact(table, (0 until 4).toSet)
       val before = table.contentChecksum()
       val removed = table.vacuum(keepVersions = 1)
       assert(removed > 0, "multi-version table should have unreferenced files")

@@ -1,0 +1,167 @@
+package graft.dag
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+import scala.collection.mutable
+
+/** The reference's compute-graph layer, Spark-side: a DAG of named steps
+  * with Merkle-checksum incrementality and parallel execution of
+  * topologically-ready steps.
+  *
+  * Reference: owid-etl `compile_steps`/`filter_to_subgraph`/`traverse`/
+  * `reverse_graph` (`etl/steps/__init__.py:55-213`), `DataStep.is_dirty` +
+  * `checksum_input` Merkle pruning (`etl/steps/__init__.py:478-535`),
+  * parallel topological pump (`etl/command.py:422-494`).
+  *
+  * In this engine the heavy lifting inside a step is a Spark job (e.g. a
+  * LakeTable build); the DAG itself is driver-side Scala. Checksums follow
+  * the reference's rule: a step's input checksum = hash of (its own code/
+  * config version + the OUTPUT checksums of its dependencies), so a change
+  * anywhere upstream dirties exactly the downstream cone.
+  */
+final case class Dag(deps: Map[String, Set[String]]) {
+
+  /** All nodes (steps + bare dependencies). */
+  lazy val nodes: Set[String] = deps.keySet ++ deps.values.flatten
+
+  /** Dependency-first topological order; deterministic (lexicographic among
+    * ready nodes). Cycles raise. (`compile_steps` → TopologicalSorter.)
+    */
+  def topoSort: Seq[String] = {
+    val indeg = mutable.Map.empty[String, Int].withDefaultValue(0)
+    val out = mutable.Map.empty[String, mutable.Set[String]]
+    nodes.foreach(n => indeg.getOrElseUpdate(n, 0))
+    for ((n, ds) <- deps; d <- ds) {
+      out.getOrElseUpdate(d, mutable.Set.empty) += n
+      indeg(n) += 1
+    }
+    val ready = mutable.PriorityQueue.empty[String](Ordering[String].reverse)
+    indeg.foreach { case (n, d) => if (d == 0) ready.enqueue(n) }
+    val order = mutable.ArrayBuffer.empty[String]
+    while (ready.nonEmpty) {
+      val n = ready.dequeue()
+      order += n
+      out.getOrElse(n, mutable.Set.empty).toSeq.sorted.foreach { m =>
+        indeg(m) -= 1
+        if (indeg(m) == 0) ready.enqueue(m)
+      }
+    }
+    require(order.size == nodes.size, "cycle detected in DAG")
+    order.toSeq
+  }
+
+  /** Reverse the edge direction (`reverse_graph`, steps/__init__.py:131). */
+  def reverse: Dag = {
+    val rev = mutable.Map.empty[String, mutable.Set[String]]
+    nodes.foreach(n => rev.getOrElseUpdate(n, mutable.Set.empty))
+    for ((n, ds) <- deps; d <- ds) rev(d) += n
+    Dag(rev.view.mapValues(_.toSet).toMap)
+  }
+
+  /** BFS over dependencies from `starts` (`traverse`, steps/__init__.py:103). */
+  def traverse(starts: Set[String]): Set[String] = {
+    val seen = mutable.Set.empty[String]
+    val queue = mutable.Queue(starts.toSeq.sorted: _*)
+    while (queue.nonEmpty) {
+      val n = queue.dequeue()
+      if (seen.add(n)) deps.getOrElse(n, Set.empty).toSeq.sorted.foreach(queue.enqueue)
+    }
+    seen.toSet
+  }
+
+  /** Subgraph containing `selected`, all their upstream deps, and (if
+    * `downstream`) everything that depends on them
+    * (`filter_to_subgraph`, steps/__init__.py:143-191).
+    */
+  def filterToSubgraph(pattern: String, downstream: Boolean = false): Dag = {
+    val re = pattern.r
+    val selected = nodes.filter(n => re.findFirstIn(n).isDefined)
+    val withDown = if (downstream) selected ++ reverse.traverse(selected) else selected
+    val keep = traverse(withDown)
+    Dag(keep.map(n => n -> (deps.getOrElse(n, Set.empty) & keep)).toMap)
+  }
+}
+
+/** Incremental runner with Merkle checksums. `codeVersion(step)` plays the
+  * role of the reference's step-file md5; `store` persists output
+  * checksums between runs (the dataset's recorded `source_checksum`).
+  */
+final class IncrementalRunner(
+    dag: Dag,
+    codeVersion: String => String,
+    store: mutable.Map[String, String] // step -> committed input-checksum
+) {
+
+  private def md5(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** Merkle input checksum: own code version + dependency checksums
+    * (`checksum_input`, steps/__init__.py:513-535). Memoized per run.
+    */
+  def checksumInput(step: String, memo: mutable.Map[String, String] = mutable.Map.empty): String =
+    memo.getOrElseUpdate(step, {
+      val depSums = dag.deps.getOrElse(step, Set.empty).toSeq.sorted
+        .map(d => checksumInput(d, memo))
+      md5((codeVersion(step) +: depSums).mkString("\n"))
+    })
+
+  /** A step is dirty iff it has no recorded checksum or the recorded one
+    * differs from the recomputed Merkle input (`is_dirty`,
+    * steps/__init__.py:478-494).
+    */
+  def isDirty(step: String, memo: mutable.Map[String, String] = mutable.Map.empty): Boolean =
+    !store.get(step).contains(checksumInput(step, memo))
+
+  def selectDirty(): Seq[String] = {
+    val memo = mutable.Map.empty[String, String]
+    dag.topoSort.filter(isDirty(_, memo))
+  }
+
+  /** Run all dirty steps in dependency order, parallelizing steps whose
+    * dependencies are complete (`exec_graph_parallel`,
+    * etl/command.py:422-494) — steps run as concurrent driver threads, so
+    * their inner Spark jobs interleave on the shared scheduler.
+    * Returns the steps that executed.
+    */
+  def run(exec: String => Unit, workers: Int = 4): Seq[String] = {
+    val memo = mutable.Map.empty[String, String]
+    val dirty = dag.topoSort.filter(isDirty(_, memo)).toSet
+    if (dirty.isEmpty) return Nil
+    val remainingDeps = mutable.Map(dirty.toSeq.map(n =>
+      n -> (dag.deps.getOrElse(n, Set.empty) & dirty)): _*)
+    val done = mutable.Set.empty[String]
+    val ran = mutable.ArrayBuffer.empty[String]
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(workers)
+    val lock = new Object
+    try {
+      while (lock.synchronized(done.size < dirty.size)) {
+        val ready = lock.synchronized {
+          val r = remainingDeps.collect { case (n, ds) if ds.isEmpty => n }.toSeq.sorted
+          r.foreach(remainingDeps.remove)
+          r
+        }
+        if (ready.isEmpty) Thread.sleep(5)
+        else {
+          val futures = ready.map { n =>
+            pool.submit(new Runnable {
+              def run(): Unit = {
+                exec(n)
+                lock.synchronized {
+                  // commit point AFTER successful execution — checksum-written-last
+                  store(n) = checksumInput(n, memo)
+                  done += n
+                  ran += n
+                  remainingDeps.keys.foreach(k =>
+                    remainingDeps(k) = remainingDeps(k) - n)
+                }
+              }
+            })
+          }
+          futures.foreach(_.get())
+        }
+      }
+      ran.toSeq
+    } finally pool.shutdown()
+  }
+}

@@ -50,6 +50,9 @@ object CdcDemo {
     val ok = got.size == oracle.size && oracle.forall { case (k, e) => got.get(k).contains(e.text) }
     println(s"[demo] oracle check: rows=${got.size} expected=${oracle.size} textEquality=${if (ok) "PASS" else "FAIL"}")
     println(s"[demo] per-batch metrics at $work/metrics.jsonl")
+    val cat = new graft.ops.Catalog(spark, work)
+    cat.entries.foreach(e => println(
+      s"[demo] catalog: table=${e.table} lake=${e.isLake} path=${e.path}"))
     spark.stop()
     if (!ok) sys.exit(1)
   }

@@ -122,7 +122,15 @@ object WalGen {
       Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
       target
     }}
-    Await.result(Future.sequence(futures), Duration.Inf)
+    val written = Await.result(Future.sequence(futures), Duration.Inf)
+    // deterministic stream order: the file source processes files by
+    // modification time; parallel writes randomize it, so re-stamp
+    // ascending mtimes chunk by chunk
+    val base = System.currentTimeMillis()
+    written.zipWithIndex.foreach { case (p, i) =>
+      Files.setLastModifiedTime(p, java.nio.file.attribute.FileTime.fromMillis(base + i * 1000L))
+    }
+    written
   }
 
   /** Driver-side oracle: fold the WAL slice [0, numEvents) in LSN order into

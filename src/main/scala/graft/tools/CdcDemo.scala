@@ -53,6 +53,17 @@ object CdcDemo {
     val cat = new graft.ops.Catalog(spark, work)
     cat.entries.foreach(e => println(
       s"[demo] catalog: table=${e.table} lake=${e.isLake} path=${e.path}"))
+
+    // streaming analytics surface: watermarked op-mix per event-time window
+    val wq = graft.stream.StreamOps.windowedOpCounts(
+        graft.stream.StreamOps.walStream(spark, s"$work/wal", maxFilesPerTrigger = 2),
+        windowDur = "10 minutes", watermark = "5 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("opmix")
+      .option("checkpointLocation", s"$work/cp-opmix")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    wq.awaitTermination()
+    println("[demo] op mix per 10-min window (finalized windows):")
+    spark.table("opmix").orderBy("window_start", "op").show(9, truncate = false)
     spark.stop()
     if (!ok) sys.exit(1)
   }

@@ -14,14 +14,23 @@ import graft.util.DetHash
   */
 object SimilarityOps {
 
-  /** dot(a, b) in double precision. */
-  def dot(a: Column, b: Column): Column =
+  /** dot(a, b) in double precision — native codegen'd Expression
+    * ([[graft.functions.VectorDot]]); the HOF formulation
+    * (`aggregate(zip_with(...))`) is kept for reference/verification.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorFunctions.vector_dot(a, b)
+
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Fused single-pass cosine ([[graft.functions.CosineSimilarity]]). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorFunctions.cosine_similarity(a, b)
+
+  def cosineHof(a: Column, b: Column): Column = dotHof(a, b) / (sqrt(dotHof(a, a)) * sqrt(dotHof(b, b)))
 
   /** Deterministic random hyperplanes (SplitMix64-seeded, unit-free signs):
     * bucket id = bit pattern of sign(dot(v, r_i)), i < planes.

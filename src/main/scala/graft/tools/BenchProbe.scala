@@ -25,6 +25,24 @@ object BenchProbe {
       println(s"[probe] generated $events events -> ${args(2)}")
       spark.stop(); return
     }
+    if (args(0) == "timeq") { // timeq <cores> <sfDir> <query...> : best-of-3 per query
+      val cores = args(1).toInt
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      val spark = SparkSession.builder().master(s"local[$cores]")
+        .config("spark.sql.shuffle.partitions", cores.toString)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      args.drop(3).foreach { q =>
+        val best = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          graft.SparkEntry.queries(q)(spark, args(2)).count()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        println(f"[probe] $q: best $best%.2fs")
+      }
+      spark.stop(); return
+    }
     if (args(0) == "scan") { // scan <cores> <dir> : read-only scaling probe
       val cores = args(1).toInt
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()

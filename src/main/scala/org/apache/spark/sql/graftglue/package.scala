@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column <-> Expression bridge. Spark 4 moved these behind
+  * `private[sql] classic.ExpressionUtils`; extension libraries bridge via a
+  * tiny shim in the sql package (the same approach used by public Spark
+  * connector/extension projects).
+  */
+package object graftglue {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions._
+import graft.ops.SimilarityOps
+
+/** Native vector expressions: bit-identical to the HOF formulation,
+  * codegen-enabled, SQL-registered via GraftExtensions.
+  */
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = {
+    val rnd = new scala.util.Random(7)
+    (0 until 200).map(i => (i.toLong,
+      Array.fill(64)(rnd.nextFloat() * 2 - 1),
+      Array.fill(64)(rnd.nextDouble() * 2 - 1)))
+      .toDF("id", "fvec", "dvec")
+  }
+
+  test("native dot/cosine bit-identical to HOF formulation (float + double)") {
+    val joined = vecs.as("a").crossJoin(vecs.as("b")).limit(2000)
+      .select(
+        vector_dot(col("a.fvec"), col("b.fvec")).as("dot_native"),
+        SimilarityOps.dotHof(col("a.fvec"), col("b.fvec")).as("dot_hof"),
+        cosine_similarity(col("a.dvec"), col("b.dvec")).as("cos_native"),
+        SimilarityOps.cosineHof(col("a.dvec"), col("b.dvec")).as("cos_hof"),
+        cosine_similarity(col("a.fvec"), col("b.dvec")).as("cos_mixed"))
+    val bad = joined.filter(col("dot_native") =!= col("dot_hof") ||
+      col("cos_native") =!= col("cos_hof")).count()
+    assert(bad == 0, s"$bad rows differ from HOF reference")
+    assert(joined.filter(col("cos_mixed").isNull).count() == 0)
+  }
+
+  test("expressions participate in whole-stage codegen") {
+    // repartition forces a non-local plan (LocalTableScan pre-evaluates);
+    // execute first — AQE only materializes codegen stages in the final plan
+    val df = vecs.repartition(2)
+      .select(cosine_similarity(col("fvec"), col("fvec")).as("c"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // AQE renders codegen stages as "*(n) Op" — the Project containing the
+    // expression must be inside one (a CodegenFallback would print bare)
+    assert(plan.contains("*(1) Project"), plan)
+  }
+
+  test("SQL registration via GraftExtensions") {
+    // extensions apply at session BUILD time; build a sibling session over
+    // the same SparkContext (do NOT stop it — the context is shared)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // `spark.sql.extensions` is a STATIC conf (only honored when the
+      // SparkContext is created); with a live context use the programmatic
+      // builder hook instead
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql(
+        """SELECT vector_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+          |       cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c""".stripMargin)
+        .collect()(0)
+      assert(r.getDouble(0) == 11.0 && math.abs(r.getDouble(1) - 1.0) < 1e-15)
+      // type error is caught at analysis with the function name in it
+      val err = intercept[Exception](s2.sql("SELECT vector_dot(1, 2)").collect())
+      assert(err.getMessage.contains("vector_dot"))
+    } finally {
+      // restore the shared session for subsequent suites
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+    }
+  }
+}

@@ -107,6 +107,59 @@ final class LakeTable private (val root: Path, spark: SparkSession) {
       .select(userSchema(m).fieldNames.map(col).toSeq: _*)
   }
 
+  /** Time travel: the live snapshot as of an older manifest version
+    * (Iceberg-style — every commit is a full snapshot; vacuum permitting).
+    */
+  def snapshotAt(version: Long): DataFrame = {
+    val m = manifestAt(version)
+    val target = Schemas.physical(userSchema(m))
+    val bySchema = m.files.groupBy(_.schemaId)
+    val parts = bySchema.map { case (sid, fs) =>
+      val fileSchema = Schemas.physical(StructType.fromDDL(m.schemas.find(_.id == sid).get.ddl))
+      LakeTable.alignTo(
+        spark.read.schema(fileSchema).parquet(fs.map(f => root.resolve(f.path).toString): _*),
+        target)
+    }
+    if (parts.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
+    val all = parts.reduce(_ unionByName _)
+    val resolved = if (m.files.forall(_.kind == FileEntry.BASE)) all else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(Schemas.KEY_COLS.map(col): _*)
+        .orderBy(col(Schemas.LSN_COL).desc)
+      all.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    }
+    resolved.filter(!col(Schemas.DELETED_COL))
+      .select(userSchema(m).fieldNames.map(col).toSeq: _*)
+  }
+
+  /** Incremental changelog read: the change rows (including tombstones as
+    * `_deleted = true`) committed in manifest versions (fromVersion,
+    * toVersion] — i.e. the DELTA files those commits added. Compaction
+    * commits add only base files and therefore contribute nothing (they
+    * carry no new changes). This is the "read the lake table as a CDC
+    * feed" API.
+    */
+  def changesBetween(fromVersion: Long, toVersion: Long): DataFrame = {
+    val mTo = manifestAt(toVersion)
+    val target = Schemas.physical(userSchema(mTo))
+    val fromEpoch = manifestAt(fromVersion).lastEpoch
+    // walk the manifests in range so deltas already folded away by a later
+    // compaction inside the range are still found (files must not have
+    // been vacuumed yet — changelog retention == vacuum retention)
+    val files = (fromVersion + 1 to toVersion).flatMap { v =>
+      manifestAt(v).files.filter(f => f.kind == FileEntry.DELTA && f.epoch > fromEpoch)
+    }.distinctBy(_.path)
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
+    files.groupBy(_.schemaId).map { case (sid, fs) =>
+      val fileSchema = Schemas.physical(StructType.fromDDL(mTo.schemas.find(_.id == sid).get.ddl))
+      LakeTable.alignTo(
+        spark.read.schema(fileSchema).parquet(fs.map(f => root.resolve(f.path).toString): _*),
+        target)
+    }.reduce(_ unionByName _)
+  }
+
   /** Order-invariant content checksum of the live snapshot — sum of per-row
     * 64-bit hashes (reference analogue: `pd.util.hash_pandas_object(df).sum()`
     * in owid-etl `etl/grapher_import.py:419-421`). Used by replay tests to

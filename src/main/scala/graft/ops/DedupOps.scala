@@ -145,8 +145,12 @@ object DedupOps {
   def ngramJaccardPairs(df: DataFrame, textCol: String, keyCol: String,
                         blockCols: Seq[String], n: Int = 3,
                         minJaccard: Double = 0.5): DataFrame = {
+    // shingles are HASHED to longs before the pairwise join: set
+    // intersection on 8-byte values instead of n-gram strings (identical
+    // Jaccard modulo 2^-64 collisions), and the quadratic block join
+    // shuffles long arrays, not text
     val base = df.select((blockCols.map(col) :+ col(keyCol).as("key") :+
-      TextOps.shingles(col(textCol), n).as("sh")): _*)
+      array_distinct(transform(TextOps.shingles(col(textCol), n), x => xxhash64(x))).as("sh")): _*)
     val l = base.withColumnsRenamed(Map("key" -> "key_a", "sh" -> "sh_a"))
     val r = base.withColumnsRenamed(Map("key" -> "key_b", "sh" -> "sh_b"))
     l.join(r, blockCols)

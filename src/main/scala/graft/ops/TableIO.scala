@@ -65,10 +65,18 @@ object TableIO {
   /** Width-narrowing repack: integral columns are downcast to the smallest
     * integer type that fits their observed min/max (lossless part of
     * owid-etl's `repack_series`/`shrink_integer`,
-    * `repack/__init__.py:86-113`; the lossy float path is intentionally
-    * not applied by default). One aggregate job for all columns.
+    * `repack/__init__.py:86-113`). One aggregate job for all columns.
+    * `floatRtol > 0` additionally narrows double→float where the maximum
+    * relative round-trip error stays within the tolerance — the reference's
+    * deliberately LOSSY compaction (`series_eq`, rtol=1e-5,
+    * `repack/__init__.py:136-154`), opt-in here.
     */
-  def repack(df: DataFrame): DataFrame = {
+  def repack(df: DataFrame, floatRtol: Double = 0.0): DataFrame = {
+    val packed = repackFloats(repackInts(df), floatRtol)
+    packed
+  }
+
+  private def repackInts(df: DataFrame): DataFrame = {
     val intCols = df.schema.fields.filter(f => f.dataType == LongType || f.dataType == IntegerType)
     if (intCols.isEmpty) return df
     val aggs = intCols.flatMap(f => Seq(min(col(f.name)).cast("long").as(s"mn_${f.name}"),
@@ -83,6 +91,24 @@ object TableIO {
         else if (mn >= Int.MinValue && mx <= Int.MaxValue) IntegerType
         else LongType
       if (target != f.dataType) d.withColumn(f.name, col(f.name).cast(target)) else d
+    }
+  }
+
+  private def repackFloats(df: DataFrame, rtol: Double): DataFrame = {
+    if (rtol <= 0) return df
+    val dblCols = df.schema.fields.filter(_.dataType == DoubleType)
+    if (dblCols.isEmpty) return df
+    // max relative error of a double->float->double round-trip, one job
+    val aggs = dblCols.map { f =>
+      val c = col(f.name)
+      val rt = c.cast(FloatType).cast(DoubleType)
+      max(when(c === 0.0 || c.isNull, lit(0.0))
+        .otherwise(abs(rt - c) / abs(c))).as(f.name)
+    }
+    val row = df.select(aggs.toSeq: _*).collect()(0)
+    dblCols.zipWithIndex.foldLeft(df) { case (d, (f, i)) =>
+      val err = if (row.isNullAt(i)) 0.0 else row.getDouble(i)
+      if (err <= rtol) d.withColumn(f.name, col(f.name).cast(FloatType)) else d
     }
   }
 }

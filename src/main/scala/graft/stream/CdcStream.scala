@@ -56,9 +56,25 @@ object CdcStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (df: DataFrame, epoch: Long) =>
-        CdcMerge.apply(table, df, epoch, saltBuckets, mode)
+        val stats = CdcMerge.apply(table, df, epoch, saltBuckets, mode)
         if (mode == CdcMerge.MergeOnRead && compactEvery > 0)
           Compactor.compactIfNeeded(table, compactEvery)
+        // per-partition lineage feed (north-star: lineage via the
+        // streaming loop): which buckets this epoch touched, with rows +
+        // max LSN per file, appended as JSON lines next to the checkpoint
+        if (stats.applied) {
+          val m = table.manifest
+          val files = m.files.filter(f => f.epoch == epoch && f.kind == graft.lake.FileEntry.DELTA)
+          val parts = files.map(f =>
+            s"""{"bucket":${f.bucket},"rows":${f.rows},"maxLsn":${f.maxLsn},"path":"${f.path}"}""")
+            .mkString("[", ",", "]")
+          val line = s"""{"epoch":$epoch,"tableVersion":${m.version},""" +
+            s""""batchRows":${stats.batchRows},"wallMs":${stats.wallMs},"partitions":$parts}""" + "\n"
+          val p = java.nio.file.Paths.get(checkpointDir, "lineage.jsonl")
+          java.nio.file.Files.createDirectories(p.getParent)
+          java.nio.file.Files.write(p, line.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+        }
         ()
       }
       .start()

@@ -129,6 +129,18 @@ class OpsSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("repack float narrowing honors the tolerance gate") {
+    val df = Seq((1.5, 1.5e39), (2.25, 9.87e40))
+      .toDF("exact", "huge")
+    val packed = TableIO.repack(df, floatRtol = 1e-5)
+    // in-range doubles round-trip within float precision -> narrowed;
+    // values beyond float range would become Infinity -> kept as double
+    assert(packed.schema("exact").dataType == org.apache.spark.sql.types.FloatType)
+    assert(packed.schema("huge").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(TableIO.repack(df, floatRtol = 0.0).schema("exact").dataType ==
+      org.apache.spark.sql.types.DoubleType) // off by default
+  }
+
   test("contentChecksum is order-invariant") {
     val df = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
     val shuffled = df.orderBy(rand(7))

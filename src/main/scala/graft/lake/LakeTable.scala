@@ -160,6 +160,57 @@ final class LakeTable private (val root: Path, spark: SparkSession) {
     }.reduce(_ unionByName _)
   }
 
+  /** Driver-side bucket assignment for a key — same xxhash64(seed 42) the
+    * Catalyst expression uses, evaluated via the expression itself.
+    */
+  def bucketOf(convId: String, numBuckets: Int): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(convId),
+        org.apache.spark.sql.types.StringType)), 42L)
+      .eval(null).asInstanceOf[Long]
+    java.lang.Math.floorMod(h, numBuckets.toLong).toInt
+  }
+
+  /** Files that can contain `convId`: bucket pruning + per-file
+    * (minKey, maxKey) range pruning from the manifest (populated from
+    * parquet footer stats; key-sorted writes keep ranges tight).
+    */
+  def filesForConversation(convId: String): Seq[FileEntry] = {
+    val m = manifest
+    m.files.filter { f =>
+      f.bucket == bucketOf(convId, m.numBuckets) &&
+        f.minKey.forall(_ <= convId) && f.maxKey.forall(_ >= convId)
+    }
+  }
+
+  /** Point-lookup read of one conversation — scans only the pruned file
+    * set, resolves max-LSN, drops tombstones.
+    */
+  def readConversation(convId: String): DataFrame = {
+    val m = manifest
+    val target = Schemas.physical(userSchema(m))
+    val files = filesForConversation(convId)
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(userSchema(m).fields))
+    val parts = files.groupBy(_.schemaId).map { case (sid, fs) =>
+      val fileSchema = Schemas.physical(StructType.fromDDL(m.schemas.find(_.id == sid).get.ddl))
+      LakeTable.alignTo(spark.read.schema(fileSchema)
+        .parquet(fs.map(f => root.resolve(f.path).toString): _*), target)
+    }
+    val all = parts.reduce(_ unionByName _).filter(col("conv_id") === convId)
+    val resolved = if (files.forall(_.kind == FileEntry.BASE)) all else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(Schemas.KEY_COLS.map(col): _*)
+        .orderBy(col(Schemas.LSN_COL).desc)
+      all.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+    }
+    resolved.filter(!col(Schemas.DELETED_COL))
+      .select(userSchema(m).fieldNames.map(col).toSeq: _*)
+      .orderBy("turn_idx")
+  }
+
   /** Order-invariant content checksum of the live snapshot — sum of per-row
     * 64-bit hashes (reference analogue: `pd.util.hash_pandas_object(df).sum()`
     * in owid-etl `etl/grapher_import.py:419-421`). Used by replay tests to

@@ -23,7 +23,9 @@ final case class FileEntry(
     maxLsn: Long,
     schemaId: Int,
     kind: String,
-    epoch: Long
+    epoch: Long,
+    minKey: Option[String] = None, // min/max conv_id from footer stats —
+    maxKey: Option[String] = None  // enables file-level key-range pruning
 )
 
 object FileEntry {

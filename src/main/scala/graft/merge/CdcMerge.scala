@@ -140,9 +140,12 @@ object CdcMerge {
             pmod(xxhash64(col("turn_idx")), lit(saltBuckets.toLong))).otherwise(lit(0L))
         val nParts = math.max(spark.sessionState.conf.numShufflePartitions,
           math.min(m.numBuckets + hot.size * (saltBuckets - 1), 4096))
+        // sort within writer tasks: tight per-file (conv_id) ranges for
+        // file-level pruning + better parquet encoding
         val salted = asPhysical
           .withColumn("bucket", table.bucketExpr(m.numBuckets))
           .repartition(nParts, col("bucket"), saltExpr)
+          .sortWithinPartitions("bucket", "conv_id", "turn_idx")
         traced("delta-write")(
           salted.write.mode("overwrite").partitionBy("bucket").parquet(staging.toString))
         val files = traced("adopt-staged")(
@@ -217,7 +220,7 @@ object CdcMerge {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(p.toUri), conf)
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      val (rows, maxLsn) = try {
+      val (rows, maxLsn, minKey, maxKey) = try {
         val blocks = reader.getFooter.getBlocks.asScala
         val rows = blocks.map(_.getRowCount).sum
         val maxLsn = blocks.flatMap { b =>
@@ -226,10 +229,18 @@ object CdcMerge {
             .collect { case s if !s.isEmpty && s.hasNonNullValue =>
               s.genericGetMax.asInstanceOf[java.lang.Long].longValue() }
         }.foldLeft(-1L)(math.max)
-        (rows, maxLsn)
+        val keyStats = blocks.flatMap { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == "conv_id")
+            .flatMap(c => Option(c.getStatistics))
+            .collect { case s if !s.isEmpty && s.hasNonNullValue =>
+              (s.minAsString, s.maxAsString) }
+        }
+        val minKey = if (keyStats.isEmpty) None else Some(keyStats.map(_._1).min)
+        val maxKey = if (keyStats.isEmpty) None else Some(keyStats.map(_._2).max)
+        (rows, maxLsn, minKey, maxKey)
       } finally reader.close()
       val rel = table.adoptStagedFile(p, bucket, epoch, kind)
-      FileEntry(rel, bucket, rows, maxLsn, schemaId, kind, epoch)
+      FileEntry(rel, bucket, rows, maxLsn, schemaId, kind, epoch, minKey, maxKey)
     }
   }
 
@@ -264,7 +275,8 @@ object Compactor {
   }
 
   def compact(table: LakeTable, buckets: Set[Int],
-              dropTombstones: Boolean = false): Result = {
+              dropTombstones: Boolean = false,
+              maxRecordsPerFile: Long = 0L): Result = {
     val t0 = System.nanoTime()
     val spark = table.snapshot().sparkSession
     val m = table.manifest
@@ -273,10 +285,16 @@ object Compactor {
       resolved0.filter(!col(graft.model.Schemas.DELETED_COL)) else resolved0
     val staging = table.root.resolve(s"_staging/compact-${m.version + 1}")
     CdcMerge.deleteRecursively(staging)
+    // key-sorted bases: disjoint per-file conv_id ranges inside a bucket
+    // (with maxRecordsPerFile > 0) → manifest-level file pruning for
+    // single-conversation reads
     resolved
       .withColumn("bucket", table.bucketExpr(m.numBuckets))
       .repartition(spark.sessionState.conf.numShufflePartitions, col("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
+      .sortWithinPartitions("bucket", "conv_id", "turn_idx")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("bucket").parquet(staging.toString)
     val newFiles = CdcMerge.adoptStaged(table, spark, staging, m.lastEpoch,
       m.currentSchemaId, FileEntry.BASE)
     CdcMerge.deleteRecursively(staging)

@@ -44,6 +44,13 @@ object CdcDemo {
     println("[demo] snapshot sample:")
     table.snapshot().orderBy("conv_id", "turn_idx").show(10, truncate = 40)
 
+    // pruned point lookup: manifest bucket + key-range file pruning
+    val conv = "conv00000000"
+    val pruned = table.filesForConversation(conv)
+    println(s"[demo] point lookup $conv: scans ${pruned.size} of ${m.files.size} files " +
+      s"(bucket ${table.bucketOf(conv, m.numBuckets)})")
+    println(s"[demo] $conv turns: ${table.readConversation(conv).count()}")
+
     // oracle check (driver-side reducer over the same deterministic stream)
     val oracle = WalGen.oracleState(cfg)
     val got = table.snapshot().select("conv_id", "turn_idx", "text").collect()

@@ -129,6 +129,7 @@ object BenchProbe {
     val cfg = WalGen.Config(numEvents = events, numConvs = math.max(100L, events / 200))
     val wal = walDir.getOrElse { WalGen.writeWal(spark, s"$work/wal", cfg, 8); s"$work/wal" }
     val table = LakeTable.create(spark, s"$work/t", Schemas.transcript, buckets)
+    println(f"[probe] calib ${graft.util.DetHash.calibrateMops()}%.0f Mops")
     val t0 = System.nanoTime()
     if (sys.env.contains("GRAFT_BATCHMODE")) {
       // bypass streaming: apply the WAL as `mft`-chunk batches directly

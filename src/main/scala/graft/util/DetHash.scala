@@ -22,4 +22,17 @@ object DetHash {
     val h = splitmix64(x)
     java.lang.Math.floorMod(h, n)
   }
+
+  @volatile private var calibSink = 0L
+
+  /** Fixed-work single-thread CPU calibration (splitmix64 Mops) — a noise
+    * index for benchmark runs on shared hosts.
+    */
+  def calibrateMops(): Double = {
+    val t0 = System.nanoTime()
+    var x = 0L; var i = 0L
+    while (i < 50000000L) { x = splitmix64(x); i += 1 }
+    calibSink = x
+    50.0 / ((System.nanoTime() - t0) / 1e9)
+  }
 }

@@ -373,6 +373,27 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     }
 
+    // grouping sets (SURVEY §2.4 notes cube/rollup come free with Spark)
+    register("q_cube_rollup", Some(
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |       ${DSUM.format("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)) { (s, dir) =>
+      T(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }
+
+    // approximate distinct (HLL) — algorithms differ across engines, so no
+    // SQL oracle; AggSpec bounds the relative error against exact counts
+    register("q_approx_distinct", None) { (s, dir) =>
+      T(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag")
+    }
+
     register("q_timespan", Some(
       """SELECT o_orderpriority, CAST(MIN(year(o_orderdate)) AS INTEGER) AS min_t,
         |       CAST(MAX(year(o_orderdate)) AS INTEGER) AS max_t

@@ -69,7 +69,14 @@ object BenchProbe {
     val mft = args(4).toInt
     val walDir = args.lift(5)
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-    val spark = SparkSession.builder().master(s"local[$cores]")
+    // GRAFT_MASTER=spark://host:7077 runs against a real standalone
+    // cluster (multi-executor; `cores` then only sizes shuffle
+    // parallelism); default is local[cores]
+    val master = sys.env.getOrElse("GRAFT_MASTER", s"local[$cores]")
+    val builder0 = SparkSession.builder().master(master)
+    val builder1 = sys.env.get("GRAFT_JARS").map(builder0.config("spark.jars", _)).getOrElse(builder0)
+    val builder2 = sys.env.get("GRAFT_EXEC_CORES").map(builder1.config("spark.executor.cores", _)).getOrElse(builder1)
+    val spark = sys.env.get("GRAFT_EXEC_MEM").map(builder2.config("spark.executor.memory", _)).getOrElse(builder2)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")

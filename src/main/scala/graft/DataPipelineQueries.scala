@@ -55,6 +55,14 @@ object DataPipelineQueries {
         .orderBy("key_a", "key_b")
     }
 
+    // materialized near-dedup: the table AFTER dropping near-duplicates
+    register("q_dedup_drop_neardup", None) { (s, dir) =>
+      DedupOps.dropMinhashNearDuplicates(
+        T(s, dir, "documents"), "text", "doc_id", minJaccard = 0.5)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }
+
     register("q_dedup_embedding_cosine", None) { (s, dir) =>
       DedupOps.embeddingCosinePairs(T(s, dir, "embeddings"), "embedding", "vec_id",
         minCosine = 0.9, planes = 8)

@@ -162,6 +162,23 @@ object DedupOps {
       .select((blockCols.map(col) :+ col("key_a") :+ col("key_b") :+ col("jaccard")): _*)
   }
 
+  /** Materialize near-dedup: drop every doc that appears as the GREATER
+    * key of a near-dup pair (greedy representative = smallest key reaches
+    * each cluster through the `key_a < key_b` chain). One anti-join —
+    * scale-safe given the pair set.
+    */
+  def dropNearDuplicates(df: DataFrame, keyCol: String, pairs: DataFrame): DataFrame =
+    df.join(pairs.select(col("key_b").as(keyCol)).distinct(), Seq(keyCol), "left_anti")
+
+  /** End-to-end near-dedup via MinHash-LSH: find pairs, drop the greater
+    * keys, return the deduplicated table.
+    */
+  def dropMinhashNearDuplicates(df: DataFrame, textCol: String, keyCol: String,
+                                bands: Int = 8, rowsPerBand: Int = 4,
+                                minJaccard: Double = 0.7): DataFrame =
+    dropNearDuplicates(df, keyCol,
+      minhashLshPairs(df, textCol, keyCol, bands, rowsPerBand, minJaccard))
+
   /** Embedding near-dup pairs: cosine >= minCosine via LSH bucketing
     * (random-hyperplane signs) + in-bucket verification.
     */

@@ -47,9 +47,15 @@ object CdcStream {
             checkpointDir: String, maxFilesPerTrigger: Int = 4,
             saltBuckets: Int = 8, mode: CdcMerge.Mode = CdcMerge.MergeOnRead,
             compactEvery: Int = 8,
-            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+            trigger: Trigger = Trigger.AvailableNow(),
+            walSchema: org.apache.spark.sql.types.StructType = Schemas.changeEvent): StreamingQuery = {
+    // Mid-stream schema evolution: the file source needs ONE schema, so
+    // tail with the WIDENED union schema (pass `walSchema`); parquet
+    // null-fills columns absent from older chunks and the per-batch
+    // SchemaReconciler evolves the table when the new columns first carry
+    // data (SURVEY.md §7.5 hard-part 3).
     val src = spark.readStream
-      .schema(Schemas.changeEvent)
+      .schema(walSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(walDir)
     src.writeStream

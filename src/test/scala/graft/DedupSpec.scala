@@ -36,6 +36,18 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(_.getDouble(2) >= 0.5))
   }
 
+  test("dropMinhashNearDuplicates keeps one representative per cluster") {
+    val base = (0 until 20).map(i => (i.toLong, mkDoc(i + 31, 60)))
+    val dup1 = (100L, base(2)._2.split(" ").updated(1, "X").mkString(" "))
+    val dup2 = (101L, base(2)._2.split(" ").updated(2, "Y").mkString(" "))
+    val docs = (base ++ Seq(dup1, dup2)).toDF("doc_id", "text")
+    val out = DedupOps.dropMinhashNearDuplicates(docs, "text", "doc_id", minJaccard = 0.5)
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept.contains(2L) && !kept.contains(100L) && !kept.contains(101L),
+      s"kept=$kept")
+    assert(kept.size == 20) // all originals except the two planted dups
+  }
+
   test("simhash: planted near-dup within hamming radius, random docs far") {
     val base = (0 until 30).map(i => (i.toLong, mkDoc(i + 77, 80)))
     val nearDup = (200L, base(5)._2.split(" ").updated(10, "Z").mkString(" "))

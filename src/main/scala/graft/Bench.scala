@@ -190,17 +190,26 @@ object Bench {
     val scanLoSecs = checksumScan(loPar)
     val scanEff = (scanLoSecs / scanHiSecs) / (hiPar.toDouble / loPar)
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // ONE compact JSON line, emitted LAST — the driver captures only a tail
+    // window of the output, so per-query seconds are rounded to 3 decimals
+    // and the header kept tight (round 1's full-precision line overflowed
+    // the window and parsed as null). Full-precision copy → BENCH/BENCH.json.
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val repsJson = runs.map { case (p, (tput, secs, mops)) =>
       s"""{"par":$p,"events_per_sec":${tput.round},"wall_sec":${f"$secs%.1f"},""" +
       s""""host_calib_mops":${f"$mops%.0f"}}"""
     }.mkString("[", ",", "]")
-    println(
+    def jsonLine(withReps: Boolean) =
       s"""{"metric":"cdc_apply_events_per_sec_${hiPar}c","value":${bestHi._1.round},"unit":"events/sec",""" +
       s""""cdc_events":$benchEvents,"events_per_sec_lo_${loPar}c":${bestLo._1.round},""" +
       s""""events_per_sec_hi_${hiPar}c":${bestHi._1.round},"scaling_efficiency":${f"$efficiency%.3f"},""" +
-      s""""scan_scaling_efficiency":${f"$scanEff%.3f"},"cdc_runs":$repsJson,""" +
-      s""""queries_total_sec":${f"$totalQ%.1f"},"queries":$qs,"sf":"$sfDir"}""")
+      s""""scan_scaling_efficiency":${f"$scanEff%.3f"},""" +
+      (if (withReps) s""""cdc_runs":$repsJson,""" else "") +
+      s""""queries_total_sec":${f"$totalQ%.1f"},"queries":$qs,"sf":"$sfDir"}"""
+    val line = jsonLine(withReps = false) // tight: the driver tails stdout
+    Files.createDirectories(Paths.get("BENCH"))
+    Files.write(Paths.get("BENCH/BENCH.json"),
+      jsonLine(withReps = true).getBytes(StandardCharsets.UTF_8))
 
     val md =
       s"""# BENCH — measured results (written by graft.Bench)
@@ -265,8 +274,8 @@ object Bench {
          |
          |total ${f"$totalQ%.1f"} s; per-query seconds in the BENCH JSON.
          |""".stripMargin
-    Files.createDirectories(Paths.get("BENCH"))
     Files.write(Paths.get("BENCH/BASELINE.md"), md.getBytes(StandardCharsets.UTF_8))
     rmrf(tmp)
+    println(line) // LAST line of stdout — the driver's parse target
   }
 }

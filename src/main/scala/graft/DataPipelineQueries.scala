@@ -42,8 +42,11 @@ object DataPipelineQueries {
         .orderBy("key_a", "key_b")
     }
 
+    // maxHamming=3 with the default 4 bands: the pigeonhole is EXHAUSTIVE
+    // (simhashPairs enforces maxHamming < bands); wider radii need more
+    // bands — see DedupSpec's bands=9 / Hamming-8 case.
     register("q_dedup_simhash", None) { (s, dir) =>
-      DedupOps.simhashPairs(T(s, dir, "documents"), "text", "doc_id", maxHamming = 8)
+      DedupOps.simhashPairs(T(s, dir, "documents"), "text", "doc_id", maxHamming = 3)
         .orderBy("key_a", "key_b")
     }
 
@@ -63,29 +66,101 @@ object DataPipelineQueries {
         .orderBy("doc_id")
     }
 
+    // The embeddings table has no natural near-duplicates (max pairwise
+    // cosine ≈ 0.51), so the query PLANTS them: a perturbed copy of each
+    // vec_id < 50 (v' = v + 0.1·reverse(v), cosine(v, v') ≈ 0.995). The op
+    // must recover the 50 planted pairs — non-zero, deterministic output;
+    // DedupSpec measures recall against a brute-force reference.
     register("q_dedup_embedding_cosine", None) { (s, dir) =>
-      DedupOps.embeddingCosinePairs(T(s, dir, "embeddings"), "embedding", "vec_id",
-        minCosine = 0.9, planes = 8)
+      val emb = T(s, dir, "embeddings").select("vec_id", "embedding")
+      val planted = emb.filter(col("vec_id") < 50).select(
+        (col("vec_id") + 1000000).as("vec_id"),
+        zip_with(col("embedding"), reverse(col("embedding")),
+          (x, y) => x + lit(0.1f) * y).as("embedding"))
+      DedupOps.embeddingCosinePairs(emb.unionByName(planted), "embedding", "vec_id",
+        minCosine = 0.9, planes = 8, tables = 8)
+        .orderBy("key_a", "key_b")
+    }
+
+    // The exact quadratic baseline the LSH paths are measured against —
+    // bounded to doc_id < 1000 (verification at fixed scale, NOT the scale
+    // path) and DuckDB-oracled: n-gram shingle Jaccard is expressible with
+    // list lambdas, and Jaccard over xxhash64'd shingle sets equals Jaccard
+    // over the string sets (distinct counts preserved mod 2^-64 collisions).
+    register("q_neardup_exact_pairs", Some(
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |           FROM documents WHERE doc_id < 1000),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(CASE WHEN len(t) >= 3 THEN
+        |    list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |    ELSE [] END) AS s FROM d)
+        |SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |  CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5
+        |ORDER BY key_a, key_b""".stripMargin)) { (s, dir) =>
+      DedupOps.ngramJaccardPairsExact(
+        T(s, dir, "documents").filter(col("doc_id") < 1000),
+        "text", "doc_id", blockCols = Nil, n = 3, minJaccard = 0.5)
         .orderBy("key_a", "key_b")
     }
   }
 
   private def similarity(): Unit = {
-    // exact brute-force cosine top-k (baseline; first 5 vectors as queries)
-    register("q_ann_brute_force", None) { (s, dir) =>
+    // exact brute-force cosine top-k (baseline; first 5 vectors as queries).
+    // DuckDB-oracled on the RANKING (query_id, corpus_id, rank): ranks are
+    // robust to last-ulp cosine differences between engines (neighbor
+    // cosine gaps here are ~1e-3), so this verifies the exact-topk
+    // semantics end-to-end without betting the hash compare on float ulps.
+    register("q_ann_brute_force", Some(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+        |scored AS (SELECT q.query_id, c.vec_id AS corpus_id,
+        |  list_cosine_similarity(q.qv, c.v) AS cosine
+        |  FROM q JOIN e c ON q.query_id != c.vec_id),
+        |r AS (SELECT query_id, corpus_id, CAST(row_number() OVER
+        |  (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT query_id, corpus_id, rank FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin)) { (s, dir) =>
       val emb = T(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 5)
       SimilarityOps.bruteForceTopK(emb, "embedding", "vec_id",
         queries, "embedding", "vec_id", k = 10)
+        .select("query_id", "corpus_id", "rank")
         .orderBy("query_id", "rank")
     }
 
-    // LSH-bucketed ANN (the scale path)
+    // LSH-bucketed ANN (the scale path). rows-only (candidate set is
+    // LSH-dependent), with TWO in-result verification signals computed
+    // against the exact brute-force baseline in the same job: a per-row
+    // `in_brute_topk` bit and a constant `recall_at_1` column. Queries are
+    // PLANTED perturbed twins of 5 corpus vectors (the corpus has no
+    // natural near-neighbors), so each query has one true high-cosine hit
+    // (≈0.995) that LSH must rank first — recall_at_1 = 1.0 demonstrates
+    // the op; lower ranks are the random-similarity tail where ANN overlap
+    // is legitimately partial.
     register("q_ann_lsh", None) { (s, dir) =>
-      val emb = T(s, dir, "embeddings")
-      val queries = emb.filter(col("vec_id") < 5)
-      SimilarityOps.lshTopK(emb, "embedding", "vec_id",
-        queries, "embedding", "vec_id", k = 10, planes = 8, tables = 4)
+      val emb = T(s, dir, "embeddings").select("vec_id", "embedding")
+      val queries = emb.filter(col("vec_id") < 5).select(
+        (col("vec_id") + 1000000).as("vec_id"),
+        zip_with(col("embedding"), reverse(col("embedding")),
+          (x, y) => x + lit(0.1f) * y).as("embedding"))
+      val lsh = SimilarityOps.lshTopK(emb, "embedding", "vec_id",
+        queries, "embedding", "vec_id", k = 5, planes = 8, tables = 8)
+      val brute = SimilarityOps.bruteForceTopK(emb, "embedding", "vec_id",
+        queries, "embedding", "vec_id", k = 5)
+      val recall1 = lsh.filter(col("rank") === 1)
+        .select(col("query_id"), col("corpus_id").as("lsh_1"))
+        .join(brute.filter(col("rank") === 1)
+          .select(col("query_id"), col("corpus_id").as("brute_1")), Seq("query_id"))
+        .agg(avg(when(col("lsh_1") === col("brute_1"), 1.0).otherwise(0.0)).as("recall_at_1"))
+      lsh.join(brute.select(col("query_id"), col("corpus_id"), lit(true).as("in_brute_topk")),
+          Seq("query_id", "corpus_id"), "left")
+        .withColumn("in_brute_topk", coalesce(col("in_brute_topk"), lit(false)))
+        .crossJoin(recall1)
         .orderBy("query_id", "rank")
     }
   }
@@ -143,6 +218,20 @@ object DataPipelineQueries {
     register("q_fingerprint", None) { (s, dir) =>
       T(s, dir, "documents").select(
         col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }
+
+    // same Karp-Rabin semantics with an md5-derived token hash → fully
+    // DuckDB-oracled (verifies the rolling-hash algebra value-for-value)
+    register("q_fingerprint_portable", Some(
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |      tok -> CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1000000007)),
+        |    (acc, h) -> (acc * 31 + h) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      T(s, dir, "documents").select(
+        col("doc_id"), TextOps.fingerprintPortable(col("text")).as("fp"))
         .orderBy("doc_id")
     }
   }

@@ -34,6 +34,69 @@ object RelationalQueries {
     scalars()
     reshape()
     cdc()
+    verification()
+  }
+
+  // ===== tolerant dataset diff + composed time expansion (SURVEY §3.3) =====
+  private def verification(): Unit = {
+    // rtol/atol datadiff (owid-etl etl/datadiff.py:536-676): two derived
+    // versions of `orders` — keys dropped on each side + a 1e-3 relative
+    // perturbation on some prices — diffed at rtol=1e-5.
+    register("q_datadiff", Some(
+      """WITH o AS (SELECT o_orderkey AS k, o_totalprice, o_orderstatus FROM orders),
+        |a AS (SELECT * FROM o WHERE k % 97 != 0),
+        |b AS (SELECT k, CASE WHEN k % 13 = 0 THEN o_totalprice * 1.001
+        |                     ELSE o_totalprice END AS o_totalprice, o_orderstatus
+        |      FROM o WHERE k % 89 != 0),
+        |j AS (SELECT a.k IS NOT NULL AS in_a, b.k IS NOT NULL AS in_b,
+        |             a.o_totalprice AS ap, b.o_totalprice AS bp,
+        |             a.o_orderstatus AS ast, b.o_orderstatus AS bst
+        |      FROM a FULL OUTER JOIN b ON a.k = b.k),
+        |agg AS (SELECT
+        |  count(*) FILTER (WHERE in_a AND in_b) AS cmp,
+        |  count(*) FILTER (WHERE in_a AND in_b
+        |    AND abs(ap - bp) > 1e-8 + 1e-5 * abs(bp)) AS dif_p,
+        |  max(CASE WHEN in_a AND in_b THEN abs(ap - bp) END) AS mad_p,
+        |  count(*) FILTER (WHERE in_a AND in_b
+        |    AND NOT (ast IS NOT DISTINCT FROM bst)) AS dif_s,
+        |  count(*) FILTER (WHERE in_a AND NOT in_b) AS only_a,
+        |  count(*) FILTER (WHERE in_b AND NOT in_a) AS only_b
+        | FROM j)
+        |SELECT 'o_orderstatus' AS "column", cmp AS n_compared, dif_s AS n_differs,
+        |       CAST(NULL AS DOUBLE) AS max_abs_diff, only_a AS n_only_a, only_b AS n_only_b FROM agg
+        |UNION ALL
+        |SELECT 'o_totalprice', cmp, dif_p, mad_p, only_a, only_b FROM agg
+        |ORDER BY "column"""".stripMargin)) { (s, dir) =>
+      val o = T(s, dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val a = o.filter(col("o_orderkey") % 97 =!= 0)
+      val b = o.filter(col("o_orderkey") % 89 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 13 === 0, col("o_totalprice") * lit(1.001))
+            .otherwise(col("o_totalprice")))
+      DiffOps.diff(a, b, Seq("o_orderkey"), rtol = 1e-5, atol = 1e-8)
+        .orderBy("column")
+    }
+
+    // expand_time_column composed form (misc.py:109-349): per-entity range
+    // EXTENDED until 1999, introduced gaps forward-filled — one op.
+    register("q_expand_time_fill", Some(
+      """WITH obs AS (SELECT o_custkey, CAST(year(o_orderdate) AS INTEGER) AS y, COUNT(*) AS n
+        |             FROM orders GROUP BY 1, 2),
+        |rng AS (SELECT o_custkey, MIN(y) AS mn, greatest(MAX(y), 1999) AS mx FROM obs GROUP BY 1),
+        |spine AS (SELECT o_custkey, CAST(unnest(generate_series(mn, mx)) AS INTEGER) AS y FROM rng),
+        |j AS (SELECT s.o_custkey, s.y, obs.n
+        |      FROM spine s LEFT JOIN obs ON s.o_custkey = obs.o_custkey AND s.y = obs.y)
+        |SELECT o_custkey, y,
+        |  last_value(n IGNORE NULLS) OVER (PARTITION BY o_custkey ORDER BY y
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n
+        |FROM j ORDER BY o_custkey, y""".stripMargin)) { (s, dir) =>
+      val obs = T(s, dir, "orders")
+        .withColumn("y", year(col("o_orderdate")))
+        .groupBy("o_custkey", "y").agg(count(lit(1)).as("n"))
+      TimeOps.expandTimeColumn(obs, Seq("o_custkey"), "y", "full_range_entity",
+        since = None, until = Some(1999L), fill = "ffill", fillCols = Seq("n"))
+        .orderBy("o_custkey", "y")
+    }
   }
 
   // ===== §2.1 scans + §2.2 projections/filters/row ops =====
@@ -387,10 +450,16 @@ object RelationalQueries {
 
     // approximate distinct (HLL) — algorithms differ across engines, so no
     // SQL oracle; AggSpec bounds the relative error against exact counts
+    // HLL sketch values are engine-specific (no oracle) — the result
+    // carries its own verification bit: approx within 5% of the exact
+    // count computed in the same job (HLL++ rsd default 0.05).
     register("q_approx_distinct", None) { (s, dir) =>
       T(s, dir, "lineitem").groupBy("l_returnflag")
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .withColumn("within_bounds",
+          abs(col("approx_parts") - col("exact_parts")).cast("double") <=
+            lit(0.05) * col("exact_parts"))
         .orderBy("l_returnflag")
     }
 
@@ -406,12 +475,21 @@ object RelationalQueries {
 
     // order-invariant content checksum (grapher_import.py:419-421) — no DuckDB
     // xxhash64, so rows-only check; ScalaTest asserts invariance under shuffle.
+    // no DuckDB xxhash64 — instead the result carries its own verification
+    // bit: the checksum recomputed under a DIFFERENT physical plan
+    // (repartitioned → different row order/partitioning) must be equal,
+    // demonstrating order-invariance inside the recorded result.
     register("q_checksum_agg", None) { (s, dir) =>
-      T(s, dir, "lineitem")
-        .agg(AggOps.contentChecksum(
-          T(s, dir, "lineitem"), Seq("l_orderkey", "l_linenumber", "l_returnflag"))
-          .cast("string").as("checksum"),
-          count(lit(1)).as("n"))
+      val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag")
+      val base = T(s, dir, "lineitem")
+      val c1 = base.agg(
+        AggOps.contentChecksum(base, cols).cast("string").as("checksum"),
+        count(lit(1)).as("n"))
+      val c2 = base.repartition(17, col("l_partkey"))
+        .agg(AggOps.contentChecksum(base, cols).cast("string").as("checksum_replan"))
+      c1.crossJoin(c2)
+        .select(col("checksum"), col("n"),
+          (col("checksum") === col("checksum_replan")).as("invariant_ok"))
     }
   }
 
@@ -741,7 +819,15 @@ object RelationalQueries {
     // dimension fan-out to wide columns (_yield_wide_table) — column-name
     // mangling is engine-specific → rows-only check; semantics asserted in
     // ScalaTest against a hand-built golden.
-    register("q_wide_fanout", None) { (s, dir) =>
+    // fan-out column names are deterministic (`n__o_orderstatus_<v>` for
+    // TPC-H statuses F/O/P), so the oracle reproduces them with FILTERed
+    // aggregates; nullif(…, 0) matches the pivot's null for absent combos.
+    register("q_wide_fanout", Some(
+      """SELECT o_orderpriority, CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  nullif(CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS DOUBLE), 0.0) AS "n__o_orderstatus_F",
+        |  nullif(CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS DOUBLE), 0.0) AS "n__o_orderstatus_O",
+        |  nullif(CAST(count(*) FILTER (WHERE o_orderstatus = 'P') AS DOUBLE), 0.0) AS "n__o_orderstatus_P"
+        |FROM orders GROUP BY 1, 2 ORDER BY o_orderpriority, y""".stripMargin)) { (s, dir) =>
       val df = T(s, dir, "orders")
         .withColumn("y", year(col("o_orderdate")))
         .groupBy("o_orderpriority", "y", "o_orderstatus")

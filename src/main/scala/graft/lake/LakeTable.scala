@@ -70,6 +70,46 @@ final class LakeTable private (val root: Path, spark: SparkSession) {
     * wins across base+deltas (one window; ties carry identical payloads by
     * construction — duplicate deliveries of the same (key, lsn)).
     */
+  /** Read `files` under manifest `m`, aligned to `target` (schema-evolution
+    * groups cast/padded to the current physical schema).
+    */
+  private def readAligned(m: Manifest, files: Seq[FileEntry], target: StructType): DataFrame =
+    files.groupBy(_.schemaId).map { case (sid, fs) =>
+      val fileSchema = Schemas.physical(
+        StructType.fromDDL(m.schemas.find(_.id == sid).get.ddl))
+      alignTo(spark.read.schema(fileSchema)
+        .parquet(fs.map(f => root.resolve(f.path).toString): _*), target)
+    }.reduce(_ unionByName _)
+
+  /** Per-key max-LSN winner (the merge-on-read window). */
+  private def maxLsnResolve(df: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(Schemas.KEY_COLS.map(col): _*)
+      .orderBy(col(Schemas.LSN_COL).desc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** PER-BUCKET merge-on-read resolution: buckets whose files are all BASE
+    * are already per-key resolved (compaction/COW wrote them that way) and
+    * stream straight from the scan with NO shuffle; only delta-bearing
+    * buckets pay the per-key max-LSN window. Buckets partition the key
+    * space (bucket = hash(conv_id)), so resolving each side independently
+    * is exact. With compaction keeping most buckets delta-free, the common
+    * read is O(dirty-bucket shuffle), not O(table shuffle) — at 100 TB a
+    * single delta file must not re-shuffle the whole table.
+    */
+  private def resolveMor(m: Manifest, files: Seq[FileEntry], target: StructType): DataFrame = {
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
+    val dirtyBuckets = files.collect { case f if f.kind != FileEntry.BASE => f.bucket }.toSet
+    val (dirty, clean) = files.partition(f => dirtyBuckets.contains(f.bucket))
+    val parts =
+      Option.when(clean.nonEmpty)(readAligned(m, clean, target)).toSeq ++
+      Option.when(dirty.nonEmpty)(maxLsnResolve(readAligned(m, dirty, target)))
+    parts.reduce(_ unionByName _)
+  }
+
   def snapshotPhysical(buckets: Option[Set[Int]] = None): DataFrame = {
     val m = manifest
     val target = Schemas.physical(userSchema(m))
@@ -77,26 +117,7 @@ final class LakeTable private (val root: Path, spark: SparkSession) {
       case Some(bs) => m.filesForBuckets(bs)
       case None => m.files
     }
-    if (wanted.isEmpty) {
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
-    }
-    val bySchema = wanted.groupBy(_.schemaId)
-    val parts = bySchema.map { case (sid, fs) =>
-      val fileSchema = Schemas.physical(
-        StructType.fromDDL(m.schemas.find(_.id == sid).get.ddl))
-      val df = spark.read.schema(fileSchema)
-        .parquet(fs.map(f => root.resolve(f.path).toString): _*)
-      alignTo(df, target)
-    }
-    val all = parts.reduce(_ unionByName _)
-    if (wanted.forall(_.kind == FileEntry.BASE)) all // fast path: already resolved
-    else {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(Schemas.KEY_COLS.map(col): _*)
-        .orderBy(col(Schemas.LSN_COL).desc)
-      all.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn")
-    }
+    resolveMor(m, wanted, target)
   }
 
   /** User-facing snapshot: live rows only, user columns only. */
@@ -113,23 +134,8 @@ final class LakeTable private (val root: Path, spark: SparkSession) {
   def snapshotAt(version: Long): DataFrame = {
     val m = manifestAt(version)
     val target = Schemas.physical(userSchema(m))
-    val bySchema = m.files.groupBy(_.schemaId)
-    val parts = bySchema.map { case (sid, fs) =>
-      val fileSchema = Schemas.physical(StructType.fromDDL(m.schemas.find(_.id == sid).get.ddl))
-      LakeTable.alignTo(
-        spark.read.schema(fileSchema).parquet(fs.map(f => root.resolve(f.path).toString): _*),
-        target)
-    }
-    if (parts.isEmpty)
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
-    val all = parts.reduce(_ unionByName _)
-    val resolved = if (m.files.forall(_.kind == FileEntry.BASE)) all else {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(Schemas.KEY_COLS.map(col): _*)
-        .orderBy(col(Schemas.LSN_COL).desc)
-      all.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
-    }
-    resolved.filter(!col(Schemas.DELETED_COL))
+    resolveMor(m, m.files, target)
+      .filter(!col(Schemas.DELETED_COL))
       .select(userSchema(m).fieldNames.map(col).toSeq: _*)
   }
 
@@ -152,12 +158,15 @@ final class LakeTable private (val root: Path, spark: SparkSession) {
     }.distinctBy(_.path)
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
-    files.groupBy(_.schemaId).map { case (sid, fs) =>
-      val fileSchema = Schemas.physical(StructType.fromDDL(mTo.schemas.find(_.id == sid).get.ddl))
-      LakeTable.alignTo(
-        spark.read.schema(fileSchema).parquet(fs.map(f => root.resolve(f.path).toString): _*),
-        target)
-    }.reduce(_ unionByName _)
+    // fail loudly (not silently-partial) if a referenced delta was vacuumed
+    files.filterNot(f => Files.exists(root.resolve(f.path))) match {
+      case missing if missing.nonEmpty => throw new IllegalStateException(
+        s"changelog read ($fromVersion, $toVersion] needs ${missing.size} delta file(s) " +
+        s"that were vacuumed (e.g. ${missing.head.path}); raise vacuum keepVersions " +
+        "or read from a newer version")
+      case _ =>
+    }
+    readAligned(mTo, files, target)
   }
 
   /** Driver-side bucket assignment for a key — same xxhash64(seed 42) the
@@ -194,18 +203,8 @@ final class LakeTable private (val root: Path, spark: SparkSession) {
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(userSchema(m).fields))
-    val parts = files.groupBy(_.schemaId).map { case (sid, fs) =>
-      val fileSchema = Schemas.physical(StructType.fromDDL(m.schemas.find(_.id == sid).get.ddl))
-      LakeTable.alignTo(spark.read.schema(fileSchema)
-        .parquet(fs.map(f => root.resolve(f.path).toString): _*), target)
-    }
-    val all = parts.reduce(_ unionByName _).filter(col("conv_id") === convId)
-    val resolved = if (files.forall(_.kind == FileEntry.BASE)) all else {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(Schemas.KEY_COLS.map(col): _*)
-        .orderBy(col(Schemas.LSN_COL).desc)
-      all.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
-    }
+    val all = readAligned(m, files, target).filter(col("conv_id") === convId)
+    val resolved = if (files.forall(_.kind == FileEntry.BASE)) all else maxLsnResolve(all)
     resolved.filter(!col(Schemas.DELETED_COL))
       .select(userSchema(m).fieldNames.map(col).toSeq: _*)
       .orderBy("turn_idx")
@@ -250,10 +249,17 @@ final class LakeTable private (val root: Path, spark: SparkSession) {
 
   /** Delete files no longer referenced by any of the last `keepVersions`
     * manifests (vacuum). Safe because readers resolve through `_current`.
+    *
+    * `changelogRetentionVersions` widens the window for DELTA files only:
+    * a changelog consumer (`changesBetween`) reading back that many
+    * versions is guaranteed its delta files survive vacuum. Reads past the
+    * retention window fail loudly in `changesBetween` (never return
+    * silently-partial changes).
     */
-  def vacuum(keepVersions: Int = 2): Int = {
+  def vacuum(keepVersions: Int = 2, changelogRetentionVersions: Int = 0): Int = {
     val cur = currentVersion
-    val keep = (math.max(0L, cur - keepVersions + 1) to cur)
+    val keepVers = math.max(keepVersions, changelogRetentionVersions)
+    val keep = (math.max(0L, cur - keepVers + 1) to cur)
       .flatMap(v => scala.util.Try(manifestAt(v)).toOption)
       .flatMap(_.files.map(_.path)).toSet
     if (!Files.exists(dataDir)) return 0

@@ -68,7 +68,14 @@ final case class Manifest(
     files: Seq[FileEntry],
     totalRows: Long,
     maxLsn: Long,
-    lineage: Seq[CommitInfo]
+    lineage: Seq[CommitInfo],
+    // Delta-style (appId, batchId) txn tracking: which stream last wrote,
+    // and that stream's own source epoch. `lastEpoch` above stays the
+    // INTERNAL monotone epoch (file naming / changelog order); a stream
+    // restarted with a fresh checkpoint resets its source epochs to 0 and
+    // must NOT silently no-op against lastEpoch.
+    streamId: String = "",
+    lastSourceEpoch: Long = -1L
 ) {
   def filesForBuckets(buckets: Set[Int]): Seq[FileEntry] =
     files.filter(f => buckets.contains(f.bucket))

@@ -79,14 +79,27 @@ object CdcMerge {
   }
 
   def apply(table: LakeTable, batch: DataFrame, epoch: Long,
-            saltBuckets: Int = 8, mode: Mode = MergeOnRead): Stats = {
+            saltBuckets: Int = 8, mode: Mode = MergeOnRead,
+            streamId: String = "default"): Stats = {
     val t0 = System.nanoTime()
     val spark = batch.sparkSession
     val m = table.manifest
-    if (m.lastEpoch >= epoch) {
-      // replayed micro-batch after restart → already committed, no-op
+    // Exactly-once is per (streamId, sourceEpoch), Delta-style: a replayed
+    // micro-batch of the SAME stream no-ops; a DIFFERENT stream (e.g. a
+    // restart with a fresh/deleted checkpoint resets foreachBatch epochs
+    // to 0) must NOT be silently dropped — its batches are applied under a
+    // remapped monotone internal epoch (content stays idempotent via the
+    // per-key max-LSN gate).
+    val sameStream = m.streamId == streamId
+    if (sameStream && m.lastSourceEpoch >= epoch) {
       return Stats(epoch, applied = false, -1, 0, 0)
     }
+    if (!sameStream && m.streamId.nonEmpty && epoch <= m.lastEpoch)
+      System.err.println(s"[cdc-merge] WARN: stream '$streamId' presented epoch " +
+        s"$epoch <= lastEpoch ${m.lastEpoch} recorded for stream '${m.streamId}' " +
+        "(fresh checkpoint against an existing table?) — applying under internal " +
+        s"epoch ${m.lastEpoch + 1} instead of no-oping")
+    val effEpoch = math.max(epoch, m.lastEpoch + 1)
 
     // ---- schema reconciliation (batch user-schema vs table schema) ----
     val incomingUser = StructType(batch.schema.fields.filterNot(f =>
@@ -115,7 +128,7 @@ object CdcMerge {
         .withColumn(DELETED_COL, col("op") === "D"),
       physTarget)
 
-    val staging = table.root.resolve(s"_staging/epoch-$epoch")
+    val staging = table.root.resolve(s"_staging/epoch-$effEpoch")
     deleteRecursively(staging)
 
     val (newFiles, carried, affected) = mode match {
@@ -149,7 +162,7 @@ object CdcMerge {
         traced("delta-write")(
           salted.write.mode("overwrite").partitionBy("bucket").parquet(staging.toString))
         val files = traced("adopt-staged")(
-          adoptStaged(table, spark, staging, epoch, schemaId2, FileEntry.DELTA))
+          adoptStaged(table, spark, staging, effEpoch, schemaId2, FileEntry.DELTA))
         (files, m.files, files.map(_.bucket).toSet)
 
       case CopyOnWrite =>
@@ -175,7 +188,7 @@ object CdcMerge {
               col("bucket"), pmod(xxhash64(col("turn_idx")), lit(saltBuckets.toLong)))
           salted.write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
           bucketed.unpersist()
-          val files = adoptStaged(table, spark, staging, epoch, schemaId2, FileEntry.BASE)
+          val files = adoptStaged(table, spark, staging, effEpoch, schemaId2, FileEntry.BASE)
           (files, m.files.filterNot(f => aff.contains(f.bucket)), aff)
         }
     }
@@ -186,13 +199,15 @@ object CdcMerge {
     val wallMs = (System.nanoTime() - t0) / 1000000
     val m2 = m.copy(
       version = m.version + 1,
-      lastEpoch = epoch,
+      lastEpoch = effEpoch,
+      streamId = streamId,
+      lastSourceEpoch = epoch,
       currentSchemaId = schemaId2,
       schemas = schemas2,
       files = allFiles,
       totalRows = allFiles.map(_.rows).sum, // physical rows (deltas may shadow)
       maxLsn = batchMaxLsn,
-      lineage = (m.lineage :+ CommitInfo(m.version + 1, epoch,
+      lineage = (m.lineage :+ CommitInfo(m.version + 1, effEpoch,
         newFiles.map(_.rows).sum, affected.toSeq.sorted, batchMaxLsn, wallMs,
         System.currentTimeMillis())).takeRight(1000))
     table.commit(m2, m.version)
@@ -212,7 +227,20 @@ object CdcMerge {
     val parquetFiles = Files.walk(staging).iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
     val conf = spark.sessionState.newHadoopConf()
-    parquetFiles.map { p =>
+    // Footer reads are driver-side metadata I/O; done serially they become
+    // a per-batch serial stage at 10k staged files — run them on a bounded
+    // pool (ordering preserved by indexing futures).
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(16, parquetFiles.size)))
+    try parquetFiles.map(p => pool.submit(adoptOne(table, conf, bucketRe, epoch, schemaId, kind, p)))
+      .map(_.get())
+    finally pool.shutdown()
+  }
+
+  private def adoptOne(table: LakeTable, conf: org.apache.hadoop.conf.Configuration,
+                       bucketRe: scala.util.matching.Regex, epoch: Long, schemaId: Int,
+                       kind: String, p: java.nio.file.Path)
+      : java.util.concurrent.Callable[FileEntry] = () => {
       val bucket = p.getParent.toString match {
         case bucketRe(b) => b.toInt
         case other => throw new IllegalStateException(s"no bucket dir in $other")
@@ -241,7 +269,6 @@ object CdcMerge {
       } finally reader.close()
       val rel = table.adoptStagedFile(p, bucket, epoch, kind)
       FileEntry(rel, bucket, rows, maxLsn, schemaId, kind, epoch, minKey, maxKey)
-    }
   }
 
   private[merge] def deleteRecursively(p: java.nio.file.Path): Unit =

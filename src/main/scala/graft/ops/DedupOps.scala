@@ -16,6 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
+  /** Exact Jaccard of two (distinct-element) arrays — empty∪empty is
+    * defined as 0.0 (ANSI mode: a plain double division would THROW
+    * DIVIDE_BY_ZERO when two empty-shingle docs collide in a bucket).
+    */
+  def jaccardOf(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni > lit(0.0), inter / uni).otherwise(lit(0.0))
+  }
+
+
   /** Exact dedup: one representative (min key) per identical text.
     * Returns (digest, keeper, n_copies).
     */
@@ -86,9 +97,7 @@ object DedupOps {
     cand
       .join(sh.select(col("key").as("key_a"), col("sh").as("sh_a")), Seq("key_a"))
       .join(sh.select(col("key").as("key_b"), col("sh").as("sh_b")), Seq("key_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", jaccardOf(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= minJaccard)
       .select("key_a", "key_b", "jaccard")
   }
@@ -115,19 +124,32 @@ object DedupOps {
   def simhash(text: Column): Column = simhashFromHashes(tokenHashes(text))
 
   /** SimHash near-dup pairs: Hamming distance <= maxHamming, candidates via
-    * the 4×16-bit band pigeonhole (any pair within Hamming 3 shares at
-    * least one exact 16-bit band).
+    * the band pigeonhole — the 64-bit signature split into `bands` equal
+    * bands (any pair within Hamming `bands - 1` shares at least one exact
+    * band). EXHAUSTIVE only when `maxHamming < bands`, which is enforced:
+    * a silently recall-limited result must not masquerade as "all pairs
+    * within the threshold". More bands = wider Hamming radius but smaller
+    * band width = more random collisions to verify.
     */
   def simhashPairs(df: DataFrame, textCol: String, keyCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole is exhaustive only for maxHamming < bands (got maxHamming=$maxHamming, bands=$bands)")
+    require(bands >= 1 && bands <= 64, s"bands must be in [1,64] (got $bands)")
+    val width = 64 / bands // last band absorbs the 64 % bands leftover bits
+    def bandWidth(b: Int): Int = if (b == bands - 1) 64 - b * width else width
     val withSig = df
       .select(col(keyCol).as("key"), tokenHashes(col(textCol)).as("hs"))
       .select(col("key"), simhashFromHashes(col("hs")).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandStructs = (0 until bands).map { b =>
+      val mask = if (bandWidth(b) == 64) -1L else (1L << bandWidth(b)) - 1L
+      struct(lit(b).as("band"),
+        call_function("shiftright", col("sig"), lit(b * width).cast("int"))
+          .bitwiseAND(lit(mask)).as("bucket"))
+    }
     val banded = withSig.select(col("key"), col("sig"),
-      explode(transform(sequence(lit(0), lit(3)),
-        b => struct(b.as("band"),
-          call_function("shiftright", col("sig"), (b * 16).cast("int")).bitwiseAND(0xFFFFL).as("bucket")))).as("bb"))
+      explode(array(bandStructs: _*)).as("bb"))
       .select(col("key"), col("sig"), col("bb.band"), col("bb.bucket"))
     val l = banded.select(col("band"), col("bucket"), col("key").as("key_a"), col("sig").as("sig_a"))
     val r = banded.select(col("band"), col("bucket"), col("key").as("key_b"), col("sig").as("sig_b"))
@@ -139,25 +161,62 @@ object DedupOps {
       .select("key_a", "key_b", "hamming")
   }
 
-  /** n-gram Jaccard similarity pairs within a blocking key (no LSH): for
-    * corpora where a natural block exists (language, domain, length band).
+  /** n-gram Jaccard similarity pairs within a blocking key. Candidate
+    * generation is MinHash-LSH *within the block* — an equi-join on
+    * (block, band, bucket) — NOT the quadratic block self-join (a block
+    * that grows linearly with the corpus grows its pair count
+    * quadratically; at 100 TB that is the job). Candidates are then
+    * verified with EXACT Jaccard on the hashed shingle sets, so reported
+    * pairs carry exact similarity; recall follows the LSH S-curve
+    * 1-(1-J^r)^b with threshold ≈ (1/b)^(1/r).
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, keyCol: String,
                         blockCols: Seq[String], n: Int = 3,
-                        minJaccard: Double = 0.5): DataFrame = {
-    // shingles are HASHED to longs before the pairwise join: set
-    // intersection on 8-byte values instead of n-gram strings (identical
-    // Jaccard modulo 2^-64 collisions), and the quadratic block join
-    // shuffles long arrays, not text
+                        minJaccard: Double = 0.5,
+                        bands: Int = 16, rowsPerBand: Int = 2): DataFrame = {
+    // shingles are HASHED to longs once: minhash permutes the hashes, and
+    // exact verification intersects 8-byte values instead of n-gram strings
+    // (identical Jaccard modulo 2^-64 collisions)
+    val base = df.select((blockCols.map(col) :+ col(keyCol).as("key") :+
+      array_distinct(transform(TextOps.shingles(col(textCol), n), x => xxhash64(x))).as("sh")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val k = bands * rowsPerBand
+    val sig = base.select((blockCols.map(col) :+ col("key") :+
+      minhashSignatureFromHashes(col("sh"), k).as("sig")): _*)
+    val banded = sig.select((blockCols.map(col) :+ col("key") :+
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket")))).as("bb")): _*)
+      .select((blockCols.map(col) :+ col("key") :+ col("bb.band") :+ col("bb.bucket")): _*)
+    val joinKeys = blockCols ++ Seq("band", "bucket")
+    val cand = banded.withColumnRenamed("key", "key_a")
+      .join(banded.withColumnRenamed("key", "key_b"), joinKeys.toSeq)
+      .filter(col("key_a") < col("key_b"))
+      .select((blockCols.map(col) :+ col("key_a") :+ col("key_b")): _*)
+      .dropDuplicates("key_a", "key_b")
+    cand
+      .join(base.select(col("key").as("key_a"), col("sh").as("sh_a")), Seq("key_a"))
+      .join(base.select(col("key").as("key_b"), col("sh").as("sh_b")), Seq("key_b"))
+      .withColumn("jaccard", jaccardOf(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= minJaccard)
+      .select((blockCols.map(col) :+ col("key_a") :+ col("key_b") :+ col("jaccard")): _*)
+  }
+
+  /** The quadratic exact baseline of [[ngramJaccardPairs]] — kept for
+    * verification/oracle parity at small scale (all block pairs, exact
+    * Jaccard; this is what the LSH-routed path's recall is measured
+    * against). Do NOT run at corpus scale.
+    */
+  def ngramJaccardPairsExact(df: DataFrame, textCol: String, keyCol: String,
+                             blockCols: Seq[String], n: Int = 3,
+                             minJaccard: Double = 0.5): DataFrame = {
     val base = df.select((blockCols.map(col) :+ col(keyCol).as("key") :+
       array_distinct(transform(TextOps.shingles(col(textCol), n), x => xxhash64(x))).as("sh")): _*)
     val l = base.withColumnsRenamed(Map("key" -> "key_a", "sh" -> "sh_a"))
     val r = base.withColumnsRenamed(Map("key" -> "key_b", "sh" -> "sh_b"))
     l.join(r, blockCols)
       .filter(col("key_a") < col("key_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", jaccardOf(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= minJaccard)
       .select((blockCols.map(col) :+ col("key_a") :+ col("key_b") :+ col("jaccard")): _*)
   }
@@ -179,18 +238,28 @@ object DedupOps {
     dropNearDuplicates(df, keyCol,
       minhashLshPairs(df, textCol, keyCol, bands, rowsPerBand, minJaccard))
 
-  /** Embedding near-dup pairs: cosine >= minCosine via LSH bucketing
-    * (random-hyperplane signs) + in-bucket verification.
+  /** Embedding near-dup pairs: cosine >= minCosine via MULTI-TABLE
+    * random-hyperplane LSH (same design as [[SimilarityOps.lshTopK]]) +
+    * exact-cosine verification on bucket-collision candidates. A single
+    * hash table of `planes` hyperplanes collides a cosine-0.9 pair with
+    * probability only (1-θ/π)^planes ≈ 0.29 at planes=8 — `tables`
+    * independent tables raise recall to 1-(1-p)^tables (≈ 0.94 at 8×8)
+    * while candidate generation stays equi-join-shaped.
     */
   def embeddingCosinePairs(df: DataFrame, vecCol: String, keyCol: String,
-                           minCosine: Double = 0.95, planes: Int = 12,
-                           seed: Long = 42L): DataFrame = {
-    val sig = SimilarityOps.hyperplaneSignature(col(vecCol), planes, seed)
-    val base = df.select(col(keyCol).as("key"), col(vecCol).as("vec"), sig.as("bucket"))
-    val l = base.select(col("bucket"), col("key").as("key_a"), col("vec").as("vec_a"))
-    val r = base.select(col("bucket"), col("key").as("key_b"), col("vec").as("vec_b"))
-    l.join(r, Seq("bucket"))
+                           minCosine: Double = 0.95, planes: Int = 8,
+                           tables: Int = 8, seed: Long = 42L): DataFrame = {
+    val base = df.select(col(keyCol).as("key"), col(vecCol).as("vec"),
+        explode(array((0 until tables).map(t =>
+          struct(lit(t).as("tbl"),
+            SimilarityOps.hyperplaneSignature(col(vecCol), planes, seed + 7919L * t)
+              .as("bucket"))): _*)).as("bb"))
+      .select(col("key"), col("vec"), col("bb.tbl"), col("bb.bucket"))
+    val l = base.select(col("tbl"), col("bucket"), col("key").as("key_a"), col("vec").as("vec_a"))
+    val r = base.select(col("tbl"), col("bucket"), col("key").as("key_b"), col("vec").as("vec_b"))
+    l.join(r, Seq("tbl", "bucket"))
       .filter(col("key_a") < col("key_b"))
+      .dropDuplicates("key_a", "key_b")
       .withColumn("cosine", SimilarityOps.cosine(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= minCosine)
       .select("key_a", "key_b", "cosine")

@@ -61,11 +61,33 @@ object TextOps {
       (acc, tok) => pmod(acc * lit(31L) + pmod(xxhash64(tok), lit(M)), lit(M)))
   }
 
-  /** n-gram shingles over whitespace tokens (n fixed at call site). */
+  /** Cross-engine-portable variant of [[fingerprint]]: same Karp-Rabin
+    * polynomial, but the per-token hash is the first 8 hex digits of md5
+    * (md5 is identical in every engine, unlike xxhash64) — lets a DuckDB
+    * oracle verify the rolling-hash semantics value-for-value. The
+    * xxhash64 [[fingerprint]] stays the fast path (no md5 string work).
+    */
+  def fingerprintPortable(text: Column): Column = {
+    val M = 1000000007L
+    aggregate(
+      split(trim(text), "\\s+"),
+      lit(0L),
+      (acc, tok) => pmod(acc * lit(31L) +
+        pmod(conv(substring(md5(tok), 1, 8), 16, 10).cast("long"), lit(M)), lit(M)))
+  }
+
+  /** n-gram shingles over whitespace tokens (n fixed at call site).
+    * Documents with fewer than `n` tokens yield an EMPTY shingle set —
+    * guarded so `element_at` never sees an out-of-range index (Spark 4
+    * ANSI mode throws INVALID_ARRAY_INDEX; a single short/empty doc must
+    * not crash a 100 TB dedup job).
+    */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(trim(text), "\\s+")
-    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
-    array_distinct(
-      transform(idx, i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+    val idx = sequence(lit(0), size(toks) - n)
+    when(size(toks) >= n,
+      array_distinct(
+        transform(idx, i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
   }
 }

@@ -42,23 +42,56 @@ object TimeOps {
     * Missing rows appear with null values.
     */
   def expandTimeColumn(df: DataFrame, entity: Seq[String], timeCol: String,
-                       method: String = "full_range_entity"): DataFrame = {
+                       method: String = "full_range_entity"): DataFrame =
+    expandTimeColumn(df, entity, timeCol, method, None, None, "none", Nil)
+
+  /** Full `expand_time_column` (owid-etl `misc.py:109-349`, options at
+    * `:138-145`): densify the time axis, optionally extending each spine
+    * beyond the observed range (`since`/`until`, the reference's
+    * `since_time`/`until_time`), then apply ONE fill strategy to the
+    * introduced gaps — "none" | "ffill" | "bfill" | "zero" | "interpolate"
+    * — over `fillCols` (default: every non-entity, non-time column). One
+    * composed plan: spine explode → left join → window fill, no extra
+    * shuffles beyond the join and the per-entity fill window.
+    */
+  def expandTimeColumn(df: DataFrame, entity: Seq[String], timeCol: String,
+                       method: String, since: Option[Long], until: Option[Long],
+                       fill: String, fillCols: Seq[String]): DataFrame = {
+    // widen a [mn, mx] range by the since/until bounds (extend-only, like
+    // the reference: since past mn extends backwards, until past mx forward)
+    val timeType = df.schema(timeCol).dataType
+    def lo(c: Column) = since.map(s => least(c, lit(s).cast(timeType))).getOrElse(c)
+    def hi(c: Column) = until.map(u => greatest(c, lit(u).cast(timeType))).getOrElse(c)
     val spine = method match {
       case "full_range" =>
         val range = df.agg(min(col(timeCol)).as("mn"), max(col(timeCol)).as("mx"))
         df.select(entity.map(col): _*).distinct()
           .crossJoin(range)
-          .select((entity.map(col) :+ explode(sequence(col("mn"), col("mx"))).as(timeCol)): _*)
+          .select((entity.map(col) :+
+            explode(sequence(lo(col("mn")), hi(col("mx")))).as(timeCol)): _*)
       case "full_range_entity" =>
         df.groupBy(entity.map(col): _*)
           .agg(min(col(timeCol)).as("mn"), max(col(timeCol)).as("mx"))
-          .select((entity.map(col) :+ explode(sequence(col("mn"), col("mx"))).as(timeCol)): _*)
+          .select((entity.map(col) :+
+            explode(sequence(lo(col("mn")), hi(col("mx")))).as(timeCol)): _*)
       case "observed" =>
         df.select(entity.map(col): _*).distinct()
           .crossJoin(df.select(col(timeCol)).distinct())
       case other => throw new IllegalArgumentException(s"unknown method: $other")
     }
-    spine.join(df, entity :+ timeCol, "left")
+    val expanded = spine.join(df, entity :+ timeCol, "left")
+    val targets =
+      if (fillCols.nonEmpty) fillCols
+      else df.columns.filterNot(c => entity.contains(c) || c == timeCol).toSeq
+    fill match {
+      case "none" => expanded
+      case "zero" => targets.foldLeft(expanded)((d, c) =>
+        d.withColumn(c, coalesce(col(c), lit(0).cast(df.schema(c).dataType))))
+      case "ffill" => targets.foldLeft(expanded)((d, c) => ffill(d, entity, timeCol, c))
+      case "bfill" => targets.foldLeft(expanded)((d, c) => bfill(d, entity, timeCol, c))
+      case "interpolate" => targets.foldLeft(expanded)((d, c) => interpolate(d, entity, timeCol, c))
+      case other => throw new IllegalArgumentException(s"unknown fill: $other")
+    }
   }
 
   /** Forward-fill per entity: last non-null value at or before each row

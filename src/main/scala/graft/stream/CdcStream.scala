@@ -37,6 +37,21 @@ object CdcStream {
     }
   }
 
+  /** Stream identity for exactly-once tracking: the StreamingQuery id Spark
+    * persists in `<checkpoint>/metadata` — stable across restarts from the
+    * SAME checkpoint, fresh when the checkpoint is deleted/recreated (then
+    * foreachBatch epochs reset to 0 and must re-apply, not no-op against
+    * the table's recorded epochs).
+    */
+  private[graft] def streamIdOf(checkpointDir: String): String = {
+    val p = Paths.get(checkpointDir, "metadata")
+    if (!Files.exists(p)) checkpointDir
+    else {
+      val s = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(s).map(_.group(1)).getOrElse(checkpointDir)
+    }
+  }
+
   /** Start the WAL tail. `maxFilesPerTrigger` bounds micro-batch size
     * (backpressure; reference analogue `GRAPHER_INSERT_WORKERS` sizing).
     * Merge-on-read appends deltas per micro-batch; buckets whose delta
@@ -62,7 +77,8 @@ object CdcStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (df: DataFrame, epoch: Long) =>
-        val stats = CdcMerge.apply(table, df, epoch, saltBuckets, mode)
+        val stats = CdcMerge.apply(table, df, epoch, saltBuckets, mode,
+          streamId = streamIdOf(checkpointDir))
         if (mode == CdcMerge.MergeOnRead && compactEvery > 0)
           Compactor.compactIfNeeded(table, compactEvery)
         // per-partition lineage feed (north-star: lineage via the

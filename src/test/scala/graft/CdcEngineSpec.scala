@@ -104,6 +104,33 @@ class CdcEngineSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("stream identity: a fresh checkpoint (epochs reset to 0) re-applies instead of silently no-oping") {
+    val dir = tmpDir("lake")
+    val cfg = WalGen.Config(numEvents = 4000, numConvs = 40)
+    try {
+      val table = LakeTable.create(spark, s"$dir/t", Schemas.transcript, numBuckets = 4)
+      val half = cfg.numEvents / 2
+      val b0 = WalGen.events(spark, cfg, 0, half).toDF()
+      val b1 = WalGen.events(spark, cfg, half, cfg.numEvents).toDF()
+      // stream A applies epochs 0..1
+      assert(CdcMerge.apply(table, b0, epoch = 0, streamId = "streamA").applied)
+      assert(CdcMerge.apply(table, b1, epoch = 1, streamId = "streamA").applied)
+      // replay of A's epoch 1 → no-op (exactly-once within the stream)
+      assert(!CdcMerge.apply(table, b1, epoch = 1, streamId = "streamA").applied)
+      val check = table.contentChecksum()
+      // stream B (fresh checkpoint: epochs restart at 0) must APPLY, not no-op —
+      // the old bare `lastEpoch >= epoch` gate would silently drop this batch
+      val sB = CdcMerge.apply(table, b1, epoch = 0, streamId = "streamB")
+      assert(sB.applied, "fresh-checkpoint batch was silently dropped")
+      // internal epochs stay monotone and content stays idempotent
+      assert(table.manifest.lastEpoch > 1)
+      assert(table.contentChecksum() == check)
+      assertMatchesOracle(table, cfg)
+      // and B's own replay of its epoch 0 now no-ops
+      assert(!CdcMerge.apply(table, b1, epoch = 0, streamId = "streamB").applied)
+    } finally rmrf(dir)
+  }
+
   test("tombstone: stale lower-LSN update never resurrects a deleted row") {
     val dir = tmpDir("lake")
     try {

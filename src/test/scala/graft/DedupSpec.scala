@@ -52,9 +52,76 @@ class DedupSpec extends SparkSpec {
     val base = (0 until 30).map(i => (i.toLong, mkDoc(i + 77, 80)))
     val nearDup = (200L, base(5)._2.split(" ").updated(10, "Z").mkString(" "))
     val docs = (base :+ nearDup).toDF("doc_id", "text")
-    val pairs = DedupOps.simhashPairs(docs, "text", "doc_id", maxHamming = 12).collect()
+    val pairs = DedupOps.simhashPairs(docs, "text", "doc_id",
+      maxHamming = 12, bands = 13).collect()
     assert(pairs.exists(r => r.getLong(0) == 5L && r.getLong(1) == 200L),
       s"planted simhash pair not found; got ${pairs.mkString(", ")}")
+  }
+
+  test("simhash banding contract: radius beyond pigeonhole is rejected; wide radius needs more bands") {
+    val docs = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    // maxHamming >= bands would silently under-report pairs → must throw
+    intercept[IllegalArgumentException] {
+      DedupOps.simhashPairs(docs, "text", "doc_id", maxHamming = 8, bands = 4)
+    }
+    // a planted pair at Hamming distance up to 8 is found reliably with 9 bands
+    val base = (0 until 25).map(i => (i.toLong, mkDoc(i + 501, 80)))
+    val words = base(3)._2.split(" ")
+    val far = (300L, words.updated(5, "A").updated(20, "B").updated(40, "C").mkString(" "))
+    val all = (base :+ far).toDF("doc_id", "text")
+    val sigs = all.select(col("doc_id"), DedupOps.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val d = java.lang.Long.bitCount(sigs(3L) ^ sigs(300L))
+    assert(d <= 8, s"planted pair drifted to Hamming $d; tighten the edit")
+    val pairs = DedupOps.simhashPairs(all, "text", "doc_id", maxHamming = 8, bands = 9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((3L, 300L)), s"Hamming-$d pair missed with 9 bands: ${pairs.mkString(",")}")
+  }
+
+  test("embedding cosine near-dup: planted perturbed twins recovered with recall >= 0.8") {
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 60).map(i =>
+      (i.toLong, Array.fill(64)((rnd.nextFloat() - 0.5f) * 2f)))
+    // 20 planted twins: v' = v + small noise → cosine ≈ 0.995
+    val twins = (0 until 20).map(i =>
+      (1000L + i, base(i)._2.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f)))
+    val df = (base ++ twins).toDF("vec_id", "embedding")
+    val pairs = DedupOps.embeddingCosinePairs(df, "embedding", "vec_id",
+      minCosine = 0.9, planes = 8, tables = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = (0 until 20).count(i => pairs.contains((i.toLong, 1000L + i)))
+    assert(found >= 16, s"recall ${found / 20.0} < 0.8: $pairs")
+    // verification is exact: every reported pair genuinely exceeds the threshold
+    val cos = DedupOps.embeddingCosinePairs(df, "embedding", "vec_id",
+      minCosine = 0.9, planes = 8, tables = 8).select("cosine").collect()
+    assert(cos.forall(_.getDouble(0) >= 0.9))
+  }
+
+  test("LSH-routed ngram jaccard matches the exact quadratic baseline on planted dups") {
+    val base = (0 until 30).map(i => (i.toLong, "en", mkDoc(i + 900, 60)))
+    val d1 = (500L, "en", base(4)._3.split(" ").updated(2, "Q").mkString(" "))
+    val d2 = (501L, "en", base(9)._3.split(" ").updated(7, "R").mkString(" "))
+    val docs = (base ++ Seq(d1, d2)).toDF("doc_id", "lang", "text")
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("key_a"), r.getAs[Long]("key_b"),
+        r.getAs[Double]("jaccard"))).toSet
+    val lshRouted = key(DedupOps.ngramJaccardPairs(docs, "text", "doc_id",
+      Seq("lang"), n = 3, minJaccard = 0.3).collect())
+    val exact = key(DedupOps.ngramJaccardPairsExact(docs, "text", "doc_id",
+      Seq("lang"), n = 3, minJaccard = 0.3).collect())
+    assert(exact.nonEmpty && lshRouted == exact,
+      s"LSH-routed=$lshRouted exact=$exact")
+  }
+
+  test("shingles guard: documents shorter than n tokens yield empty sets, not ANSI errors") {
+    val docs = Seq((1L, ""), (2L, "one"), (3L, "one two"), (4L, "one two three four"))
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"), size(TextOps.shingles(col("text"), 3)).as("n"))
+      .orderBy("doc_id").collect().map(_.getInt(1))
+    assert(out.toSeq == Seq(0, 0, 0, 2))
+    // end-to-end: minhash LSH over a corpus containing short docs must not crash
+    val pairs = DedupOps.minhashLshPairs(docs, "text", "doc_id", minJaccard = 0.5)
+    assert(pairs.count() == 0)
   }
 
   test("ngram jaccard pairs within blocks match driver-computed jaccard") {

@@ -42,4 +42,45 @@ class PruningSpec extends SparkSpec {
       assert(table.readConversation("conv-does-not-exist").count() == 0)
     } finally rmrf(dir)
   }
+
+  test("per-bucket merge-on-read: one delta file does not shuffle clean buckets") {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window => LWindow}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def scannedFiles(p: LogicalPlan): Seq[String] = p.collectLeaves().flatMap {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation => fs.location.inputFiles.toSeq
+        case _ => Nil
+      }
+      case _ => Nil
+    }
+    val dir = tmpDir("mor")
+    val cfg = WalGen.Config(numEvents = 8000, numConvs = 200, maxTurns = 20)
+    try {
+      val table = LakeTable.create(spark, s"$dir/t", Schemas.transcript, numBuckets = 4)
+      CdcMerge.apply(table, WalGen.events(spark, cfg, 0, 8000).toDF(), 0L)
+      Compactor.compact(table, Set(0, 1, 2, 3)) // all buckets now BASE-only
+      // one more tiny batch touching a single conversation → delta in ONE bucket
+      val ev = WalGen.events(spark, cfg, 0, 200).toDF()
+      val cid = ev.select("conv_id").first().getString(0)
+      CdcMerge.apply(table, ev.filter(col("conv_id") === cid), 1L)
+      val m = table.manifest
+      val dirtyBuckets = m.files.filter(_.kind == FileEntry.DELTA).map(_.bucket).toSet
+      assert(dirtyBuckets.size == 1, s"expected one dirty bucket, got $dirtyBuckets")
+      val df = table.snapshotPhysical(None)
+      val plan = df.queryExecution.optimizedPlan
+      val windows = plan.collect { case w: LWindow => w }
+      assert(windows.size == 1, s"expected exactly one max-LSN window, got ${windows.size}")
+      val windowed = scannedFiles(windows.head)
+      val all = scannedFiles(plan)
+      val dirty = dirtyBuckets.head
+      assert(windowed.nonEmpty && windowed.forall(_.contains(s"bucket=$dirty")),
+        s"window must only read the dirty bucket; read: ${windowed.mkString(",")}")
+      assert(all.size > windowed.size, "clean buckets must be read OUTSIDE the window")
+      // and the per-bucket split is still correct
+      val dupKeys = table.snapshot().groupBy("conv_id", "turn_idx")
+        .count().filter(col("count") > 1).count()
+      assert(dupKeys == 0)
+      assert(table.snapshot().count() > 0)
+    } finally rmrf(dir)
+  }
 }

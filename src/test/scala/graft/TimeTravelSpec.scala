@@ -42,4 +42,29 @@ class TimeTravelSpec extends SparkSpec {
       assert(table.snapshotAt(vCompact).count() == oracleAll.size)
     } finally rmrf(dir)
   }
+
+  test("changelog retention: vacuum honors the retention window; reads past it fail loudly, never partially") {
+    val dir = tmpDir("ttv")
+    val cfg = WalGen.Config(numEvents = 4000, numConvs = 40)
+    try {
+      val table = LakeTable.create(spark, s"$dir/t", Schemas.transcript, numBuckets = 2)
+      val versionAfter = (0 until 4).map { b =>
+        CdcMerge.apply(table, WalGen.events(spark, cfg, b * 1000L, (b + 1) * 1000L).toDF(), b.toLong)
+        table.currentVersion
+      }
+      Compactor.compact(table, Set(0, 1)) // deltas folded → only the retention window pins them
+      val vCompact = table.currentVersion
+      // retention wide enough → old deltas survive vacuum, changelog still reads
+      table.vacuum(keepVersions = 1, changelogRetentionVersions = 10)
+      assert(table.changesBetween(versionAfter(0), versionAfter(2)).count() > 0)
+      // no retention → deltas vacuumed; the changelog read must FAIL LOUDLY
+      table.vacuum(keepVersions = 1)
+      val e = intercept[IllegalStateException] {
+        table.changesBetween(versionAfter(0), versionAfter(2)).count()
+      }
+      assert(e.getMessage.contains("vacuum"))
+      // current snapshot unaffected
+      assert(table.snapshotAt(vCompact).count() == table.snapshot().count())
+    } finally rmrf(dir)
+  }
 }

@@ -91,14 +91,25 @@ object Bench {
     val tmp = benchTmp
 
     // ---- part 1: operator queries ----
+    // iteration knobs (builder-local): GRAFT_BENCH_ONLY=q1,q2 runs a subset;
+    // GRAFT_BENCH_SKIP_CDC=1 skips parts 2+3 (per-query timing loops)
+    val only = sys.env.get("GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val skipCdc = sys.env.contains("GRAFT_BENCH_SKIP_CDC")
     val s1 = session(cpus, tmp)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.forall(_.contains(q._1))).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(s1, sfDir).count() } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val totalQ = results.map(_._2).sum
+
+    if (skipCdc) {
+      val qs0 = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      println(s"""{"metric":"queries_only","queries_total_sec":${f"$totalQ%.1f"},"queries":$qs0,"sf":"$sfDir"}""")
+      s1.stop(); rmrf(tmp); return
+    }
 
     // ---- part 2: CDC scaling (same WAL, two parallelism levels) ----
     val cfg = WalGen.Config(numEvents = benchEvents,

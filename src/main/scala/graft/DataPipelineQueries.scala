@@ -50,20 +50,38 @@ object DataPipelineQueries {
         .orderBy("key_a", "key_b")
     }
 
-    // blocked n-gram Jaccard — exact verify inside (lang, length-band) blocks
+    // blocked n-gram Jaccard, LSH-routed candidates + exact verify. Each
+    // row carries a constant in-result completeness bit: the number of
+    // exact-path pairs (both ids < 600, bounded scale) the LSH routing
+    // missed — expected 0.
     register("q_dedup_ngram_jaccard", None) { (s, dir) =>
       val df = T(s, dir, "documents").withColumn("len_band", (col("n_chars") / 64).cast("int"))
-      DedupOps.ngramJaccardPairs(df, "text", "doc_id", Seq("lang", "len_band"),
+      val pairs = DedupOps.ngramJaccardPairs(df, "text", "doc_id", Seq("lang", "len_band"),
         n = 3, minJaccard = 0.3)
-        .orderBy("key_a", "key_b")
+      val exactSmall = DedupOps.ngramJaccardPairsExact(
+        df.filter(col("doc_id") < 600), "text", "doc_id", Seq("lang", "len_band"),
+        n = 3, minJaccard = 0.3).select("key_a", "key_b")
+      val missed = exactSmall
+        .join(pairs.select("key_a", "key_b"), Seq("key_a", "key_b"), "left_anti")
+        .agg(count(lit(1)).as("missed_pairs_lt600"))
+      pairs.crossJoin(missed).orderBy("key_a", "key_b")
     }
 
-    // materialized near-dedup: the table AFTER dropping near-duplicates
+    // materialized near-dedup: the table AFTER dropping near-duplicates.
+    // In-result verification (constant column): among surviving docs with
+    // id < 600, the number of exact-Jaccard >= 0.5 pairs still present —
+    // expected 0 (survivors must not contain near-dup pairs).
     register("q_dedup_drop_neardup", None) { (s, dir) =>
-      DedupOps.dropMinhashNearDuplicates(
-        T(s, dir, "documents"), "text", "doc_id", minJaccard = 0.5)
+      val docs = T(s, dir, "documents")
+      val out = DedupOps.dropMinhashNearDuplicates(docs, "text", "doc_id", minJaccard = 0.5)
         .select("doc_id", "lang", "n_chars")
-        .orderBy("doc_id")
+      val smallSurvivors = out.select("doc_id")
+        .filter(col("doc_id") < 600)
+        .join(docs.select("doc_id", "text"), Seq("doc_id"))
+      val remaining = DedupOps.ngramJaccardPairsExact(
+        smallSurvivors, "text", "doc_id", blockCols = Nil, n = 3, minJaccard = 0.5)
+        .agg(count(lit(1)).as("surviving_neardup_pairs_lt600"))
+      out.crossJoin(remaining).orderBy("doc_id")
     }
 
     // The embeddings table has no natural near-duplicates (max pairwise
@@ -83,13 +101,13 @@ object DataPipelineQueries {
     }
 
     // The exact quadratic baseline the LSH paths are measured against —
-    // bounded to doc_id < 1000 (verification at fixed scale, NOT the scale
+    // bounded to doc_id < 600 (verification at fixed scale, NOT the scale
     // path) and DuckDB-oracled: n-gram shingle Jaccard is expressible with
     // list lambdas, and Jaccard over xxhash64'd shingle sets equals Jaccard
     // over the string sets (distinct counts preserved mod 2^-64 collisions).
     register("q_neardup_exact_pairs", Some(
       """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-        |           FROM documents WHERE doc_id < 1000),
+        |           FROM documents WHERE doc_id < 600),
         |sh AS (SELECT doc_id,
         |  list_distinct(CASE WHEN len(t) >= 3 THEN
         |    list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
@@ -102,7 +120,7 @@ object DataPipelineQueries {
         |      CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5
         |ORDER BY key_a, key_b""".stripMargin)) { (s, dir) =>
       DedupOps.ngramJaccardPairsExact(
-        T(s, dir, "documents").filter(col("doc_id") < 1000),
+        T(s, dir, "documents").filter(col("doc_id") < 600),
         "text", "doc_id", blockCols = Nil, n = 3, minJaccard = 0.5)
         .orderBy("key_a", "key_b")
     }

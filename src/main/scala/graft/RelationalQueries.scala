@@ -97,6 +97,25 @@ object RelationalQueries {
         since = None, until = Some(1999L), fill = "ffill", fillCols = Seq("n"))
         .orderBy("o_custkey", "y")
     }
+
+    // per-key grouped JSON export (the reference's R2 per-variable
+    // {entities,years,values} doc, data_metadata.py:14-24) — byte-identical
+    // doc built by both engines from (time, entity)-sorted aligned arrays.
+    register("q_per_key_export", Some(
+      """WITH g AS (SELECT o_orderpriority AS key, CAST(year(o_orderdate) AS INTEGER) AS t,
+        |                  o_custkey AS e, COUNT(*) AS v
+        |           FROM orders GROUP BY 1, 2, 3)
+        |SELECT key,
+        |  '{"entities":[' || string_agg(e::VARCHAR, ',' ORDER BY t, e) ||
+        |  '],"years":['   || string_agg(t::VARCHAR, ',' ORDER BY t, e) ||
+        |  '],"values":['  || string_agg(v::VARCHAR, ',' ORDER BY t, e) || ']}' AS doc
+        |FROM g GROUP BY key ORDER BY key""".stripMargin)) { (s, dir) =>
+      val g = T(s, dir, "orders")
+        .withColumn("t", year(col("o_orderdate")))
+        .groupBy(col("o_orderpriority").as("key"), col("t"), col("o_custkey").as("e"))
+        .agg(count(lit(1)).as("v"))
+      ExportOps.perKeyJson(g, "key", "e", "t", "v").orderBy("key")
+    }
   }
 
   // ===== §2.1 scans + §2.2 projections/filters/row ops =====

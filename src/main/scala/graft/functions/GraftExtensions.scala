@@ -11,6 +11,8 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    // MERGE INTO <registered lake table> → CdcMerge (graft.sql.MergeSql)
+    e.injectResolutionRule(session => graft.sql.GraftMergeRule(session))
     e.injectFunction((
       new FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
@@ -21,5 +23,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_similarity"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         CosineSimilarity(exprs(0), exprs(1))))
+    // minhash_signature(hashes, k[, seed]) — k/seed must be literals
+    e.injectFunction((
+      new FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        def lit(i: Int): Long = exprs(i) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+          case other => throw new IllegalArgumentException(
+            s"minhash_signature arg ${i + 1} must be an integer literal, got $other")
+        }
+        MinHashSignature(exprs(0), lit(1).toInt,
+          if (exprs.length > 2) lit(2) else 42L)
+      }))
   }
 }

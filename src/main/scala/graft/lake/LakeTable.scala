@@ -110,8 +110,14 @@ final class LakeTable private (val root: Path, spark: SparkSession) {
     parts.reduce(_ unionByName _)
   }
 
-  def snapshotPhysical(buckets: Option[Set[Int]] = None): DataFrame = {
-    val m = manifest
+  def snapshotPhysical(buckets: Option[Set[Int]] = None): DataFrame =
+    snapshotPhysical(manifest, buckets)
+
+  /** Same, over a PINNED manifest — concurrent commits between planning and
+    * execution must not change which files this read resolves (used by the
+    * optimistic-concurrency compactor).
+    */
+  def snapshotPhysical(m: Manifest, buckets: Option[Set[Int]]): DataFrame = {
     val target = Schemas.physical(userSchema(m))
     val wanted = buckets match {
       case Some(bs) => m.filesForBuckets(bs)

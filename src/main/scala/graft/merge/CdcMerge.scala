@@ -194,24 +194,53 @@ object CdcMerge {
     }
     deleteRecursively(staging)
 
-    val allFiles = carried ++ newFiles
-    val batchMaxLsn = math.max(m.maxLsn, newFiles.map(_.maxLsn).foldLeft(-1L)(math.max))
-    val wallMs = (System.nanoTime() - t0) / 1000000
-    val m2 = m.copy(
-      version = m.version + 1,
-      lastEpoch = effEpoch,
-      streamId = streamId,
-      lastSourceEpoch = epoch,
-      currentSchemaId = schemaId2,
-      schemas = schemas2,
-      files = allFiles,
-      totalRows = allFiles.map(_.rows).sum, // physical rows (deltas may shadow)
-      maxLsn = batchMaxLsn,
-      lineage = (m.lineage :+ CommitInfo(m.version + 1, effEpoch,
-        newFiles.map(_.rows).sum, affected.toSeq.sorted, batchMaxLsn, wallMs,
-        System.currentTimeMillis())).takeRight(1000))
-    table.commit(m2, m.version)
-    Stats(epoch, applied = true, newFiles.map(_.rows).sum, affected.size, wallMs)
+    // Commit with REBASE-on-conflict: an async compaction may win the CAS
+    // between our manifest read and commit. A merge-on-read delta append is
+    // always rebase-safe (it only ADDS files); the rebase re-reads the
+    // current manifest, re-derives the carried file list, and retries.
+    // Copy-on-write rewrote bucket contents from a snapshot — a concurrent
+    // commit invalidates that snapshot, so CoW does not retry (it is the
+    // single-committer mode).
+    var base = m
+    var attempt = 0
+    while (true) {
+      val carriedNow =
+        if (base eq m) carried
+        else mode match {
+          case MergeOnRead => base.files
+          case CopyOnWrite => throw new IllegalStateException(
+            "concurrent commit during copy-on-write merge — CoW requires a single committer")
+        }
+      require(base.schemas == m.schemas && base.currentSchemaId == m.currentSchemaId,
+        "concurrent schema change during merge")
+      require(base.lastEpoch <= effEpoch || (base eq m),
+        s"concurrent WRITER detected (lastEpoch ${base.lastEpoch} > $effEpoch) — one writer per table")
+      val allFiles = carriedNow ++ newFiles
+      val batchMaxLsn = math.max(base.maxLsn, newFiles.map(_.maxLsn).foldLeft(-1L)(math.max))
+      val wallMs = (System.nanoTime() - t0) / 1000000
+      val m2 = base.copy(
+        version = base.version + 1,
+        lastEpoch = effEpoch,
+        streamId = streamId,
+        lastSourceEpoch = epoch,
+        currentSchemaId = schemaId2,
+        schemas = schemas2,
+        files = allFiles,
+        totalRows = allFiles.map(_.rows).sum, // physical rows (deltas may shadow)
+        maxLsn = batchMaxLsn,
+        lineage = (base.lineage :+ CommitInfo(base.version + 1, effEpoch,
+          newFiles.map(_.rows).sum, affected.toSeq.sorted, batchMaxLsn, wallMs,
+          System.currentTimeMillis())).takeRight(1000))
+      try {
+        table.commit(m2, base.version)
+        return Stats(epoch, applied = true, newFiles.map(_.rows).sum, affected.size, wallMs)
+      } catch {
+        case e: IllegalArgumentException if mode == MergeOnRead && attempt < 10 =>
+          attempt += 1
+          base = table.manifest
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Collect per-file stats straight from the parquet FOOTERS (row counts
@@ -292,14 +321,16 @@ object Compactor {
     */
   def compactIfNeeded(table: LakeTable, deltaThreshold: Int = 4,
                       dropTombstones: Boolean = false): Option[Result] = {
-    val m = table.manifest
-    val byBucket = m.files.groupBy(_.bucket)
-    val due = byBucket.collect {
+    val due = dueBuckets(table, deltaThreshold)
+    if (due.isEmpty) None else Some(compact(table, due.toSet, dropTombstones))
+  }
+
+  /** Buckets whose deltas span >= `deltaThreshold` distinct epochs. */
+  def dueBuckets(table: LakeTable, deltaThreshold: Int): Seq[Int] =
+    table.manifest.files.groupBy(_.bucket).collect {
       case (b, fs) if fs.filter(_.kind == FileEntry.DELTA)
         .map(_.epoch).distinct.size >= deltaThreshold => b
     }.toSeq.sorted
-    if (due.isEmpty) None else Some(compact(table, due.toSet, dropTombstones))
-  }
 
   def compact(table: LakeTable, buckets: Set[Int],
               dropTombstones: Boolean = false,
@@ -337,5 +368,74 @@ object Compactor {
         System.currentTimeMillis())).takeRight(1000))
     table.commit(m2, m.version)
     Result(buckets.toSeq.sorted, wallMs)
+  }
+
+  /** Compaction with OPTIMISTIC-CONCURRENCY commit — the maintenance-thread
+    * form: the (slow) bucket rewrite runs off the streaming hot path while
+    * writers keep committing; the commit then validates-and-retries
+    * Iceberg-style. Validation: the compacted buckets' file sets must be
+    * UNCHANGED since the compaction read them — concurrent commits to
+    * OTHER buckets are rebased onto (carried files re-read from the current
+    * manifest); a concurrent write INTO a compacted bucket invalidates the
+    * rewrite (its delta would be lost) → staged output is abandoned and
+    * None returned (the next maintenance tick retries from fresh state).
+    * `preCommit` is a test seam to inject a concurrent commit into the
+    * validation window deterministically.
+    */
+  def compactConcurrent(table: LakeTable, buckets: Set[Int],
+                        dropTombstones: Boolean = false,
+                        maxRecordsPerFile: Long = 0L,
+                        maxRetries: Int = 20,
+                        preCommit: () => Unit = () => ()): Option[Result] = {
+    val t0 = System.nanoTime()
+    val spark = table.snapshot().sparkSession
+    val m0 = table.manifest
+    val inputFiles = m0.filesForBuckets(buckets).map(_.path).toSet
+    if (inputFiles.isEmpty) return None
+    val resolved0 = // resolve from the PINNED manifest (not _current: a
+      // concurrent writer must not change our input between pin and plan)
+      table.snapshotPhysical(m0, Some(buckets))
+    val resolved = if (dropTombstones)
+      resolved0.filter(!col(graft.model.Schemas.DELETED_COL)) else resolved0
+    val staging = table.root.resolve(
+      s"_staging/compact-c${m0.version}-${java.util.UUID.randomUUID().toString.take(8)}")
+    CdcMerge.deleteRecursively(staging)
+    resolved
+      .withColumn("bucket", table.bucketExpr(m0.numBuckets))
+      .repartition(spark.sessionState.conf.numShufflePartitions, col("bucket"))
+      .sortWithinPartitions("bucket", "conv_id", "turn_idx")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("bucket").parquet(staging.toString)
+    val newFiles = CdcMerge.adoptStaged(table, spark, staging, m0.lastEpoch,
+      m0.currentSchemaId, FileEntry.BASE)
+    CdcMerge.deleteRecursively(staging)
+    preCommit()
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val cur = table.manifest
+      if (cur.filesForBuckets(buckets).map(_.path).toSet != inputFiles) {
+        // someone wrote into a compacted bucket → our rewrite is stale
+        newFiles.foreach(f => java.nio.file.Files.deleteIfExists(table.root.resolve(f.path)))
+        return None
+      }
+      val allFiles = cur.files.filterNot(f => buckets.contains(f.bucket)) ++ newFiles
+      val wallMs = (System.nanoTime() - t0) / 1000000
+      val m2 = cur.copy(
+        version = cur.version + 1,
+        files = allFiles,
+        totalRows = allFiles.map(_.rows).sum,
+        lineage = (cur.lineage :+ CommitInfo(cur.version + 1, cur.lastEpoch,
+          newFiles.map(_.rows).sum, buckets.toSeq.sorted, cur.maxLsn, wallMs,
+          System.currentTimeMillis())).takeRight(1000))
+      try {
+        table.commit(m2, cur.version)
+        return Some(Result(buckets.toSeq.sorted, wallMs))
+      } catch {
+        case _: IllegalArgumentException => attempt += 1 // CAS lost; rebase + retry
+      }
+    }
+    newFiles.foreach(f => java.nio.file.Files.deleteIfExists(table.root.resolve(f.path)))
+    None
   }
 }

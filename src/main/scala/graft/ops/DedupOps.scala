@@ -16,6 +16,15 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
+  /** Spread rows across the session's shuffle parallelism before a
+    * CPU-heavy per-row stage. A small input (one parquet file = one scan
+    * task) would otherwise run the whole signature computation on ONE
+    * core; at scale the scan already has many partitions and this is a
+    * cheap hash exchange that co-partitions by key.
+    */
+  private def spread(df: DataFrame, keyCol: String): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions, col(keyCol))
+
   /** Exact Jaccard of two (distinct-element) arrays — empty∪empty is
     * defined as 0.0 (ANSI mode: a plain double division would THROW
     * DIVIDE_BY_ZERO when two empty-shingle docs collide in a bucket).
@@ -47,7 +56,14 @@ object DedupOps {
     * inner loop instead of k full string-hash passes. Inputs are reduced to
     * [0, p) first so ANSI-mode long multiplication cannot overflow.
     */
-  def minhashSignatureFromHashes(shingleHashes: Column, k: Int, seed: Long = 42L): Column = {
+  def minhashSignatureFromHashes(shingleHashes: Column, k: Int, seed: Long = 42L): Column =
+    graft.functions.MinHashFunctions.minhash_signature(shingleHashes, k, seed)
+
+  /** The composable HOF formulation of [[minhashSignatureFromHashes]] —
+    * k interpreted array traversals; kept as the verification reference
+    * for the native expression (FunctionsSpec asserts bit-equality).
+    */
+  def minhashSignatureFromHashesHof(shingleHashes: Column, k: Int, seed: Long = 42L): Column = {
     val p = 2147483647L // 2^31 - 1
     val perms = (0 until k).map { s =>
       val a = 1L + java.lang.Math.floorMod(graft.util.DetHash.splitmix64(seed ^ (2L * s)), p - 1)
@@ -73,7 +89,7 @@ object DedupOps {
     val k = bands * rowsPerBand
     // stage 1: shingle + hash once per doc; persisted — reused by the band
     // self-join (both sides) and the final verification joins
-    val sh = df.select(col(keyCol).as("key"),
+    val sh = spread(df, keyCol).select(col(keyCol).as("key"),
         TextOps.shingles(col(textCol), 3).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = sh
@@ -138,7 +154,7 @@ object DedupOps {
     require(bands >= 1 && bands <= 64, s"bands must be in [1,64] (got $bands)")
     val width = 64 / bands // last band absorbs the 64 % bands leftover bits
     def bandWidth(b: Int): Int = if (b == bands - 1) 64 - b * width else width
-    val withSig = df
+    val withSig = spread(df, keyCol)
       .select(col(keyCol).as("key"), tokenHashes(col(textCol)).as("hs"))
       .select(col("key"), simhashFromHashes(col("hs")).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -177,7 +193,7 @@ object DedupOps {
     // shingles are HASHED to longs once: minhash permutes the hashes, and
     // exact verification intersects 8-byte values instead of n-gram strings
     // (identical Jaccard modulo 2^-64 collisions)
-    val base = df.select((blockCols.map(col) :+ col(keyCol).as("key") :+
+    val base = spread(df, keyCol).select((blockCols.map(col) :+ col(keyCol).as("key") :+
       array_distinct(transform(TextOps.shingles(col(textCol), n), x => xxhash64(x))).as("sh")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val k = bands * rowsPerBand
@@ -210,7 +226,7 @@ object DedupOps {
   def ngramJaccardPairsExact(df: DataFrame, textCol: String, keyCol: String,
                              blockCols: Seq[String], n: Int = 3,
                              minJaccard: Double = 0.5): DataFrame = {
-    val base = df.select((blockCols.map(col) :+ col(keyCol).as("key") :+
+    val base = spread(df, keyCol).select((blockCols.map(col) :+ col(keyCol).as("key") :+
       array_distinct(transform(TextOps.shingles(col(textCol), n), x => xxhash64(x))).as("sh")): _*)
     val l = base.withColumnsRenamed(Map("key" -> "key_a", "sh" -> "sh_a"))
     val r = base.withColumnsRenamed(Map("key" -> "key_b", "sh" -> "sh_b"))
@@ -249,7 +265,7 @@ object DedupOps {
   def embeddingCosinePairs(df: DataFrame, vecCol: String, keyCol: String,
                            minCosine: Double = 0.95, planes: Int = 8,
                            tables: Int = 8, seed: Long = 42L): DataFrame = {
-    val base = df.select(col(keyCol).as("key"), col(vecCol).as("vec"),
+    val base = spread(df, keyCol).select(col(keyCol).as("key"), col(vecCol).as("vec"),
         explode(array((0 until tables).map(t =>
           struct(lit(t).as("tbl"),
             SimilarityOps.hyperplaneSignature(col(vecCol), planes, seed + 7919L * t)

@@ -52,18 +52,35 @@ object CdcStream {
     }
   }
 
+  /** Single maintenance thread for async compaction: the bucket rewrite
+    * runs here while the streaming loop keeps committing micro-batches;
+    * commits reconcile via [[Compactor.compactConcurrent]]'s
+    * validate-and-retry. One pending task max (a busy compactor skips the
+    * tick — the next one sees the accumulated deltas anyway).
+    */
+  private val maintenancePool = java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+    val t = new Thread(r, "graft-compaction"); t.setDaemon(true); t
+  })
+  private val maintenanceBusy = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Test/shutdown hook: wait for any in-flight maintenance compaction. */
+  def awaitMaintenance(): Unit =
+    maintenancePool.submit(new Runnable { def run(): Unit = () }).get()
+
   /** Start the WAL tail. `maxFilesPerTrigger` bounds micro-batch size
     * (backpressure; reference analogue `GRAPHER_INSERT_WORKERS` sizing).
     * Merge-on-read appends deltas per micro-batch; buckets whose delta
-    * count reaches `compactEvery` are folded into base files inline
-    * (amortized — most batches skip it).
+    * count reaches `compactEvery` are folded into base files — inline by
+    * default, or on the maintenance thread when `asyncCompaction` is set
+    * (the streaming loop never blocks on the rewrite).
     */
   def start(spark: SparkSession, walDir: String, table: LakeTable,
             checkpointDir: String, maxFilesPerTrigger: Int = 4,
             saltBuckets: Int = 8, mode: CdcMerge.Mode = CdcMerge.MergeOnRead,
             compactEvery: Int = 8,
             trigger: Trigger = Trigger.AvailableNow(),
-            walSchema: org.apache.spark.sql.types.StructType = Schemas.changeEvent): StreamingQuery = {
+            walSchema: org.apache.spark.sql.types.StructType = Schemas.changeEvent,
+            asyncCompaction: Boolean = false): StreamingQuery = {
     // Mid-stream schema evolution: the file source needs ONE schema, so
     // tail with the WIDENED union schema (pass `walSchema`); parquet
     // null-fills columns absent from older chunks and the per-batch
@@ -79,8 +96,19 @@ object CdcStream {
       .foreachBatch { (df: DataFrame, epoch: Long) =>
         val stats = CdcMerge.apply(table, df, epoch, saltBuckets, mode,
           streamId = streamIdOf(checkpointDir))
-        if (mode == CdcMerge.MergeOnRead && compactEvery > 0)
-          Compactor.compactIfNeeded(table, compactEvery)
+        if (mode == CdcMerge.MergeOnRead && compactEvery > 0) {
+          if (!asyncCompaction) Compactor.compactIfNeeded(table, compactEvery)
+          else if (maintenanceBusy.compareAndSet(false, true)) {
+            maintenancePool.submit(new Runnable {
+              def run(): Unit = try {
+                val due = Compactor.dueBuckets(table, compactEvery)
+                if (due.nonEmpty) Compactor.compactConcurrent(table, due.toSet)
+              } catch {
+                case e: Throwable => System.err.println(s"[cdc-stream] async compaction failed: $e")
+              } finally maintenanceBusy.set(false)
+            })
+          }
+        }
         // per-partition lineage feed (north-star: lineage via the
         // streaming loop): which buckets this epoch touched, with rows +
         // max LSN per file, appended as JSON lines next to the checkpoint
@@ -107,9 +135,11 @@ object CdcStream {
                       checkpointDir: String, maxFilesPerTrigger: Int = 4,
                       saltBuckets: Int = 8,
                       mode: CdcMerge.Mode = CdcMerge.MergeOnRead,
-                      compactEvery: Int = 8): Unit = {
+                      compactEvery: Int = 8,
+                      asyncCompaction: Boolean = false): Unit = {
     val q = start(spark, walDir, table, checkpointDir, maxFilesPerTrigger,
-      saltBuckets, mode, compactEvery)
+      saltBuckets, mode, compactEvery, asyncCompaction = asyncCompaction)
     try q.awaitTermination() finally if (q.isActive) q.stop()
+    if (asyncCompaction) awaitMaintenance()
   }
 }

@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.gen.WalGen
+import graft.lake.{FileEntry, LakeTable}
+import graft.merge.{CdcMerge, Compactor}
+import graft.model.Schemas
+import graft.stream.CdcStream
+
+/** Optimistic-concurrency compaction: the maintenance-thread rewrite must
+  * reconcile with concurrent micro-batch commits — rebase when the commits
+  * touched other buckets, abandon when they wrote into a compacted bucket —
+  * and an async-compaction stream must converge to the oracle.
+  */
+class CompactionSpec extends SparkSpec {
+
+  private def oracleCheck(table: LakeTable, cfg: WalGen.Config): Unit = {
+    val oracle = WalGen.oracleState(cfg)
+    val got = table.snapshot().select("conv_id", "turn_idx", "text").collect()
+      .map(r => ((r.getString(0), r.getInt(1)), r.getString(2))).toMap
+    assert(got.size == oracle.size, s"rows: got ${got.size}, oracle ${oracle.size}")
+    oracle.foreach { case (k, e) => assert(got(k) == e.text, s"text mismatch at $k") }
+  }
+
+  test("concurrent commit to OTHER buckets: compaction rebases and commits") {
+    val dir = tmpDir("cc1")
+    val cfg = WalGen.Config(numEvents = 8000, numConvs = 100)
+    try {
+      val table = LakeTable.create(spark, s"$dir/t", Schemas.transcript, numBuckets = 4)
+      (0 until 2).foreach { b =>
+        CdcMerge.apply(table, WalGen.events(spark, cfg, b * 4000L, (b + 1) * 4000L).toDF(), b.toLong)
+      }
+      val compactBuckets = Set(0, 1)
+      val others = table.manifest.files.map(_.bucket).toSet -- compactBuckets
+      assert(others.nonEmpty)
+      // inject a concurrent commit that touches ONLY the other buckets
+      val otherConv = table.snapshot().withColumn("b", table.bucketExpr(4))
+        .filter(col("b").isin(others.toSeq: _*)).select("conv_id").first().getString(0)
+      val inject: () => Unit = () => {
+        val extra = WalGen.events(spark, cfg, 0, 2000).toDF()
+          .filter(col("conv_id") === otherConv)
+        val st = CdcMerge.apply(table, extra, epoch = 99, streamId = "injector")
+        assert(st.applied)
+        ()
+      }
+      val v0 = table.currentVersion
+      val r = Compactor.compactConcurrent(table, compactBuckets, preCommit = inject)
+      assert(r.isDefined, "compaction should rebase over an other-bucket commit")
+      assert(table.currentVersion == v0 + 2) // injected commit + compaction commit
+      // compacted buckets are base-only; injected delta survived the rebase
+      val m = table.manifest
+      assert(m.filesForBuckets(compactBuckets).forall(_.kind == FileEntry.BASE))
+      assert(m.filesForBuckets(others).exists(f => f.kind == FileEntry.DELTA && f.epoch > 1))
+      oracleCheck(table, cfg)
+    } finally rmrf(dir)
+  }
+
+  test("concurrent commit INTO a compacted bucket: compaction abandons, nothing lost") {
+    val dir = tmpDir("cc2")
+    val cfg = WalGen.Config(numEvents = 8000, numConvs = 100)
+    try {
+      val table = LakeTable.create(spark, s"$dir/t", Schemas.transcript, numBuckets = 4)
+      (0 until 2).foreach { b =>
+        CdcMerge.apply(table, WalGen.events(spark, cfg, b * 4000L, (b + 1) * 4000L).toDF(), b.toLong)
+      }
+      val compactBuckets = Set(0, 1)
+      val victimConv = table.snapshot().withColumn("b", table.bucketExpr(4))
+        .filter(col("b").isin(compactBuckets.toSeq: _*)).select("conv_id").first().getString(0)
+      val inject: () => Unit = () => {
+        val extra = WalGen.events(spark, cfg, 0, 2000).toDF()
+          .filter(col("conv_id") === victimConv)
+        assert(CdcMerge.apply(table, extra, epoch = 99, streamId = "injector").applied)
+        ()
+      }
+      val r = Compactor.compactConcurrent(table, compactBuckets, preCommit = inject)
+      assert(r.isEmpty, "compaction must abandon when its input buckets changed")
+      // injected delta is still visible; a FRESH compaction then succeeds
+      assert(table.manifest.filesForBuckets(compactBuckets).exists(_.kind == FileEntry.DELTA))
+      assert(Compactor.compactConcurrent(table, compactBuckets).isDefined)
+      assert(table.manifest.filesForBuckets(compactBuckets).forall(_.kind == FileEntry.BASE))
+      oracleCheck(table, cfg)
+      // abandoned compaction left no orphan entries in the manifest
+      val missing = table.manifest.files.filterNot(f =>
+        java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/t").resolve(f.path)))
+      assert(missing.isEmpty, s"manifest references missing files: $missing")
+    } finally rmrf(dir)
+  }
+
+  test("streaming with async compaction converges to the oracle") {
+    val dir = tmpDir("cc3")
+    val cfg = WalGen.Config(numEvents = 20000, numConvs = 150, maxTurns = 25)
+    try {
+      WalGen.writeWal(spark, s"$dir/wal", cfg, numChunks = 10)
+      val table = LakeTable.create(spark, s"$dir/t", Schemas.transcript, numBuckets = 4)
+      CdcStream.runToCompletion(spark, s"$dir/wal", table, s"$dir/cp",
+        maxFilesPerTrigger = 1, compactEvery = 3, asyncCompaction = true)
+      oracleCheck(table, cfg)
+      val dupKeys = table.snapshot().groupBy("conv_id", "turn_idx")
+        .count().filter(col("count") > 1).count()
+      assert(dupKeys == 0)
+    } finally rmrf(dir)
+  }
+}

@@ -45,6 +45,30 @@ class FunctionsSpec extends SparkSpec {
     assert(plan.contains("*(1) Project"), plan)
   }
 
+  test("native minhash signature bit-identical to HOF formulation, incl. empty arrays") {
+    val docs = (0 until 100).map { i =>
+      (i.toLong, (0 until (i % 7) * 10).map(j => s"tok${(i * 13 + j) % 40}").mkString(" "))
+    }.toDF("id", "text") // ids with i % 7 == 0 have EMPTY token-hash arrays after shingling
+    val hs = docs.repartition(2).select(col("id"),
+      transform(graft.ops.TextOps.shingles(col("text"), 3), x => xxhash64(x)).as("hs"))
+    val both = hs.select(col("id"),
+      graft.ops.DedupOps.minhashSignatureFromHashes(col("hs"), 16).as("native"),
+      graft.ops.DedupOps.minhashSignatureFromHashesHof(col("hs"), 16).as("hof"))
+    both.collect().foreach { r =>
+      assert(r.getSeq[Any](1) == r.getSeq[Any](2), s"mismatch for id ${r.getLong(0)}")
+    }
+    // and the native expression stays inside whole-stage codegen once the
+    // (interpreted-HOF) shingle hashes are staged behind a cache boundary —
+    // exactly how the dedup pipelines call it
+    val hsMat = hs.persist()
+    hsMat.count()
+    val df = hsMat.select(graft.ops.DedupOps.minhashSignatureFromHashes(col("hs"), 8).as("sig"))
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("*(1) Project"),
+      df.queryExecution.executedPlan.toString)
+    hsMat.unpersist()
+  }
+
   test("SQL registration via GraftExtensions") {
     // extensions apply at session BUILD time; build a sibling session over
     // the same SparkContext (do NOT stop it — the context is shared)
@@ -62,6 +86,9 @@ class FunctionsSpec extends SparkSpec {
           |       cosine_similarity(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c""".stripMargin)
         .collect()(0)
       assert(r.getDouble(0) == 11.0 && math.abs(r.getDouble(1) - 1.0) < 1e-15)
+      val mh = s2.sql("SELECT minhash_signature(array(1L, 2L, 3L), 4) AS m")
+        .collect()(0).getSeq[Long](0)
+      assert(mh.length == 4 && mh.forall(_ >= 0))
       // type error is caught at analysis with the function name in it
       val err = intercept[Exception](s2.sql("SELECT vector_dot(1, 2)").collect())
       assert(err.getMessage.contains("vector_dot"))

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.gen.WalGen
+import graft.lake.LakeTable
+import graft.model.Schemas
+import graft.sql.LakeCatalog
+
+/** `MERGE INTO <lake table> USING <source>` SQL surface → CdcMerge. */
+class MergeSqlSpec extends SparkSpec {
+
+  test("MERGE INTO SQL applies LSN-gated upserts and deletes to a registered lake table") {
+    val dir = tmpDir("mergesql")
+    spark.sparkContext // ensure the shared context exists (builder reuses it)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      val cfg = WalGen.Config(numEvents = 6000, numConvs = 60)
+      LakeTable.create(s2, s"$dir/t", Schemas.transcript, numBuckets = 4)
+      LakeCatalog.register("lake_transcripts", s"$dir/t")
+
+      WalGen.events(s2, cfg, 0, 3000).toDF().createOrReplaceTempView("changes")
+      val r1 = s2.sql(
+        """MERGE INTO lake_transcripts USING changes
+          |ON lake_transcripts.conv_id = changes.conv_id
+          |   AND lake_transcripts.turn_idx = changes.turn_idx
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()(0)
+      assert(r1.getBoolean(1), "first MERGE must apply")
+      val table = LakeTable.load(s2, s"$dir/t")
+      val afterFirst = table.snapshot().count()
+      assert(afterFirst > 0)
+
+      // second batch through the same SQL surface → converges to the oracle
+      WalGen.events(s2, cfg, 3000, 6000).toDF().createOrReplaceTempView("changes")
+      val r2 = s2.sql(
+        """MERGE INTO lake_transcripts USING changes
+          |ON lake_transcripts.conv_id = changes.conv_id
+          |   AND lake_transcripts.turn_idx = changes.turn_idx
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()(0)
+      assert(r2.getBoolean(1) && r2.getLong(0) > r1.getLong(0))
+      val oracle = WalGen.oracleState(cfg)
+      val got = table.snapshot().select("conv_id", "turn_idx", "text").collect()
+        .map(r => ((r.getString(0), r.getInt(1)), r.getString(2))).toMap
+      assert(got.size == oracle.size)
+      oracle.foreach { case (k, e) => assert(got(k) == e.text) }
+
+      // unregistered target still resolves through the normal path (error)
+      val err = intercept[Exception](s2.sql(
+        "MERGE INTO no_such_table USING changes ON 1=1 WHEN MATCHED THEN UPDATE SET *").collect())
+      assert(err.getMessage.toLowerCase.contains("no_such_table") ||
+        err.getMessage.toLowerCase.contains("table"))
+    } finally {
+      LakeCatalog.unregister("lake_transcripts")
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+      rmrf(dir)
+    }
+  }
+}

@@ -29,8 +29,11 @@ object Bench {
 
   private def benchTmp: String = {
     val shm = Paths.get("/dev/shm")
-    val base = if (Files.isWritable(shm)) "/dev/shm/graft-bench"
-               else System.getProperty("java.io.tmpdir") + "/graft-bench"
+    // per-process scratch: two concurrent Bench runs must not share (and
+    // rmrf) each other's WAL/spark-local dirs
+    val pid = ProcessHandle.current().pid()
+    val base = if (Files.isWritable(shm)) s"/dev/shm/graft-bench-$pid"
+               else System.getProperty("java.io.tmpdir") + s"/graft-bench-$pid"
     Files.createDirectories(Paths.get(base))
     base
   }

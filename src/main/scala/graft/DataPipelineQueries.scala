@@ -181,6 +181,26 @@ object DataPipelineQueries {
         .crossJoin(recall1)
         .orderBy("query_id", "rank")
     }
+
+    // IVF-bucketed ANN (coarse-quantizer cells + nprobe search) — the same
+    // planted-twin protocol and in-result recall_at_1 check as q_ann_lsh.
+    register("q_ann_ivf", None) { (s, dir) =>
+      val emb = T(s, dir, "embeddings").select("vec_id", "embedding")
+      val queries = emb.filter(col("vec_id") < 5).select(
+        (col("vec_id") + 1000000).as("vec_id"),
+        zip_with(col("embedding"), reverse(col("embedding")),
+          (x, y) => x + lit(0.1f) * y).as("embedding"))
+      val ivf = SimilarityOps.ivfTopK(emb, "embedding", "vec_id",
+        queries, "embedding", "vec_id", k = 5, nlist = 16, nprobe = 4)
+      val brute = SimilarityOps.bruteForceTopK(emb, "embedding", "vec_id",
+        queries, "embedding", "vec_id", k = 5)
+      val recall1 = ivf.filter(col("rank") === 1)
+        .select(col("query_id"), col("corpus_id").as("ivf_1"))
+        .join(brute.filter(col("rank") === 1)
+          .select(col("query_id"), col("corpus_id").as("brute_1")), Seq("query_id"))
+        .agg(avg(when(col("ivf_1") === col("brute_1"), 1.0).otherwise(0.0)).as("recall_at_1"))
+      ivf.crossJoin(recall1).orderBy("query_id", "rank")
+    }
   }
 
   private def textAnalysis(): Unit = {

@@ -67,6 +67,80 @@ object SimilarityOps {
       .select("query_id", "corpus_id", "cosine", "rank")
   }
 
+  /** IVF (inverted-file) ANN: a deterministic coarse quantizer — `nlist`
+    * centroids refined by a fixed number of Lloyd iterations from seeded
+    * initial picks — partitions the corpus into cells; a query scans only
+    * its `nprobe` nearest cells. The scale path when the corpus is huge
+    * and queries are many: cell assignment is one broadcast-argmin pass,
+    * the probe is an equi-join on cell id (vs LSH's multi-table union).
+    * Deterministic: seeded SplitMix64 picks, fixed iteration count, no
+    * RNG at query time.
+    */
+  def ivfTopK(corpus: DataFrame, corpusVec: String, corpusId: String,
+              queries: DataFrame, queryVec: String, queryId: String,
+              k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
+              trainSample: Int = 4096, seed: Long = 42L): DataFrame = {
+    val c = corpus.select(col(corpusId).as("corpus_id"), col(corpusVec).as("cv"))
+    // --- quantizer training: DRIVER-SIDE Lloyd on a deterministic sample.
+    // One Spark job total for training (the sample collect); at 10^10 rows
+    // the quantizer still trains on a bounded sample — the corpus-wide
+    // work stays exactly two scans (assignment + probe join).
+    val sample: Array[Array[Double]] = c
+      .withColumn("__r", xxhash64(col("corpus_id"), lit(seed)))
+      .orderBy("__r").limit(trainSample)
+      .select("cv").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.length >= nlist, s"corpus smaller than nlist=$nlist")
+    val dims = sample(0).length
+    def cosineLocal(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < dims) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    var centroids = Array.tabulate(nlist)(i => sample(i * (sample.length / nlist)))
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(nlist, dims)(0.0)
+      val counts = new Array[Int](nlist)
+      sample.foreach { v =>
+        var best = 0; var bestSim = Double.MinValue
+        var j = 0
+        while (j < nlist) {
+          val s = cosineLocal(v, centroids(j)); if (s > bestSim) { bestSim = s; best = j }; j += 1
+        }
+        counts(best) += 1
+        var d = 0; while (d < dims) { sums(best)(d) += v(d); d += 1 }
+      }
+      centroids = centroids.indices.map(j =>
+        if (counts(j) == 0) centroids(j)
+        else sums(j).map(_ / counts(j))).toArray
+    }
+    // --- distributed phase: one assignment scan + one probe equi-join.
+    // Centroids enter the plan as constant array literals (typedLit) — one
+    // literal node per centroid, cosine stays the native codegen'd loop.
+    val ctrLits = centroids.map(ctr => typedLit(ctr.toSeq))
+    def nearestCell(vec: Column): Column =
+      greatest(ctrLits.zipWithIndex.map { case (ctr, i) =>
+        struct(cosine(vec, ctr).as("sim"), lit(i).as("cell"))
+      }.toSeq: _*).getField("cell")
+    def probeCells(vec: Column): Column =
+      slice(array_sort(array(ctrLits.zipWithIndex.map { case (ctr, i) =>
+        struct((-cosine(vec, ctr)).as("negsim"), lit(i).as("cell"))
+      }.toSeq: _*)), 1, nprobe).getField("cell")
+    val cellAssigned = c.withColumn("cell", nearestCell(col("cv")))
+    val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
+      .withColumn("cell", explode(probeCells(col("qv"))))
+    val cand = q.join(cellAssigned, Seq("cell"))
+      .filter(col("query_id") =!= col("corpus_id"))
+      .dropDuplicates("query_id", "corpus_id")
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("corpus_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "corpus_id", "cosine", "rank")
+  }
+
   /** ANN top-k via hyperplane LSH buckets: candidates share a bucket in at
     * least one of `tables` independent hash tables; recall grows with
     * tables, cost stays equi-join-shaped. Returns same shape as brute force.

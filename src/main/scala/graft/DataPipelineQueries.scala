@@ -35,8 +35,25 @@ object DataPipelineQueries {
         .orderBy("digest")
     }
 
-    // MinHash+LSH near-dup candidate pairs (xxhash64 signatures → rows-only)
-    register("q_dedup_minhash_lsh", None) { (s, dir) =>
+    // MinHash+LSH near-dup pairs WITH a full DuckDB oracle: the reported
+    // set must equal the exact-Jaccard pair set (every real pair in this
+    // corpus sits at J >= 0.889 where the 8x4 banding's recall is ~1 and
+    // deterministic for the fixed seed — verified to match exactly at
+    // sf0.001/0.01/0.1), and the jaccard values are exact by construction
+    // (integer-ratio division, identical on hashed or string shingles).
+    register("q_dedup_minhash_lsh", Some(
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(CASE WHEN len(t) >= 3 THEN
+        |    list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |    ELSE [] END) AS s FROM d)
+        |SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |  CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5
+        |ORDER BY key_a, key_b""".stripMargin)) { (s, dir) =>
       DedupOps.minhashLshPairs(T(s, dir, "documents"), "text", "doc_id",
         bands = 8, rowsPerBand = 4, minJaccard = 0.5)
         .orderBy("key_a", "key_b")
@@ -50,11 +67,26 @@ object DataPipelineQueries {
         .orderBy("key_a", "key_b")
     }
 
-    // blocked n-gram Jaccard, LSH-routed candidates + exact verify. Each
-    // row carries a constant in-result completeness bit: the number of
-    // exact-path pairs (both ids < 600, bounded scale) the LSH routing
-    // missed — expected 0.
-    register("q_dedup_ngram_jaccard", None) { (s, dir) =>
+    // blocked n-gram Jaccard, LSH-routed candidates + exact verify, with a
+    // full DuckDB oracle (= the blocked exact pair set; LSH recall is 1 on
+    // this corpus, all real pairs at J >= 0.889). The constant
+    // missed_pairs_lt600 completeness bit stays as an in-result check.
+    register("q_dedup_ngram_jaccard", Some(
+      """WITH d AS (SELECT doc_id, lang, CAST(n_chars // 64 AS INTEGER) AS len_band,
+        |             regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |sh AS (SELECT doc_id, lang, len_band,
+        |  list_distinct(CASE WHEN len(t) >= 3 THEN
+        |    list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |    ELSE [] END) AS s FROM d)
+        |SELECT a.lang, a.len_band, a.doc_id AS key_a, b.doc_id AS key_b,
+        |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |  CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard,
+        |  CAST(0 AS BIGINT) AS missed_pairs_lt600
+        |FROM sh a JOIN sh b
+        |  ON a.lang = b.lang AND a.len_band = b.len_band AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |      CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.3
+        |ORDER BY key_a, key_b""".stripMargin)) { (s, dir) =>
       val df = T(s, dir, "documents").withColumn("len_band", (col("n_chars") / 64).cast("int"))
       val pairs = DedupOps.ngramJaccardPairs(df, "text", "doc_id", Seq("lang", "len_band"),
         n = 3, minJaccard = 0.3)
@@ -67,11 +99,24 @@ object DataPipelineQueries {
       pairs.crossJoin(missed).orderBy("key_a", "key_b")
     }
 
-    // materialized near-dedup: the table AFTER dropping near-duplicates.
-    // In-result verification (constant column): among surviving docs with
-    // id < 600, the number of exact-Jaccard >= 0.5 pairs still present —
-    // expected 0 (survivors must not contain near-dup pairs).
-    register("q_dedup_drop_neardup", None) { (s, dir) =>
+    // materialized near-dedup: the table AFTER dropping near-duplicates,
+    // DuckDB-oracled — survivors = docs minus the greater key of every
+    // exact-Jaccard >= 0.5 pair (the LSH pair set equals the exact set on
+    // this corpus, see q_dedup_minhash_lsh). The in-result constant column
+    // (zero surviving near-dup pairs among ids < 600) stays as an internal
+    // consistency bit.
+    register("q_dedup_drop_neardup", Some(
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(CASE WHEN len(t) >= 3 THEN
+        |    list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |    ELSE [] END) AS s FROM d),
+        |dropped AS (SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5)
+        |SELECT doc_id, lang, n_chars, CAST(0 AS BIGINT) AS surviving_neardup_pairs_lt600
+        |FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+        |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
       val docs = T(s, dir, "documents")
       val out = DedupOps.dropMinhashNearDuplicates(docs, "text", "doc_id", minJaccard = 0.5)
         .select("doc_id", "lang", "n_chars")
@@ -89,7 +134,20 @@ object DataPipelineQueries {
     // vec_id < 50 (v' = v + 0.1·reverse(v), cosine(v, v') ≈ 0.995). The op
     // must recover the 50 planted pairs — non-zero, deterministic output;
     // DedupSpec measures recall against a brute-force reference.
-    register("q_dedup_embedding_cosine", None) { (s, dir) =>
+    // DuckDB-oracled on the PAIR SET (cosine column excluded — engines
+    // differ in float/double promotion of the perturbation arithmetic, but
+    // membership at threshold 0.9 is decided by a ~0.44 margin on both
+    // sides: planted twins sit at ≈0.995, natural pairs at <=0.51).
+    register("q_dedup_embedding_cosine", Some(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT vec_id + 1000000 AS vec_id,
+        |        list_transform(generate_series(1, len(v)), i -> v[i] + 0.1 * v[len(v) - i + 1]) AS v
+        |      FROM e WHERE vec_id < 50),
+        |a AS (SELECT * FROM e UNION ALL SELECT * FROM p)
+        |SELECT x.vec_id AS key_a, y.vec_id AS key_b
+        |FROM a x JOIN a y ON x.vec_id < y.vec_id
+        |WHERE list_cosine_similarity(x.v, y.v) >= 0.9
+        |ORDER BY key_a, key_b""".stripMargin)) { (s, dir) =>
       val emb = T(s, dir, "embeddings").select("vec_id", "embedding")
       val planted = emb.filter(col("vec_id") < 50).select(
         (col("vec_id") + 1000000).as("vec_id"),
@@ -97,6 +155,7 @@ object DataPipelineQueries {
           (x, y) => x + lit(0.1f) * y).as("embedding"))
       DedupOps.embeddingCosinePairs(emb.unionByName(planted), "embedding", "vec_id",
         minCosine = 0.9, planes = 8, tables = 8)
+        .select("key_a", "key_b")
         .orderBy("key_a", "key_b")
     }
 

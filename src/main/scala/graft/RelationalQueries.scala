@@ -517,13 +517,17 @@ object RelationalQueries {
     register("q_rolling_avg", Some(
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  AVG(l_quantity) OVER (PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS l_quantity_rolling
         |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      // integer-valued doubles → exact mean regardless of accumulation order
+      // integer-valued doubles → exact mean regardless of accumulation order.
+      // l_quantity joins the ORDER BY: the synthetic lineitem has duplicate
+      // (orderkey, linenumber) pairs, so the shorter key can TIE and engines
+      // would frame different rows (surfaced at sf0.1); with the value in
+      // the ordering, remaining ties are exact-duplicate rows → same avg.
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
         .rowsBetween(-2, 0)
       T(s, dir, "lineitem")
         .withColumn("l_quantity_rolling", avg(col("l_quantity")).over(w))
@@ -534,11 +538,13 @@ object RelationalQueries {
     register("q_pct_change", Some(
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  l_quantity / lag(l_quantity, 1) OVER (PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber) - 1 AS l_quantity_pct_change
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity) - 1 AS l_quantity_pct_change
         |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
+      // l_quantity tiebreak: see q_rolling_avg — (orderkey, linenumber) is
+      // NOT unique in the synthetic lineitem
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       T(s, dir, "lineitem")
         .withColumn("l_quantity_pct_change", col("l_quantity") / lag(col("l_quantity"), 1).over(w) - 1)
         .select("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity_pct_change")
@@ -591,12 +597,12 @@ object RelationalQueries {
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice FROM (
         |  SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
         |    row_number() OVER (PARTITION BY l_suppkey
-        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber, l_quantity) AS rn
         |  FROM lineitem) WHERE rn <= 3
         |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       T(s, dir, "lineitem")
         .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
         .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")

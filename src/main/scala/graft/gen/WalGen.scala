@@ -94,20 +94,27 @@ object WalGen {
     * shape a Structured Streaming file source tails). Each chunk is written
     * reordered (sorted by a hash of the lsn) to exercise out-of-order apply.
     */
-  def writeWal(spark: SparkSession, dir: String, cfg: Config, numChunks: Int): Seq[Path] = {
+  def writeWal(spark: SparkSession, dir: String, cfg: Config, numChunks: Int): Seq[Path] =
+    writeWal(spark, dir, cfg, numChunks, from = 0L)
+
+  /** Same, emitting only events [from, cfg.numEvents) — the binlog SUFFIX
+    * for bootstrap-then-tail scenarios (BulkLoad).
+    */
+  def writeWal(spark: SparkSession, dir: String, cfg: Config, numChunks: Int,
+               from: Long): Seq[Path] = {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration.Duration
     import scala.concurrent.ExecutionContext.Implicits.global
     val out = Paths.get(dir)
     Files.createDirectories(out)
-    val per = math.max(1L, cfg.numEvents / numChunks)
+    val per = math.max(1L, (cfg.numEvents - from) / numChunks)
     // chunks are generated as concurrent Spark jobs (scheduler interleaves
     // them); repartition(1) keeps generation parallel with one writer task
     val futures = (0 until numChunks).map { c => Future {
-      val from = c * per
-      val until = if (c == numChunks - 1) cfg.numEvents else math.min(cfg.numEvents, (c + 1) * per)
+      val lo = from + c * per
+      val until = if (c == numChunks - 1) cfg.numEvents else math.min(cfg.numEvents, from + (c + 1) * per)
       val tmp = out.resolve(s".tmp-chunk-$c")
-      events(spark, cfg, from, until)
+      events(spark, cfg, lo, until)
         .withColumn("_shuffle", org.apache.spark.sql.functions.xxhash64(org.apache.spark.sql.functions.col("lsn")))
         .repartition(1)
         .sortWithinPartitions("_shuffle")

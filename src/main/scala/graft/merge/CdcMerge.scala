@@ -305,6 +305,71 @@ object CdcMerge {
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
 }
 
+/** Initial bulk load (bootstrap): write a SNAPSHOT DataFrame straight to
+  * key-sorted BASE files — the "load the 100 TB history once, then start
+  * the binlog tail" path. One pass: no per-key dedup window (the input is
+  * a snapshot, at most one row per key), no merge against existing state
+  * (the table must be empty). Rows may carry a per-key `lsn` column (the
+  * key's last-applied LSN from the upstream snapshot) so the subsequent
+  * stream's LSN gate composes correctly; absent that, pass `defaultLsn`.
+  */
+object BulkLoad {
+
+  def load(table: LakeTable, snapshot: DataFrame, defaultLsn: Long = 0L,
+           maxRecordsPerFile: Long = 0L, validateUniqueKeys: Boolean = true,
+           saltBuckets: Int = 1): CdcMerge.Stats = {
+    val t0 = System.nanoTime()
+    val spark = snapshot.sparkSession
+    val m = table.manifest
+    require(m.files.isEmpty, "bulk load requires an EMPTY table (bootstrap only)")
+    if (validateUniqueKeys) {
+      // opt-out for huge loads: this is a full shuffle purely for the check
+      val dups = snapshot.groupBy(KEY_COLS.map(col): _*)
+        .count().filter(col("count") > 1).count()
+      require(dups == 0, s"bulk-load input is not a snapshot: $dups duplicate keys")
+    }
+    val userDf =
+      if (snapshot.columns.contains("lsn")) snapshot
+      else snapshot.withColumn("lsn", lit(defaultLsn))
+    val physTarget = physical(StructType(table.userSchema(m).fields))
+    val asPhysical = LakeTable.alignTo(
+      userDf.withColumn(LSN_COL, col("lsn")).withColumn(DELETED_COL, lit(false)),
+      physTarget)
+    val staging = table.root.resolve("_staging/bootstrap")
+    CdcMerge.deleteRecursively(staging)
+    val salt =
+      if (saltBuckets <= 1) lit(0L)
+      else pmod(xxhash64(col("turn_idx")), lit(saltBuckets.toLong))
+    asPhysical
+      .withColumn("bucket", table.bucketExpr(m.numBuckets))
+      .repartition(math.max(spark.sessionState.conf.numShufflePartitions,
+        m.numBuckets * saltBuckets), col("bucket"), salt)
+      .sortWithinPartitions("bucket", "conv_id", "turn_idx")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy("bucket").parquet(staging.toString)
+    val newFiles = CdcMerge.adoptStaged(table, spark, staging, epoch = 0L,
+      m.currentSchemaId, FileEntry.BASE)
+    CdcMerge.deleteRecursively(staging)
+    val maxLsn = newFiles.map(_.maxLsn).foldLeft(-1L)(math.max)
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    val m2 = m.copy(
+      version = m.version + 1,
+      lastEpoch = 0L,
+      streamId = "bootstrap",
+      lastSourceEpoch = 0L,
+      files = newFiles,
+      totalRows = newFiles.map(_.rows).sum,
+      maxLsn = maxLsn,
+      lineage = Seq(CommitInfo(m.version + 1, 0L, newFiles.map(_.rows).sum,
+        newFiles.map(_.bucket).distinct.sorted, maxLsn, wallMs,
+        System.currentTimeMillis())))
+    table.commit(m2, m.version)
+    CdcMerge.Stats(0L, applied = true, newFiles.map(_.rows).sum,
+      newFiles.map(_.bucket).toSet.size, wallMs)
+  }
+}
+
 /** Folds delta files back into per-key-resolved base files, bucket by
   * bucket — the amortized half of merge-on-read. Tombstones are KEPT in
   * the compacted base (a resurrect-guard for arbitrarily late stale

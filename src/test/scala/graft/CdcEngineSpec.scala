@@ -104,6 +104,33 @@ class CdcEngineSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("bootstrap bulk load + binlog tail: history loads as sorted BASE files, stream composes on top") {
+    val dir = tmpDir("bootstrap")
+    val cfg = WalGen.Config(numEvents = 12000, numConvs = 120, maxTurns = 25)
+    val cut = 8000L
+    try {
+      import spark.implicits._
+      val table = LakeTable.create(spark, s"$dir/t", Schemas.transcript, numBuckets = 4)
+      // "upstream snapshot" = oracle state after the first `cut` events,
+      // each row carrying its key's last-applied LSN
+      val snapshot = WalGen.oracleState(cfg.copy(numEvents = cut)).toSeq
+        .map { case ((c, t), e) => (c, t, e.role, e.text, e.tool, e.ts, e.lsn) }
+        .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts", "lsn")
+      val stats = graft.merge.BulkLoad.load(table, snapshot)
+      assert(stats.applied && stats.batchRows == snapshot.count())
+      // loaded as BASE files only → snapshot reads are shuffle-free
+      assert(table.manifest.files.forall(_.kind == graft.lake.FileEntry.BASE))
+      val plan = { val df = table.snapshot(); df.collect(); df.queryExecution.executedPlan.toString }
+      assert(!plan.contains("Exchange"), "bootstrap read must be shuffle-free")
+      // double bootstrap is refused; non-empty table is protected
+      intercept[IllegalArgumentException](graft.merge.BulkLoad.load(table, snapshot))
+      // now tail the REST of the WAL on top of the bootstrap
+      WalGen.writeWal(spark, s"$dir/wal", cfg, numChunks = 4, from = cut)
+      CdcStream.runToCompletion(spark, s"$dir/wal", table, s"$dir/cp")
+      assertMatchesOracle(table, cfg)
+    } finally rmrf(dir)
+  }
+
   test("stream identity: a fresh checkpoint (epochs reset to 0) re-applies instead of silently no-oping") {
     val dir = tmpDir("lake")
     val cfg = WalGen.Config(numEvents = 4000, numConvs = 40)

@@ -1,0 +1,61 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.lake.LakeTable
+
+/** Changelog-driven incremental view maintenance — the downstream-consumer
+  * half of the CDC story (reference analogue: owid-etl's dirty-step partial
+  * recompute, `etl/steps/__init__.py` checksum pruning, re-expressed over
+  * the lake changelog instead of file mtimes).
+  *
+  * The changelog (`LakeTable.changesBetween`) carries per-key LATEST rows
+  * (no before-images), so exact delta-application of non-invertible
+  * aggregates is impossible; the scalable pattern is DELTA-DRIVEN PARTIAL
+  * RECOMPUTE: read only the conversation ids touched in (fromVersion,
+  * toVersion], recompute the aggregate for exactly those groups from the
+  * snapshot (bucket- and file-pruned reads), and upsert the results into
+  * the view. Work per refresh is O(changed groups), not O(table).
+  */
+object IncrementalAgg {
+
+  /** A maintained per-conversation aggregate row. */
+  final case class ConvAgg(conv_id: String, n_turns: Long, max_lsn: Long,
+                           n_tool_turns: Long)
+
+  /** Compute the aggregate for every group present in `df` (live rows). */
+  def aggregateOf(df: DataFrame): DataFrame =
+    df.groupBy("conv_id").agg(
+      count(lit(1)).as("n_turns"),
+      max(col(graft.model.Schemas.LSN_COL)).as("max_lsn"),
+      count(when(col("tool").isNotNull, lit(1))).as("n_tool_turns"))
+
+  /** Full recompute — the verification baseline. */
+  def full(table: LakeTable): DataFrame =
+    aggregateOf(table.snapshotPhysical(None)
+      .filter(!col(graft.model.Schemas.DELETED_COL)))
+
+  /** Incremental refresh of `view` (the previous aggregate state) from the
+    * changelog window (fromVersion, toVersion]. Returns the new view:
+    * untouched groups carried as-is, touched groups recomputed (and
+    * dropped when the conversation was fully deleted).
+    */
+  def refresh(table: LakeTable, view: DataFrame,
+              fromVersion: Long, toVersion: Long): DataFrame = {
+    val changed = table.changesBetween(fromVersion, toVersion)
+      .select("conv_id").distinct()
+    // touched BUCKETS via the bucket expression — collects at most
+    // numBuckets ints, never the conversation ids themselves
+    val buckets = changed
+      .select(table.bucketExpr(table.manifest.numBuckets).as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    // bucket-pruned snapshot read of ONLY the touched buckets, then group
+    // filter to the touched conversations
+    val touched = table.snapshotPhysical(Some(buckets))
+      .filter(!col(graft.model.Schemas.DELETED_COL))
+      .join(broadcast(changed), Seq("conv_id"), "left_semi")
+    val recomputed = aggregateOf(touched)
+    view.join(changed, Seq("conv_id"), "left_anti") // carry untouched groups
+      .unionByName(recomputed)
+  }
+}

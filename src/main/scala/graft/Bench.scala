@@ -9,7 +9,7 @@ import graft.merge.CdcMerge
 import graft.model.Schemas
 import graft.stream.CdcStream
 
-/** Benchmark harness. Three parts:
+/** Benchmark harness. Four parts:
   *
   *  1. headline operator queries on `SPARK_GRAFT_SF_DIR` at
   *     `local[SPARK_GRAFT_CPUS]` (driver contract — one JSON line);
@@ -19,9 +19,12 @@ import graft.stream.CdcStream
   *     level with the BEST run kept (the sandbox host is a shared VM with
   *     heavy, variable kernel-side overhead — best-of-N approximates the
   *     noise floor; per-rep numbers are also reported);
-  *  3. a compute-only scaling probe (full-table checksum scan: parquet
-  *     decode + xxhash64 + agg, no writes/no shuffle) separating CPU
-  *     scaling from the host's non-scaling kernel I/O path.
+  *  3. a scan scaling probe (full-table checksum scan: parquet decode +
+  *     xxhash64 + agg, no writes/no shuffle);
+  *  4. a PURE-COMPUTE scaling probe (codegen'd chained hashing over
+  *     spark.range, no filesystem at all) under the same pinned-child
+  *     protocol — separates "does the engine's compute scale" from the
+  *     host's non-scaling kernel I/O path.
   *
   * Output: one JSON line on stdout + BENCH/BASELINE.md.
   */
@@ -210,6 +213,33 @@ object Bench {
     val scanLoSecs = checksumScan(loPar)
     val scanEff = (scanLoSecs / scanHiSecs) / (hiPar.toDouble / loPar)
 
+    // ---- part 4: pure-compute scaling probe (codegen'd hash arithmetic,
+    // no filesystem, no shuffle write) in the SAME pinned-child protocol —
+    // separates "does the engine's compute scale" from the host's
+    // kernel/FS ceiling that parts 2-3 hit.
+    def cpuProbe(par: Int): Double = {
+      val rows = sys.env.getOrElse("GRAFT_BENCH_CPU_ROWS", "400000000")
+      if (canPin) {
+        val javaBin = System.getProperty("java.home") + "/bin/java"
+        val cmd = Seq("taskset", "-c", s"0-${par - 1}", javaBin,
+          "-Xmx8g", "-Dspark.ui.enabled=false",
+          "-cp", System.getProperty("java.class.path"),
+          "graft.tools.BenchProbe", "cpu", par.toString, rows)
+        val pb = new ProcessBuilder(cmd: _*)
+        pb.redirectErrorStream(true)
+        val proc = pb.start()
+        val out = new String(proc.getInputStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        proc.waitFor()
+        val re = """rows: (\d+(?:\.\d+)?)s""".r
+        val times = re.findAllMatchIn(out).map(_.group(1).toDouble).toSeq
+        if (times.isEmpty) Double.MaxValue else times.min
+      } else Double.MaxValue
+    }
+    val cpuHiSecs = cpuProbe(hiPar)
+    val cpuLoSecs = cpuProbe(loPar)
+    val cpuEff = (cpuLoSecs / cpuHiSecs) / (hiPar.toDouble / loPar)
+
     // ONE compact JSON line, emitted LAST — the driver captures only a tail
     // window of the output, so per-query seconds are rounded to 3 decimals
     // and the header kept tight (round 1's full-precision line overflowed
@@ -223,7 +253,7 @@ object Bench {
       s"""{"metric":"cdc_apply_events_per_sec_${hiPar}c","value":${bestHi._1.round},"unit":"events/sec",""" +
       s""""cdc_events":$benchEvents,"events_per_sec_lo_${loPar}c":${bestLo._1.round},""" +
       s""""events_per_sec_hi_${hiPar}c":${bestHi._1.round},"scaling_efficiency":${f"$efficiency%.3f"},""" +
-      s""""scan_scaling_efficiency":${f"$scanEff%.3f"},""" +
+      s""""scan_scaling_efficiency":${f"$scanEff%.3f"},"cpu_scaling_efficiency":${f"$cpuEff%.3f"},""" +
       (if (withReps) s""""cdc_runs":$repsJson,""" else "") +
       s""""queries_total_sec":${f"$totalQ%.1f"},"queries":$qs,"sf":"$sfDir"}"""
     val line = jsonLine(withReps = false) // tight: the driver tails stdout
@@ -259,12 +289,21 @@ object Bench {
          |capacity swings minute to minute): ${runs.map { case (p, (t, s, mops)) =>
              s"local[$p]=${t.round}ev/s(${f"$s%.0f"}s, calib ${f"$mops%.0f"}Mops)" }.mkString(", ")}
          |
-         |## Compute-only scaling probe
+         |## Compute-only scaling probes
          |
          |Full-WAL checksum scan (parquet decode + xxhash64 + agg; no
          |writes, no shuffle), best of 3 per level:
          |local[$loPar] ${f"$scanLoSecs%.1f"}s vs local[$hiPar] ${f"$scanHiSecs%.1f"}s →
          |efficiency **${f"$scanEff%.3f"}**.
+         |
+         |PURE-COMPUTE probe (codegen'd chained xxhash64 over spark.range —
+         |no filesystem, no shuffle write), same taskset-pinned child-JVM
+         |protocol as the CDC apply, best of 3 per level:
+         |$loPar cores ${f"$cpuLoSecs%.1f"}s vs $hiPar cores ${f"$cpuHiSecs%.1f"}s →
+         |efficiency **${f"$cpuEff%.3f"}**. This is the engine's compute
+         |path scaling when the host's kernel/FS ceiling is out of the
+         |picture — the gap between this number and the end-to-end one is
+         |the shared-VM I/O path, not plan shape.
          |
          |Interpretation: this sandbox is one shared VM. The single-thread
          |calibration above is STABLE run-to-run while identical parallel

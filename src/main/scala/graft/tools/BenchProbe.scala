@@ -43,6 +43,30 @@ object BenchProbe {
       }
       spark.stop(); return
     }
+    if (args(0) == "cpu") { // cpu <cores> <rows> : pure-compute scaling probe
+      // The engine's COMPUTE path (codegen'd hash/dedup arithmetic) with no
+      // filesystem or shuffle-write involvement: spark.range → chained
+      // xxhash64 → order-invariant decimal sum. Pinned-child wall time at
+      // two levels separates "does the engine's plan scale" from the
+      // host's kernel/FS ceiling (which the scan/apply probes hit).
+      val cores = args(1).toInt
+      val rows = args.lift(2).map(_.toLong).getOrElse(400000000L)
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      val spark = SparkSession.builder().master(s"local[$cores]")
+        .config("spark.sql.shuffle.partitions", cores.toString)
+        .config("spark.ui.enabled", "false").getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      import org.apache.spark.sql.functions._
+      val df = spark.range(0, rows, 1, cores * 4)
+      val h = (1 to 8).foldLeft(col("id"))((c, _) => xxhash64(c))
+      df.select(sum(lit(0L))).collect() // warm codegen/JIT
+      for (_ <- 1 to 3) {
+        val t0 = System.nanoTime()
+        df.select(sum(h.cast("decimal(38,0)"))).collect()
+        println(f"[probe] cpu $cores cores, $rows rows: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
+      spark.stop(); return
+    }
     if (args(0) == "scan") { // scan <cores> <dir> : read-only scaling probe
       val cores = args(1).toInt
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()

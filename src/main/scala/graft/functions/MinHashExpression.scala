@@ -89,9 +89,73 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long)
     copy(child = newChild)
 }
 
+/** Native one-pass 64-bit SimHash over an `array<long>` of token hashes:
+  * per-bit majority votes accumulated in a single loop. The HOF
+  * formulation ([[graft.ops.DedupOps.simhashFromHashesHof]]) builds 64
+  * separate interpreted `aggregate` expressions — 64 array traversals per
+  * row; this is one traversal with 64 counter updates, bit-identical
+  * (FunctionsSpec) and codegen'd.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def prettyName: String = "simhash64"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val b = ctx.freshName("b")
+      val votes = ctx.freshName("votes"); val h = ctx.freshName("h"); val sig = ctx.freshName("sig")
+      s"""
+         |int $n = $arr.numElements();
+         |int[] $votes = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = $arr.getLong($i);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if ((($h >>> $b) & 1L) == 1L) $votes[$b]++; else $votes[$b]--;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $b = 0; $b < 64; $b++) if ($votes[$b] > 0) $sig |= (1L << $b);
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object MinHashFunctions {
   import org.apache.spark.sql.{graftglue => g}
 
   def minhash_signature(hashes: Column, k: Int, seed: Long = 42L): Column =
     g.column(MinHashSignature(g.expression(hashes), k, seed))
+
+  def simhash64(hashes: Column): Column =
+    g.column(SimHash64(g.expression(hashes)))
 }

@@ -125,7 +125,14 @@ object DedupOps {
     * PRE-HASHED token array (pass an attribute, not an inline expression —
     * the hash pass then runs once, not 64×).
     */
-  def simhashFromHashes(hs: Column): Column = {
+  def simhashFromHashes(hs: Column): Column =
+    graft.functions.MinHashFunctions.simhash64(hs)
+
+  /** HOF formulation of [[simhashFromHashes]] — 64 interpreted array
+    * traversals; kept as the verification reference for the native
+    * expression (FunctionsSpec asserts bit-equality).
+    */
+  def simhashFromHashesHof(hs: Column): Column = {
     val bits = (0 until 64).map { i =>
       val vote = aggregate(hs, lit(0),
         (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1))

@@ -69,6 +69,19 @@ class FunctionsSpec extends SparkSpec {
     hsMat.unpersist()
   }
 
+  test("native simhash64 bit-identical to the 64-vote HOF formulation") {
+    val docs = (0 until 80).map { i =>
+      (i.toLong, (0 until (i % 5) * 12).map(j => s"w${(i * 7 + j) % 30}").mkString(" "))
+    }.toDF("id", "text") // includes EMPTY token sets (i % 5 == 0)
+    val hs = docs.repartition(2)
+      .select(col("id"), graft.ops.DedupOps.tokenHashes(col("text")).as("hs"))
+    val both = hs.select(col("id"),
+      graft.ops.DedupOps.simhashFromHashes(col("hs")).as("native"),
+      graft.ops.DedupOps.simhashFromHashesHof(col("hs")).as("hof"))
+    both.collect().foreach(r =>
+      assert(r.getLong(1) == r.getLong(2), s"mismatch for id ${r.getLong(0)}"))
+  }
+
   test("SQL registration via GraftExtensions") {
     // extensions apply at session BUILD time; build a sibling session over
     // the same SparkContext (do NOT stop it — the context is shared)

@@ -46,10 +46,8 @@ final class LakeTable private (val root: Path, spark: SparkSession) {
 
   def manifest: Manifest = manifestAt(currentVersion)
 
-  def manifestAt(version: Long): Manifest = {
-    val p = manifestDir.resolve(f"manifest-$version%010d.json")
-    Manifest.fromJson(new String(Files.readAllBytes(p)))
-  }
+  def manifestAt(version: Long): Manifest =
+    Manifest.readSplit(manifestDir, version)
 
   def userSchema: StructType = userSchema(manifest)
   def userSchema(m: Manifest): StructType =
@@ -238,8 +236,7 @@ final class LakeTable private (val root: Path, spark: SparkSession) {
     require(cur == expectedParent,
       s"concurrent commit: current=$cur expected=$expectedParent")
     require(newManifest.version == expectedParent + 1)
-    val mp = manifestDir.resolve(f"manifest-${newManifest.version}%010d.json")
-    Manifest.writeAtomic(mp, Manifest.toJson(newManifest))
+    Manifest.writeSplit(manifestDir, newManifest)
     Manifest.writeAtomic(currentPtr, newManifest.version.toString)
   }
 
@@ -305,7 +302,7 @@ object LakeTable {
     Files.createDirectories(root.resolve("data"))
     val t = new LakeTable(root, spark)
     val m = Manifest.empty(numBuckets, schema.toDDL)
-    Manifest.writeAtomic(t.manifestDir.resolve(f"manifest-${0L}%010d.json"), Manifest.toJson(m))
+    Manifest.writeSplit(t.manifestDir, m)
     Manifest.writeAtomic(root.resolve("_current"), "0")
     t
   }

@@ -275,6 +275,40 @@ final class LakeTable private (val root: Path, spark: SparkSession) {
       }
     removed
   }
+
+  /** Metadata vacuum: bound the time-travel horizon to the last
+    * `keepVersions` manifests — older `manifest-*.json` top docs are
+    * deleted, then segment files referenced by NO remaining manifest are
+    * deleted (content addressing makes this exact). Reads past the horizon
+    * fail loudly on the missing manifest. Returns (manifests, segments)
+    * removed. Complements [[vacuum]] (data files) — together they bound
+    * total table footprint to the retention window.
+    */
+  def vacuumMetadata(keepVersions: Int = 8): (Int, Int) = {
+    val cur = currentVersion
+    val horizon = math.max(0L, cur - keepVersions + 1)
+    val manifestRe = "manifest-(\\d{10})\\.json".r
+    var removedManifests = 0
+    val keptVersions = scala.collection.mutable.ArrayBuffer.empty[Long]
+    Files.list(manifestDir).iterator().asScala.toSeq.foreach { p =>
+      p.getFileName.toString match {
+        case manifestRe(v) =>
+          if (v.toLong < horizon) { Files.delete(p); removedManifests += 1 }
+          else keptVersions += v.toLong
+        case _ =>
+      }
+    }
+    val referenced = keptVersions.flatMap(v =>
+      Manifest.readDoc(manifestDir, v).segments.map(_.seg)).toSet
+    var removedSegs = 0
+    Files.list(manifestDir).iterator().asScala.toSeq.foreach { p =>
+      val name = p.getFileName.toString
+      if (name.startsWith("seg-") && !referenced.contains(name)) {
+        Files.delete(p); removedSegs += 1
+      }
+    }
+    (removedManifests, removedSegs)
+  }
 }
 
 object LakeTable {

@@ -151,11 +151,15 @@ object Manifest {
     p
   }
 
-  /** Read a manifest written by [[writeSplit]] (v2) or inline (v1). */
-  def readSplit(dir: Path, version: Long): Manifest = {
-    val doc = Serialization.read[ManifestDoc](
+  /** Top doc only (no segment loads) — metadata-level operations. */
+  private[lake] def readDoc(dir: Path, version: Long): ManifestDoc =
+    Serialization.read[ManifestDoc](
       new String(Files.readAllBytes(dir.resolve(f"manifest-$version%010d.json")),
         StandardCharsets.UTF_8))
+
+  /** Read a manifest written by [[writeSplit]] (v2) or inline (v1). */
+  def readSplit(dir: Path, version: Long): Manifest = {
+    val doc = readDoc(dir, version)
     val files =
       if (doc.segments.isEmpty) doc.files
       else doc.segments.flatMap(s => Serialization.read[Seq[FileEntry]](

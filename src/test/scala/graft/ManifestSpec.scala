@@ -44,6 +44,33 @@ class ManifestSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("metadata vacuum bounds the time-travel horizon; kept versions stay intact") {
+    val dir = tmpDir("segvac")
+    val cfg = WalGen.Config(numEvents = 4000, numConvs = 60)
+    try {
+      val table = LakeTable.create(spark, s"$dir/t", Schemas.transcript, numBuckets = 2)
+      (0 until 4).foreach { b =>
+        CdcMerge.apply(table, WalGen.events(spark, cfg, b * 1000L, (b + 1) * 1000L).toDF(), b.toLong)
+      }
+      val mdir = Paths.get(s"$dir/t/_manifests")
+      def count(prefix: String) = Files.list(mdir).iterator().asScala
+        .count(_.getFileName.toString.startsWith(prefix))
+      val segsBefore = count("seg-")
+      val (rm, rs) = table.vacuumMetadata(keepVersions = 2)
+      assert(rm == 3 && rs > 0, s"removed ($rm manifests, $rs segs)") // v0..v2 dropped
+      assert(count("seg-") == segsBefore - rs)
+      // current + previous version still read fine
+      val cur = table.currentVersion
+      assert(table.snapshotAt(cur).count() == table.snapshot().count())
+      assert(table.snapshotAt(cur - 1).count() > 0)
+      // past the horizon → loud failure (missing manifest), never silent
+      intercept[Exception](table.snapshotAt(cur - 2).count())
+      // data files untouched
+      assert(table.manifest.files.forall(f =>
+        Files.exists(Paths.get(s"$dir/t").resolve(f.path))))
+    } finally rmrf(dir)
+  }
+
   test("v1 inline manifests remain readable") {
     val dir = tmpDir("segv1")
     try {

@@ -233,12 +233,29 @@ object Bench {
         proc.waitFor()
         val re = """rows: (\d+(?:\.\d+)?)s""".r
         val times = re.findAllMatchIn(out).map(_.group(1).toDouble).toSeq
-        if (times.isEmpty) Double.MaxValue else times.min
-      } else Double.MaxValue
+        if (times.nonEmpty) times.min
+        else { System.err.println(s"[bench] cpu child produced no timing:\n${out.takeRight(800)}"); -1.0 }
+      } else { // no taskset: unpinned in-process fallback (marked as such in md)
+        val spark = session(par, tmp)
+        import org.apache.spark.sql.functions._
+        val df = spark.range(0, rows.toLong, 1, par * 4)
+        val h = (1 to 8).foldLeft(col("id"))((c, _) => xxhash64(c))
+        df.select(sum(lit(0L))).collect()
+        val best = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          df.select(sum(h.cast("decimal(38,0)"))).collect()
+          (System.nanoTime() - t0) / 1e9
+        }.min
+        spark.stop()
+        best
+      }
     }
     val cpuHiSecs = cpuProbe(hiPar)
     val cpuLoSecs = cpuProbe(loPar)
-    val cpuEff = (cpuLoSecs / cpuHiSecs) / (hiPar.toDouble / loPar)
+    // -1 sentinel (child produced no timing) must not fabricate a number
+    val cpuEff =
+      if (cpuHiSecs <= 0 || cpuLoSecs <= 0) -1.0
+      else (cpuLoSecs / cpuHiSecs) / (hiPar.toDouble / loPar)
 
     // ONE compact JSON line, emitted LAST — the driver captures only a tail
     // window of the output, so per-query seconds are rounded to 3 decimals

@@ -229,9 +229,14 @@ final class LakeTable private (val root: Path, spark: SparkSession) {
   }
 
   /** Atomically commit a new manifest. Single-writer CAS: fails if the
-    * current version moved under us.
+    * current version moved under us. The monitor is PER TABLE PATH, not
+    * per LakeTable instance — two instances over the same root (e.g. a
+    * streaming writer and a SQL MERGE command, or the async compactor)
+    * must serialize their read-check-write sections or both could pass
+    * the CAS check and the second would silently drop the first's files.
     */
-  def commit(newManifest: Manifest, expectedParent: Long): Unit = synchronized {
+  def commit(newManifest: Manifest, expectedParent: Long): Unit =
+    LakeTable.pathLock(root).synchronized {
     val cur = currentVersion
     require(cur == expectedParent,
       s"concurrent commit: current=$cur expected=$expectedParent")
@@ -261,10 +266,19 @@ final class LakeTable private (val root: Path, spark: SparkSession) {
     */
   def vacuum(keepVersions: Int = 2, changelogRetentionVersions: Int = 0): Int = {
     val cur = currentVersion
-    val keepVers = math.max(keepVersions, changelogRetentionVersions)
-    val keep = (math.max(0L, cur - keepVers + 1) to cur)
-      .flatMap(v => scala.util.Try(manifestAt(v)).toOption)
-      .flatMap(_.files.map(_.path)).toSet
+    def filesOf(vers: Range.Inclusive): Seq[FileEntry] = vers
+      .flatMap(v => scala.util.Try(manifestAt(v.toLong)).toOption)
+      .flatMap(_.files)
+    // base+delta files of the last keepVersions manifests, PLUS — delta
+    // files only — those of the wider changelog retention window (base
+    // generations superseded within it are still reclaimed)
+    val keepAll = filesOf(math.max(0L, cur - keepVersions + 1).toInt to cur.toInt)
+      .map(_.path)
+    val keepDeltas =
+      if (changelogRetentionVersions <= keepVersions) Nil
+      else filesOf(math.max(0L, cur - changelogRetentionVersions + 1).toInt to cur.toInt)
+        .filter(_.kind == FileEntry.DELTA).map(_.path)
+    val keep = (keepAll ++ keepDeltas).toSet
     if (!Files.exists(dataDir)) return 0
     var removed = 0
     Files.walk(dataDir).iterator().asScala
@@ -284,34 +298,50 @@ final class LakeTable private (val root: Path, spark: SparkSession) {
     * removed. Complements [[vacuum]] (data files) — together they bound
     * total table footprint to the retention window.
     */
-  def vacuumMetadata(keepVersions: Int = 8): (Int, Int) = {
-    val cur = currentVersion
-    val horizon = math.max(0L, cur - keepVersions + 1)
-    val manifestRe = "manifest-(\\d{10})\\.json".r
-    var removedManifests = 0
-    val keptVersions = scala.collection.mutable.ArrayBuffer.empty[Long]
-    Files.list(manifestDir).iterator().asScala.toSeq.foreach { p =>
-      p.getFileName.toString match {
-        case manifestRe(v) =>
-          if (v.toLong < horizon) { Files.delete(p); removedManifests += 1 }
-          else keptVersions += v.toLong
-        case _ =>
+  def vacuumMetadata(keepVersions: Int = 8): (Int, Int) =
+    // same monitor as commit: a commit writes its segments BEFORE the top
+    // doc exists, so an unsynchronized GC pass would see them unreferenced
+    // and delete files the about-to-land manifest points at
+    LakeTable.pathLock(root).synchronized {
+      def listNames(): Seq[Path] = {
+        val s = Files.list(manifestDir)
+        try s.iterator().asScala.toSeq finally s.close()
       }
-    }
-    val referenced = keptVersions.flatMap(v =>
-      Manifest.readDoc(manifestDir, v).segments.map(_.seg)).toSet
-    var removedSegs = 0
-    Files.list(manifestDir).iterator().asScala.toSeq.foreach { p =>
-      val name = p.getFileName.toString
-      if (name.startsWith("seg-") && !referenced.contains(name)) {
-        Files.delete(p); removedSegs += 1
+      val cur = currentVersion
+      val horizon = math.max(0L, cur - keepVersions + 1)
+      val manifestRe = "manifest-(\\d{10})\\.json".r
+      var removedManifests = 0
+      val keptVersions = scala.collection.mutable.ArrayBuffer.empty[Long]
+      listNames().foreach { p =>
+        p.getFileName.toString match {
+          case manifestRe(v) =>
+            if (v.toLong < horizon) { Files.delete(p); removedManifests += 1 }
+            else keptVersions += v.toLong
+          case _ =>
+        }
       }
+      val referenced = keptVersions.flatMap(v =>
+        Manifest.readDoc(manifestDir, v).segments.map(_.seg)).toSet
+      var removedSegs = 0
+      listNames().foreach { p =>
+        val name = p.getFileName.toString
+        if (name.startsWith("seg-") && !referenced.contains(name)) {
+          Files.delete(p); removedSegs += 1
+        }
+      }
+      (removedManifests, removedSegs)
     }
-    (removedManifests, removedSegs)
-  }
 }
 
 object LakeTable {
+
+  /** One JVM-wide monitor per canonical table root — commit and metadata
+    * vacuum serialize on it regardless of how many LakeTable instances
+    * point at the same directory.
+    */
+  private val locks = scala.collection.concurrent.TrieMap.empty[String, Object]
+  private[lake] def pathLock(root: Path): Object =
+    locks.getOrElseUpdate(root.toAbsolutePath.normalize.toString, new Object)
 
   /** Align `df` to `target` schema: missing columns → typed nulls, differing
     * types → cast; column order = target order.

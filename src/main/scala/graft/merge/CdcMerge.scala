@@ -235,12 +235,15 @@ object CdcMerge {
         table.commit(m2, base.version)
         return Stats(epoch, applied = true, newFiles.map(_.rows).sum, affected.size, wallMs)
       } catch {
-        case e: IllegalArgumentException if mode == MergeOnRead && attempt < 10 =>
+        // CAS lost → re-enter the loop; carriedNow then rebases (MOR) or
+        // raises the explicit single-committer error (CoW)
+        case _: IllegalArgumentException if attempt < 10 =>
           attempt += 1
           base = table.manifest
       }
     }
-    throw new IllegalStateException("unreachable")
+    throw new IllegalStateException(
+      s"commit for epoch $effEpoch lost the CAS race 10 times — a concurrent writer is live")
   }
 
   /** Collect per-file stats straight from the parquet FOOTERS (row counts

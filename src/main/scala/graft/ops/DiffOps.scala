@@ -59,6 +59,22 @@ object DiffOps {
       case _ => lit(null).cast("double")
     }
 
+    // keys-only frames (no common value column) still report key drift:
+    // one synthetic "(keys)" row instead of an un-star-expandable empty
+    // struct array
+    if (common.isEmpty) {
+      val one = j.agg(
+        sum(when(both, 1L).otherwise(0L)).as("__cmp"),
+        sum(when(inA && !inB, 1L).otherwise(0L)).as("__only_a"),
+        sum(when(inB && !inA, 1L).otherwise(0L)).as("__only_b"))
+      return one.select(
+        lit("(keys)").as("column"),
+        coalesce(col("__cmp"), lit(0L)).as("n_compared"),
+        lit(0L).as("n_differs"),
+        lit(null).cast("double").as("max_abs_diff"),
+        coalesce(col("__only_a"), lit(0L)).as("n_only_a"),
+        coalesce(col("__only_b"), lit(0L)).as("n_only_b"))
+    }
     val aggs = common.toSeq.flatMap { f =>
       Seq(
         sum(when(both, 1L).otherwise(0L)).as(s"__cmp_${f.name}"),

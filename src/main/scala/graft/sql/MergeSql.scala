@@ -36,16 +36,55 @@ object LakeCatalog {
   def lookup(name: String): Option[String] = reg.get(name.toLowerCase)
 }
 
-/** Analyzer rule: MERGE INTO <registered lake table> → [[GraftMergeIntoCommand]]. */
+/** Analyzer rule: MERGE INTO <registered lake table> → [[GraftMergeIntoCommand]].
+  *
+  * The statement's shape is VALIDATED, not ignored: only the canonical CDC
+  * upsert — `ON` equating exactly the key columns, `WHEN MATCHED THEN
+  * UPDATE SET *`, `WHEN NOT MATCHED THEN INSERT *`, no other clauses — is
+  * accepted; anything else (DELETE actions, partial SET lists, extra
+  * conditions, non-key ON) fails loudly instead of silently executing
+  * different semantics than the user wrote.
+  */
 case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.{InsertStarAction, UpdateStarAction}
+
+  private def conditionKeyCols(cond: org.apache.spark.sql.catalyst.expressions.Expression): Set[String] =
+    cond.collectLeaves().collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.last.toLowerCase
+      case a: org.apache.spark.sql.catalyst.expressions.Attribute => a.name.toLowerCase
+    }.toSet
+
+  private def validate(m: MergeIntoTable, name: String): Unit = {
+    def fail(why: String): Nothing = throw new IllegalArgumentException(
+      s"MERGE INTO lake table '$name': $why — the lake MERGE surface supports exactly " +
+      "the CDC upsert shape: ON <key equality> WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT * (op/lsn columns in the source drive deletes + ordering)")
+    m.matchedActions match {
+      case Seq(UpdateStarAction(None)) =>
+      case other => fail(s"unsupported WHEN MATCHED actions $other")
+    }
+    m.notMatchedActions match {
+      case Seq(InsertStarAction(None)) =>
+      case other => fail(s"unsupported WHEN NOT MATCHED actions $other")
+    }
+    if (m.notMatchedBySourceActions.nonEmpty)
+      fail("WHEN NOT MATCHED BY SOURCE is not supported")
+    val keys = graft.model.Schemas.KEY_COLS.map(_.toLowerCase).toSet
+    val cols = conditionKeyCols(m.mergeCondition)
+    if (cols != keys)
+      fail(s"ON condition must equate exactly the key columns ${keys.mkString(", ")} " +
+        s"(found ${cols.mkString(", ")})")
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case m: MergeIntoTable =>
       m.targetTable match {
         case u: UnresolvedRelation if m.sourceTable.resolved &&
             LakeCatalog.lookup(u.multipartIdentifier.mkString(".")).isDefined =>
-          GraftMergeIntoCommand(
-            LakeCatalog.lookup(u.multipartIdentifier.mkString(".")).get,
-            m.sourceTable)
+          val name = u.multipartIdentifier.mkString(".")
+          validate(m, name)
+          GraftMergeIntoCommand(LakeCatalog.lookup(name).get, m.sourceTable)
         case _ => m
       }
   }

@@ -61,7 +61,13 @@ object CdcStream {
   private val maintenancePool = java.util.concurrent.Executors.newSingleThreadExecutor(r => {
     val t = new Thread(r, "graft-compaction"); t.setDaemon(true); t
   })
-  private val maintenanceBusy = new java.util.concurrent.atomic.AtomicBoolean(false)
+  // busy flag is PER TABLE: one table's slow rewrite must not suppress
+  // another table's compaction ticks in the same JVM
+  private val maintenanceBusy =
+    scala.collection.concurrent.TrieMap.empty[String, java.util.concurrent.atomic.AtomicBoolean]
+  private def busyFlag(table: LakeTable) =
+    maintenanceBusy.getOrElseUpdate(table.root.toAbsolutePath.normalize.toString,
+      new java.util.concurrent.atomic.AtomicBoolean(false))
 
   /** Test/shutdown hook: wait for any in-flight maintenance compaction. */
   def awaitMaintenance(): Unit =
@@ -98,15 +104,18 @@ object CdcStream {
           streamId = streamIdOf(checkpointDir))
         if (mode == CdcMerge.MergeOnRead && compactEvery > 0) {
           if (!asyncCompaction) Compactor.compactIfNeeded(table, compactEvery)
-          else if (maintenanceBusy.compareAndSet(false, true)) {
-            maintenancePool.submit(new Runnable {
-              def run(): Unit = try {
-                val due = Compactor.dueBuckets(table, compactEvery)
-                if (due.nonEmpty) Compactor.compactConcurrent(table, due.toSet)
-              } catch {
-                case e: Throwable => System.err.println(s"[cdc-stream] async compaction failed: $e")
-              } finally maintenanceBusy.set(false)
-            })
+          else {
+            val busy = busyFlag(table)
+            if (busy.compareAndSet(false, true)) {
+              maintenancePool.submit(new Runnable {
+                def run(): Unit = try {
+                  val due = Compactor.dueBuckets(table, compactEvery)
+                  if (due.nonEmpty) Compactor.compactConcurrent(table, due.toSet)
+                } catch {
+                  case e: Throwable => System.err.println(s"[cdc-stream] async compaction failed: $e")
+                } finally busy.set(false)
+              })
+            }
           }
         }
         // per-partition lineage feed (north-star: lineage via the

@@ -42,16 +42,23 @@ object IncrementalAgg {
     */
   def refresh(table: LakeTable, view: DataFrame,
               fromVersion: Long, toVersion: Long): DataFrame = {
+    // PIN the manifest at toVersion: the recompute must read the table AS
+    // OF the window's end, not whatever has been committed since — mixing
+    // versions would produce a view consistent with neither. The changelog
+    // scan is persisted: it feeds three consumers (bucket set, semi-join,
+    // anti-join) and must not re-read the delta chain per consumer.
+    val mTo = table.manifestAt(toVersion)
     val changed = table.changesBetween(fromVersion, toVersion)
       .select("conv_id").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // touched BUCKETS via the bucket expression — collects at most
     // numBuckets ints, never the conversation ids themselves
     val buckets = changed
-      .select(table.bucketExpr(table.manifest.numBuckets).as("b"))
+      .select(table.bucketExpr(mTo.numBuckets).as("b"))
       .distinct().collect().map(_.getInt(0)).toSet
     // bucket-pruned snapshot read of ONLY the touched buckets, then group
     // filter to the touched conversations
-    val touched = table.snapshotPhysical(Some(buckets))
+    val touched = table.snapshotPhysical(mTo, Some(buckets))
       .filter(!col(graft.model.Schemas.DELETED_COL))
       .join(broadcast(changed), Seq("conv_id"), "left_semi")
     val recomputed = aggregateOf(touched)

@@ -35,6 +35,15 @@ class DiffTimeSpec extends SparkSpec {
     assert(DiffOps.isClose(a, a, Seq("k")))
   }
 
+  test("datadiff: keys-only frames report key drift instead of crashing") {
+    val a = Seq(1L, 2L, 3L).toDF("k")
+    val b = Seq(2L, 3L, 4L).toDF("k")
+    val r = DiffOps.diff(a, b, Seq("k")).collect()
+    assert(r.length == 1 && r(0).getString(0) == "(keys)")
+    assert(r(0).getLong(1) == 2 && r(0).getLong(4) == 1 && r(0).getLong(5) == 1)
+    assert(!DiffOps.isClose(a, b, Seq("k")) && DiffOps.isClose(a, a, Seq("k")))
+  }
+
   test("datadiff: null semantics — null==null equal, null vs value differs") {
     val a = Seq((1L, Some(1.0)), (2L, None), (3L, Some(3.0))).toDF("k", "v")
     val b = Seq((1L, None), (2L, None), (3L, Some(3.0))).toDF("k", "v")

@@ -55,6 +55,21 @@ class MergeSqlSpec extends SparkSpec {
         "MERGE INTO no_such_table USING changes ON 1=1 WHEN MATCHED THEN UPDATE SET *").collect())
       assert(err.getMessage.toLowerCase.contains("no_such_table") ||
         err.getMessage.toLowerCase.contains("table"))
+
+      // statements whose semantics the CDC upsert would NOT honor are
+      // REJECTED loudly, never silently executed as an upsert
+      val del = intercept[Exception](s2.sql(
+        """MERGE INTO lake_transcripts USING changes
+          |ON lake_transcripts.conv_id = changes.conv_id
+          |   AND lake_transcripts.turn_idx = changes.turn_idx
+          |WHEN MATCHED THEN DELETE""".stripMargin).collect())
+      assert(del.getMessage.contains("WHEN MATCHED"), del.getMessage)
+      val badOn = intercept[Exception](s2.sql(
+        """MERGE INTO lake_transcripts USING changes
+          |ON lake_transcripts.conv_id = changes.conv_id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect())
+      assert(badOn.getMessage.contains("key columns"), badOn.getMessage)
     } finally {
       LakeCatalog.unregister("lake_transcripts")
       SparkSession.setActiveSession(spark)

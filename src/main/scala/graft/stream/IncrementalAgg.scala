@@ -17,6 +17,37 @@ import graft.lake.LakeTable
   * snapshot (bucket- and file-pruned reads), and upsert the results into
   * the view. Work per refresh is O(changed groups), not O(table).
   */
+/** Push-based changelog follower: poll the table's `_current` pointer and
+  * hand every newly committed version range's change rows to a callback —
+  * the "tail the lake table itself as a CDC feed" consumer loop (pairs
+  * with [[IncrementalAgg]] for downstream view maintenance). Exactly-once
+  * per (fromVersion, toVersion] window as long as the consumer tracks the
+  * last version it processed (the callback receives `toVersion` for that).
+  */
+object ChangelogFollower {
+
+  /** Start following; returns a handle whose `close()` stops the loop.
+    * `fromVersion`: first version already seen (callbacks start after it).
+    */
+  def follow(table: LakeTable, fromVersion: Long, pollMs: Long = 200L)
+            (f: (DataFrame, Long) => Unit): AutoCloseable = {
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val t = new Thread(() => {
+      var last = fromVersion
+      while (!stop.get()) {
+        val cur = table.currentVersion
+        if (cur > last) {
+          f(table.changesBetween(last, cur), cur)
+          last = cur
+        } else Thread.sleep(pollMs)
+      }
+    }, s"graft-changelog-follower")
+    t.setDaemon(true)
+    t.start()
+    () => { stop.set(true); t.join(10000) }
+  }
+}
+
 object IncrementalAgg {
 
   /** A maintained per-conversation aggregate row. */

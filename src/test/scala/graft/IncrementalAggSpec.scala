@@ -41,4 +41,31 @@ class IncrementalAggSpec extends SparkSpec {
       assert(view.count() > 0)
     } finally rmrf(dir)
   }
+
+  test("ChangelogFollower tails commits and sees every delta exactly once") {
+    val dir = tmpDir("follow")
+    val cfg = WalGen.Config(numEvents = 6000, numConvs = 50)
+    try {
+      val table = LakeTable.create(spark, s"$dir/t", Schemas.transcript, numBuckets = 2)
+      val seen = new java.util.concurrent.atomic.AtomicLong(0)
+      val windows = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+      val handle = graft.stream.ChangelogFollower.follow(table, table.currentVersion, pollMs = 50) {
+        (changes, toV) => seen.addAndGet(changes.count()); windows.add((changes.count(), toV)) ; ()
+      }
+      val per = cfg.numEvents / 3
+      var expected = 0L
+      (0 until 3).foreach { b =>
+        val st = CdcMerge.apply(table,
+          WalGen.events(spark, cfg, b * per, (b + 1) * per).toDF(), b.toLong)
+        expected += st.batchRows
+        Thread.sleep(400) // let the follower drain between commits
+      }
+      // wait for the follower to catch up, then stop it
+      val deadline = System.currentTimeMillis() + 20000
+      while (seen.get() < expected && System.currentTimeMillis() < deadline) Thread.sleep(100)
+      handle.close()
+      assert(seen.get() == expected,
+        s"follower saw ${seen.get()} delta rows, writers committed $expected")
+    } finally rmrf(dir)
+  }
 }

@@ -58,7 +58,12 @@ object Bench {
       // no libhadoop in this container: stock LocalFileSystem fork+execs
       // chmod/ls per file op and writes .crc sidecars — see FastLocalFileSystem
       .config("spark.hadoop.fs.file.impl", classOf[graft.util.FastLocalFileSystem].getName)
-      .config("spark.sql.parquet.compression.codec", "zstd")
+      // snappy: measured 5-15% faster end-to-end apply than zstd on this
+      // CPU-bound box (both orderings, pinned 8-core probes); zstd remains
+      // the right choice on storage-bandwidth-bound clusters — override
+      // with GRAFT_BENCH_CODEC
+      .config("spark.sql.parquet.compression.codec",
+        sys.env.getOrElse("GRAFT_BENCH_CODEC", "snappy"))
       .config("spark.local.dir", s"$tmp/spark-local-$cores")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -160,7 +165,8 @@ object Bench {
         val pb = new ProcessBuilder(cmd: _*)
         pb.environment().put("GRAFT_BENCH_TMP", tmp)
         pb.environment().put("GRAFT_BENCH_MPB", "8388608")
-        pb.environment().put("GRAFT_BENCH_CODEC", "zstd")
+        pb.environment().put("GRAFT_BENCH_CODEC",
+          sys.env.getOrElse("GRAFT_BENCH_CODEC", "snappy"))
         pb.redirectErrorStream(true)
         val proc = pb.start()
         val out = new String(proc.getInputStream.readAllBytes(),

@@ -154,10 +154,20 @@ object DedupOps {
     * within the threshold". More bands = wider Hamming radius but smaller
     * band width = more random collisions to verify.
     */
+  /** With `multiProbe = true`, one side of the self-join additionally
+    * emits every 1-bit variant of each band's bucket, extending the
+    * exhaustive radius to `2·bands - 1` (pigeonhole: d ≤ 2b-1 errors over
+    * b bands leave some band with ≤ 1 differing bit) — wide Hamming radii
+    * WITHOUT shrinking bands into high-collision tiny buckets. Probe cost:
+    * (bandWidth+1)× rows on one join side only.
+    */
   def simhashPairs(df: DataFrame, textCol: String, keyCol: String,
-                   maxHamming: Int = 3, bands: Int = 4): DataFrame = {
-    require(maxHamming < bands,
-      s"pigeonhole is exhaustive only for maxHamming < bands (got maxHamming=$maxHamming, bands=$bands)")
+                   maxHamming: Int = 3, bands: Int = 4,
+                   multiProbe: Boolean = false): DataFrame = {
+    val radius = if (multiProbe) 2 * bands - 1 else bands - 1
+    require(maxHamming <= radius,
+      s"pigeonhole is exhaustive only for maxHamming <= $radius with bands=$bands, " +
+      s"multiProbe=$multiProbe (got maxHamming=$maxHamming)")
     require(bands >= 1 && bands <= 64, s"bands must be in [1,64] (got $bands)")
     val width = 64 / bands // last band absorbs the 64 % bands leftover bits
     def bandWidth(b: Int): Int = if (b == bands - 1) 64 - b * width else width
@@ -165,17 +175,29 @@ object DedupOps {
       .select(col(keyCol).as("key"), tokenHashes(col(textCol)).as("hs"))
       .select(col("key"), simhashFromHashes(col("hs")).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bandStructs = (0 until bands).map { b =>
+    def bucketOf(b: Int): Column = {
       val mask = if (bandWidth(b) == 64) -1L else (1L << bandWidth(b)) - 1L
-      struct(lit(b).as("band"),
-        call_function("shiftright", col("sig"), lit(b * width).cast("int"))
-          .bitwiseAND(lit(mask)).as("bucket"))
+      call_function("shiftright", col("sig"), lit(b * width).cast("int"))
+        .bitwiseAND(lit(mask))
     }
+    val exactStructs = (0 until bands).map(b =>
+      struct(lit(b).as("band"), bucketOf(b).as("bucket")))
     val banded = withSig.select(col("key"), col("sig"),
-      explode(array(bandStructs: _*)).as("bb"))
+      explode(array(exactStructs: _*)).as("bb"))
       .select(col("key"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val probed = if (!multiProbe) banded else {
+      val probeStructs = (0 until bands).flatMap { b =>
+        val exact = struct(lit(b).as("band"), bucketOf(b).as("bucket"))
+        val flips = (0 until bandWidth(b)).map(i =>
+          struct(lit(b).as("band"), bucketOf(b).bitwiseXOR(lit(1L << i)).as("bucket")))
+        exact +: flips
+      }
+      withSig.select(col("key"), col("sig"),
+        explode(array(probeStructs: _*)).as("bb"))
+        .select(col("key"), col("sig"), col("bb.band"), col("bb.bucket"))
+    }
     val l = banded.select(col("band"), col("bucket"), col("key").as("key_a"), col("sig").as("sig_a"))
-    val r = banded.select(col("band"), col("bucket"), col("key").as("key_b"), col("sig").as("sig_b"))
+    val r = probed.select(col("band"), col("bucket"), col("key").as("key_b"), col("sig").as("sig_b"))
     l.join(r, Seq("band", "bucket"))
       .filter(col("key_a") < col("key_b"))
       .dropDuplicates("key_a", "key_b")

@@ -76,6 +76,17 @@ class DedupSpec extends SparkSpec {
     val pairs = DedupOps.simhashPairs(all, "text", "doc_id", maxHamming = 8, bands = 9)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.contains((3L, 300L)), s"Hamming-$d pair missed with 9 bands: ${pairs.mkString(",")}")
+    // MULTI-PROBE alternative: same radius with 5 wide bands (1-bit probes
+    // extend the exhaustive radius to 2*bands-1 = 9) — same pair found
+    val probedPairs = DedupOps.simhashPairs(all, "text", "doc_id",
+      maxHamming = 8, bands = 5, multiProbe = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(probedPairs.contains((3L, 300L)),
+      s"Hamming-$d pair missed by multi-probe: ${probedPairs.mkString(",")}")
+    // and the contract still rejects radii beyond the probe guarantee
+    intercept[IllegalArgumentException] {
+      DedupOps.simhashPairs(docs, "text", "doc_id", maxHamming = 10, bands = 5, multiProbe = true)
+    }
   }
 
   test("embedding cosine near-dup: planted perturbed twins recovered with recall >= 0.8") {

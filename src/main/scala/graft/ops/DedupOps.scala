@@ -153,8 +153,8 @@ object DedupOps {
     * a silently recall-limited result must not masquerade as "all pairs
     * within the threshold". More bands = wider Hamming radius but smaller
     * band width = more random collisions to verify.
-    */
-  /** With `multiProbe = true`, one side of the self-join additionally
+    *
+    * With `multiProbe = true`, one side of the self-join additionally
     * emits every 1-bit variant of each band's bucket, extending the
     * exhaustive radius to `2·bands - 1` (pigeonhole: d ≤ 2b-1 errors over
     * b bands leave some band with ≤ 1 differing bit) — wide Hamming radii

@@ -264,8 +264,18 @@ final class LakeTable private (val root: Path, spark: SparkSession) {
     * retention window fail loudly in `changesBetween` (never return
     * silently-partial changes).
     */
-  def vacuum(keepVersions: Int = 2, changelogRetentionVersions: Int = 0): Int = {
+  def vacuum(keepVersions: Int = 2, changelogRetentionVersions: Int = 0,
+             graceMs: Long = 300000L): Int =
+    // Same monitor as commit: adoptStaged moves files into data/ BEFORE the
+    // manifest referencing them exists, so an unsynchronized vacuum would
+    // see an in-flight commit's files as unreferenced and delete them. The
+    // lock serializes against commit()'s read-check-write; the mtime grace
+    // window (Delta-style retention) additionally protects files adopted by
+    // a commit still building its manifest OUTSIDE the lock — pass
+    // graceMs = 0 only when no writer can be in flight (tests, offline GC).
+    LakeTable.pathLock(root).synchronized {
     val cur = currentVersion
+    val adoptedAfter = System.currentTimeMillis() - graceMs
     def filesOf(vers: Range.Inclusive): Seq[FileEntry] = vers
       .flatMap(v => scala.util.Try(manifestAt(v.toLong)).toOption)
       .flatMap(_.files)
@@ -285,7 +295,8 @@ final class LakeTable private (val root: Path, spark: SparkSession) {
       .filter(p => Files.isRegularFile(p))
       .foreach { p =>
         val rel = root.relativize(p).toString
-        if (!keep.contains(rel)) { Files.delete(p); removed += 1 }
+        val recent = Files.getLastModifiedTime(p).toMillis >= adoptedAfter
+        if (!keep.contains(rel) && !recent) { Files.delete(p); removed += 1 }
       }
     removed
   }

@@ -128,7 +128,11 @@ object CdcMerge {
         .withColumn(DELETED_COL, col("op") === "D"),
       physTarget)
 
-    val staging = table.root.resolve(s"_staging/epoch-$effEpoch")
+    // Unique per attempt: a second writer racing on the same effEpoch (e.g.
+    // streaming writer + SQL MERGE on one table) must not share — and
+    // deleteRecursively — this in-flight staging directory.
+    val staging = table.root.resolve(
+      s"_staging/epoch-$effEpoch-${java.util.UUID.randomUUID().toString.take(8)}")
     deleteRecursively(staging)
 
     val (newFiles, carried, affected) = mode match {
@@ -213,8 +217,14 @@ object CdcMerge {
         }
       require(base.schemas == m.schemas && base.currentSchemaId == m.currentSchemaId,
         "concurrent schema change during merge")
-      require(base.lastEpoch <= effEpoch || (base eq m),
-        s"concurrent WRITER detected (lastEpoch ${base.lastEpoch} > $effEpoch) — one writer per table")
+      // STRICT < on rebase: a concurrent commit that already recorded
+      // exactly effEpoch would otherwise duplicate the internal epoch,
+      // breaking changelog monotonicity (changesBetween filters
+      // `epoch > fromEpoch`). Compactions never advance lastEpoch, so
+      // rebasing over a compactor still passes.
+      require((base eq m) || base.lastEpoch < effEpoch,
+        s"concurrent WRITER detected (lastEpoch ${base.lastEpoch} >= epoch $effEpoch " +
+          "after rebase) — one writer per table")
       val allFiles = carriedNow ++ newFiles
       val batchMaxLsn = math.max(base.maxLsn, newFiles.map(_.maxLsn).foldLeft(-1L)(math.max))
       val wallMs = (System.nanoTime() - t0) / 1000000

@@ -48,12 +48,37 @@ object LakeCatalog {
 case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.plans.logical.{InsertStarAction, UpdateStarAction}
 
-  private def conditionKeyCols(cond: org.apache.spark.sql.catalyst.expressions.Expression): Set[String] =
-    cond.collectLeaves().collect {
-      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-        a.nameParts.last.toLowerCase
-      case a: org.apache.spark.sql.catalyst.expressions.Attribute => a.name.toLowerCase
-    }.toSet
+  import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
+
+  private def attrName(e: Expression): Option[String] = e match {
+    case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+      Some(a.nameParts.last.toLowerCase)
+    case a: Attribute => Some(a.name.toLowerCase)
+    case _ => None
+  }
+
+  private def conjuncts(cond: Expression): Seq[Expression] = cond match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case other => Seq(other)
+  }
+
+  /** The key columns equated by `cond`, iff it is EXACTLY a conjunction of
+    * same-name attribute equalities (`t.k = s.k`). Anything else — crossed
+    * comparisons (`t.conv_id = s.turn_idx`), non-equality predicates
+    * (`t.conv_id < s.conv_id`), extra residual conditions — yields None so
+    * validate fails loudly instead of executing different semantics.
+    */
+  private def equatedKeyCols(cond: Expression): Option[Set[String]] = {
+    val pairs = conjuncts(cond).map {
+      case EqualTo(l, r) =>
+        (attrName(l), attrName(r)) match {
+          case (Some(ln), Some(rn)) if ln == rn => Some(ln)
+          case _ => None
+        }
+      case _ => None
+    }
+    if (pairs.forall(_.isDefined)) Some(pairs.flatten.toSet) else None
+  }
 
   private def validate(m: MergeIntoTable, name: String): Unit = {
     def fail(why: String): Nothing = throw new IllegalArgumentException(
@@ -71,10 +96,15 @@ case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
     if (m.notMatchedBySourceActions.nonEmpty)
       fail("WHEN NOT MATCHED BY SOURCE is not supported")
     val keys = graft.model.Schemas.KEY_COLS.map(_.toLowerCase).toSet
-    val cols = conditionKeyCols(m.mergeCondition)
-    if (cols != keys)
-      fail(s"ON condition must equate exactly the key columns ${keys.mkString(", ")} " +
-        s"(found ${cols.mkString(", ")})")
+    equatedKeyCols(m.mergeCondition) match {
+      case Some(cols) if cols == keys =>
+      case Some(cols) =>
+        fail(s"ON condition must equate exactly the key columns ${keys.mkString(", ")} " +
+          s"(found ${cols.mkString(", ")})")
+      case None =>
+        fail("ON condition must be a conjunction of same-name key equalities " +
+          s"(t.k = s.k for k in ${keys.mkString(", ")}); found: ${m.mergeCondition.sql}")
+    }
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {

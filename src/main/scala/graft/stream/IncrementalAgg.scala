@@ -26,25 +26,53 @@ import graft.lake.LakeTable
   */
 object ChangelogFollower {
 
+  /** Follower handle: `failure` exposes the error that killed the loop (a
+    * callback exception, or `changesBetween`'s loud vacuumed-delta error);
+    * `close()` stops the loop and RETHROWS any such failure so a dead
+    * follower can never be mistaken for a cleanly stopped one.
+    */
+  final class Handle private[ChangelogFollower] (
+      stop: java.util.concurrent.atomic.AtomicBoolean,
+      t: Thread,
+      err: java.util.concurrent.atomic.AtomicReference[Throwable]) extends AutoCloseable {
+    def failure: Option[Throwable] = Option(err.get())
+    def isAlive: Boolean = t.isAlive
+    override def close(): Unit = {
+      stop.set(true); t.join(10000)
+      failure.foreach(e => throw new IllegalStateException(
+        "changelog follower died before close()", e))
+    }
+  }
+
   /** Start following; returns a handle whose `close()` stops the loop.
     * `fromVersion`: first version already seen (callbacks start after it).
+    * `onError` fires immediately when the loop dies (default: stderr); the
+    * failure is also retained on the handle and rethrown by `close()`.
     */
-  def follow(table: LakeTable, fromVersion: Long, pollMs: Long = 200L)
-            (f: (DataFrame, Long) => Unit): AutoCloseable = {
+  def follow(table: LakeTable, fromVersion: Long, pollMs: Long = 200L,
+             onError: Throwable => Unit = e =>
+               System.err.println(s"[changelog-follower] DIED: $e"))
+            (f: (DataFrame, Long) => Unit): Handle = {
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
     val t = new Thread(() => {
       var last = fromVersion
-      while (!stop.get()) {
-        val cur = table.currentVersion
-        if (cur > last) {
-          f(table.changesBetween(last, cur), cur)
-          last = cur
-        } else Thread.sleep(pollMs)
+      try {
+        while (!stop.get()) {
+          val cur = table.currentVersion
+          if (cur > last) {
+            f(table.changesBetween(last, cur), cur)
+            last = cur
+          } else Thread.sleep(pollMs)
+        }
+      } catch {
+        case _: InterruptedException if stop.get() => // clean shutdown
+        case e: Throwable => err.set(e); onError(e)
       }
     }, s"graft-changelog-follower")
     t.setDaemon(true)
     t.start()
-    () => { stop.set(true); t.join(10000) }
+    new Handle(stop, t, err)
   }
 }
 
@@ -93,7 +121,17 @@ object IncrementalAgg {
       .filter(!col(graft.model.Schemas.DELETED_COL))
       .join(broadcast(changed), Seq("conv_id"), "left_semi")
     val recomputed = aggregateOf(touched)
-    view.join(changed, Seq("conv_id"), "left_anti") // carry untouched groups
+    val next = view.join(changed, Seq("conv_id"), "left_anti") // carry untouched groups
       .unionByName(recomputed)
+    // Materialize the new view eagerly (localCheckpoint): (a) the follower
+    // loop feeds each refresh's output into the next — without truncation
+    // the plan grows one join+union PER REFRESH and the leaked `changed`
+    // persist per round accumulates MEMORY_AND_DISK blocks forever; (b) the
+    // checkpointed blocks are released by the ContextCleaner once the
+    // previous view is dereferenced, so a long-running follower holds
+    // exactly one view generation (+ the one being built) at a time.
+    val out = next.localCheckpoint(eager = true)
+    changed.unpersist()
+    out
   }
 }

@@ -246,7 +246,7 @@ class CdcEngineSpec extends SparkSpec {
       // compaction orphans the delta files in older manifest versions
       Compactor.compact(table, (0 until 4).toSet)
       val before = table.contentChecksum()
-      val removed = table.vacuum(keepVersions = 1)
+      val removed = table.vacuum(keepVersions = 1, graceMs = 0L)
       assert(removed > 0, "multi-version table should have unreferenced files")
       assert(table.contentChecksum() == before)
       assertMatchesOracle(table, cfg)

@@ -68,4 +68,26 @@ class IncrementalAggSpec extends SparkSpec {
         s"follower saw ${seen.get()} delta rows, writers committed $expected")
     } finally rmrf(dir)
   }
+
+  test("ChangelogFollower surfaces a callback failure instead of dying silently") {
+    val dir = tmpDir("followfail")
+    val cfg = WalGen.Config(numEvents = 500, numConvs = 10)
+    try {
+      val table = LakeTable.create(spark, s"$dir/t", Schemas.transcript, numBuckets = 2)
+      val reported = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val handle = graft.stream.ChangelogFollower.follow(
+        table, table.currentVersion, pollMs = 20, onError = reported.set) { (_, _) =>
+        throw new RuntimeException("consumer exploded")
+      }
+      CdcMerge.apply(table, WalGen.events(spark, cfg, 0, 500).toDF(), 0L)
+      val deadline = System.currentTimeMillis() + 20000
+      while (handle.failure.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(50)
+      assert(handle.failure.exists(_.getMessage == "consumer exploded"),
+        s"failure not retained on handle: ${handle.failure}")
+      assert(reported.get() != null, "onError callback did not fire")
+      val closeErr = intercept[IllegalStateException](handle.close())
+      assert(closeErr.getCause.getMessage == "consumer exploded")
+    } finally rmrf(dir)
+  }
 }

@@ -70,6 +70,25 @@ class MergeSqlSpec extends SparkSpec {
           |WHEN MATCHED THEN UPDATE SET *
           |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect())
       assert(badOn.getMessage.contains("key columns"), badOn.getMessage)
+      // CROSSED key comparison mentions both key names but is NOT the
+      // key-equality upsert — must be rejected, not pass a name-set check
+      val crossed = intercept[Exception](s2.sql(
+        """MERGE INTO lake_transcripts USING changes
+          |ON lake_transcripts.conv_id = changes.turn_idx
+          |   AND lake_transcripts.turn_idx = changes.conv_id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect())
+      assert(crossed.getMessage.contains("conjunction of same-name key equalities"),
+        crossed.getMessage)
+      // non-equality predicate over the key columns → rejected
+      val nonEq = intercept[Exception](s2.sql(
+        """MERGE INTO lake_transcripts USING changes
+          |ON lake_transcripts.conv_id <= changes.conv_id
+          |   AND lake_transcripts.turn_idx = changes.turn_idx
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect())
+      assert(nonEq.getMessage.contains("conjunction of same-name key equalities"),
+        nonEq.getMessage)
     } finally {
       LakeCatalog.unregister("lake_transcripts")
       SparkSession.setActiveSession(spark)

@@ -35,7 +35,7 @@ class SoakSpec extends SparkSpec {
       assert(got.size == oracle.size)
       oracle.foreach { case (k, e) => assert(got(k) == e.text, s"mismatch at $k") }
       // vacuum after the soak leaves the snapshot intact
-      table.vacuum(keepVersions = 1)
+      table.vacuum(keepVersions = 1, graceMs = 0L)
       assert(table.snapshot().count() == oracle.size)
     } finally rmrf(dir)
   }

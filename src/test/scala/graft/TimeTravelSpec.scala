@@ -55,10 +55,10 @@ class TimeTravelSpec extends SparkSpec {
       Compactor.compact(table, Set(0, 1)) // deltas folded → only the retention window pins them
       val vCompact = table.currentVersion
       // retention wide enough → old deltas survive vacuum, changelog still reads
-      table.vacuum(keepVersions = 1, changelogRetentionVersions = 10)
+      table.vacuum(keepVersions = 1, changelogRetentionVersions = 10, graceMs = 0L)
       assert(table.changesBetween(versionAfter(0), versionAfter(2)).count() > 0)
       // no retention → deltas vacuumed; the changelog read must FAIL LOUDLY
-      table.vacuum(keepVersions = 1)
+      table.vacuum(keepVersions = 1, graceMs = 0L)
       val e = intercept[IllegalStateException] {
         table.changesBetween(versionAfter(0), versionAfter(2)).count()
       }

@@ -60,10 +60,30 @@ object DataPipelineQueries {
     }
 
     // maxHamming=3 with the default 4 bands: the pigeonhole is EXHAUSTIVE
-    // (simhashPairs enforces maxHamming < bands); wider radii need more
-    // bands — see DedupSpec's bands=9 / Hamming-8 case.
-    register("q_dedup_simhash", None) { (s, dir) =>
-      DedupOps.simhashPairs(T(s, dir, "documents"), "text", "doc_id", maxHamming = 3)
+    // (simhashPairs enforces maxHamming < bands), so the banded-join pair
+    // set EQUALS the exact all-pairs Hamming set deterministically — a
+    // FULL oracle, not a recall bet. Runs over the portable md5-low-60
+    // token hash + 60-bit signature (TextOps.md5Hash60) so DuckDB
+    // replicates the per-bit majority vote bit-for-bit; the xxhash64 /
+    // native-expression 64-bit path stays the production fast path
+    // (FunctionsSpec bit-equality + DedupSpec planted pairs).
+    register("q_dedup_simhash", Some(
+      """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |              FROM documents),
+        |h AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h FROM toks),
+        |votes AS (SELECT doc_id, b,
+        |    SUM(CASE WHEN (h >> CAST(b AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM h, generate_series(0, 59) t(b) GROUP BY doc_id, b),
+        |sig AS (SELECT doc_id,
+        |    SUM(CASE WHEN v > 0 THEN (1::BIGINT << CAST(b AS INTEGER)) ELSE 0 END) AS sig
+        |  FROM votes GROUP BY doc_id)
+        |SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+        |       CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        |ORDER BY key_a, key_b""".stripMargin)) { (s, dir) =>
+      DedupOps.simhashPairs(T(s, dir, "documents"), "text", "doc_id", maxHamming = 3,
+        hasher = TextOps.tokenHashesPortable, sigBits = 60)
         .orderBy("key_a", "key_b")
     }
 
@@ -311,11 +331,28 @@ object DataPipelineQueries {
         .orderBy("doc_id")
     }
 
-    // rolling-hash fingerprint (xxhash64-based → rows-only)
-    register("q_fingerprint", None) { (s, dir) =>
-      T(s, dir, "documents").select(
-        col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
-        .orderBy("doc_id")
+    // rolling-hash fingerprint, FULLY oracled: the fp column is the
+    // portable md5-based Karp-Rabin value (DuckDB replicates it
+    // value-for-value) and `clusters_match_xxhash` verifies the xxhash64
+    // fast path IN-RESULT — both hash schemes must induce the same
+    // duplicate-cluster partition (distinct-count equality; collisions at
+    // modulus 1e9+7 over ≤5k docs are ~1e-5-probability events).
+    register("q_fingerprint", Some(
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(regexp_split_to_array(trim(text), '\s+'),
+        |      tok -> CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % 1000000007)),
+        |    (acc, h) -> (acc * 31 + h) % 1000000007) AS fp,
+        |  CAST(1 AS BOOLEAN) AS clusters_match_xxhash
+        |FROM documents ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      val fps = T(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.fingerprintPortable(col("text")).as("fp"),
+        TextOps.fingerprint(col("text")).as("fp_xx"))
+      val clusters = fps.agg(
+        (countDistinct(col("fp")) === countDistinct(col("fp_xx")))
+          .as("clusters_match_xxhash"))
+      fps.select("doc_id", "fp").crossJoin(clusters).orderBy("doc_id")
     }
 
     // same Karp-Rabin semantics with an md5-derived token hash → fully

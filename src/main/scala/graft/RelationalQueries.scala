@@ -492,22 +492,33 @@ object RelationalQueries {
         .orderBy("o_orderpriority")
     }
 
-    // order-invariant content checksum (grapher_import.py:419-421) — no DuckDB
-    // xxhash64, so rows-only check; ScalaTest asserts invariance under shuffle.
-    // no DuckDB xxhash64 — instead the result carries its own verification
-    // bit: the checksum recomputed under a DIFFERENT physical plan
-    // (repartitioned → different row order/partitioning) must be equal,
-    // demonstrating order-invariance inside the recorded result.
-    register("q_checksum_agg", None) { (s, dir) =>
+    // order-invariant content checksum (grapher_import.py:419-421), now
+    // FULLY DuckDB-oracled via the portable row hash (md5-low-60, see
+    // TextOps.md5Hash60): sum of per-row hashes in decimal(38,0) — the
+    // exact algebra the engine's xxhash64 contentChecksum uses, verified
+    // value-for-value cross-engine. The xxhash64 fast path keeps its
+    // in-result verification bit: the checksum recomputed under a
+    // DIFFERENT physical plan (repartitioned → different row
+    // order/partitioning) must be equal, demonstrating order-invariance.
+    register("q_checksum_agg", Some(
+      """SELECT CAST(CAST(SUM(CAST(('0x' || substr(md5(concat_ws(chr(1),
+        |    CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR),
+        |    l_returnflag)), 1, 15)) AS BIGINT)) AS DECIMAL(38,0)) AS VARCHAR)
+        |    AS checksum_portable,
+        |  COUNT(*) AS n, CAST(1 AS BOOLEAN) AS invariant_ok
+        |FROM lineitem""".stripMargin)) { (s, dir) =>
       val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag")
       val base = T(s, dir, "lineitem")
+      val rowStr = concat_ws("\u0001", cols.map(c => col(c).cast("string")): _*)
       val c1 = base.agg(
+        sum(graft.ops.TextOps.md5Hash60(rowStr).cast("decimal(38,0)"))
+          .cast("string").as("checksum_portable"),
         AggOps.contentChecksum(base, cols).cast("string").as("checksum"),
         count(lit(1)).as("n"))
       val c2 = base.repartition(17, col("l_partkey"))
         .agg(AggOps.contentChecksum(base, cols).cast("string").as("checksum_replan"))
       c1.crossJoin(c2)
-        .select(col("checksum"), col("n"),
+        .select(col("checksum_portable"), col("n"),
           (col("checksum") === col("checksum_replan")).as("invariant_ok"))
     }
   }

@@ -132,8 +132,19 @@ object DedupOps {
     * traversals; kept as the verification reference for the native
     * expression (FunctionsSpec asserts bit-equality).
     */
-  def simhashFromHashesHof(hs: Column): Column = {
-    val bits = (0 until 64).map { i =>
+  def simhashFromHashesHof(hs: Column): Column = simhashHof(hs, 64)
+
+  /** Per-bit majority vote over `sigBits` bits of the token hashes — the
+    * generalized SimHash. `sigBits = 60` is the cross-engine-portable
+    * width: with [[TextOps.md5Hash60]] token hashes, every intermediate
+    * (token hash, 1 << bit, the final signature) fits SIGNED 64-bit on
+    * every engine, so a DuckDB oracle reproduces the signature
+    * bit-for-bit — 64-bit signatures are not portable (`1 << 63`
+    * overflows BIGINT in most engines).
+    */
+  def simhashHof(hs: Column, sigBits: Int): Column = {
+    require(sigBits >= 1 && sigBits <= 64, s"sigBits in [1,64] (got $sigBits)")
+    val bits = (0 until sigBits).map { i =>
       val vote = aggregate(hs, lit(0),
         (acc, h) => acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1).otherwise(-1))
       when(vote > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
@@ -163,17 +174,23 @@ object DedupOps {
     */
   def simhashPairs(df: DataFrame, textCol: String, keyCol: String,
                    maxHamming: Int = 3, bands: Int = 4,
-                   multiProbe: Boolean = false): DataFrame = {
+                   multiProbe: Boolean = false,
+                   hasher: Column => Column = tokenHashes,
+                   sigBits: Int = 64): DataFrame = {
     val radius = if (multiProbe) 2 * bands - 1 else bands - 1
     require(maxHamming <= radius,
       s"pigeonhole is exhaustive only for maxHamming <= $radius with bands=$bands, " +
       s"multiProbe=$multiProbe (got maxHamming=$maxHamming)")
-    require(bands >= 1 && bands <= 64, s"bands must be in [1,64] (got $bands)")
-    val width = 64 / bands // last band absorbs the 64 % bands leftover bits
-    def bandWidth(b: Int): Int = if (b == bands - 1) 64 - b * width else width
+    require(bands >= 1 && bands <= sigBits, s"bands must be in [1,$sigBits] (got $bands)")
+    val width = sigBits / bands // last band absorbs the leftover bits
+    def bandWidth(b: Int): Int = if (b == bands - 1) sigBits - b * width else width
+    // sigBits = 64 → the native codegen'd expression (the fast path);
+    // narrower widths (the portable twin) → the HOF reference form
+    def signature(hs: Column): Column =
+      if (sigBits == 64) simhashFromHashes(hs) else simhashHof(hs, sigBits)
     val withSig = spread(df, keyCol)
-      .select(col(keyCol).as("key"), tokenHashes(col(textCol)).as("hs"))
-      .select(col("key"), simhashFromHashes(col("hs")).as("sig"))
+      .select(col(keyCol).as("key"), hasher(col(textCol)).as("hs"))
+      .select(col("key"), signature(col("hs")).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def bucketOf(b: Int): Column = {
       val mask = if (bandWidth(b) == 64) -1L else (1L << bandWidth(b)) - 1L

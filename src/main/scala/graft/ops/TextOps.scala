@@ -76,6 +76,21 @@ object TextOps {
         pmod(conv(substring(md5(tok), 1, 8), 16, 10).cast("long"), lit(M)), lit(M)))
   }
 
+  /** Cross-engine-portable 60-bit token hash: the first 15 hex digits of
+    * md5 as a long. 15 digits (not 16) so the value always fits SIGNED
+    * 64-bit on every engine — a 16-digit hex with the high bit set
+    * overflows BIGINT casts (and Spark ANSI long casts) non-portably.
+    * Used by the portable twins of the xxhash64 fast paths (simhash,
+    * content checksum, fingerprint) so a DuckDB oracle can replicate the
+    * exact bit patterns.
+    */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Portable per-token hash array (see [[md5Hash60]]). */
+  def tokenHashesPortable(text: Column): Column =
+    transform(split(trim(text), "\\s+"), t => md5Hash60(t))
+
   /** n-gram shingles over whitespace tokens (n fixed at call site).
     * Documents with fewer than `n` tokens yield an EMPTY shingle set —
     * guarded so `element_at` never sees an out-of-range index (Spark 4

@@ -310,11 +310,16 @@ object DedupOps {
     */
   def embeddingCosinePairs(df: DataFrame, vecCol: String, keyCol: String,
                            minCosine: Double = 0.95, planes: Int = 8,
-                           tables: Int = 8, seed: Long = 42L): DataFrame = {
+                           tables: Int = 8, seed: Long = 42L,
+                           dims: Int = -1): DataFrame = {
+    // dims <= 0 → infer the embedding dimension from the data (limit-1
+    // read) so hyperplanes always span the FULL vector — a hardcoded
+    // dimension would silently degrade recall on any other corpus
+    val d = if (dims > 0) dims else SimilarityOps.vectorDims(df, vecCol)
     val base = spread(df, keyCol).select(col(keyCol).as("key"), col(vecCol).as("vec"),
         explode(array((0 until tables).map(t =>
           struct(lit(t).as("tbl"),
-            SimilarityOps.hyperplaneSignature(col(vecCol), planes, seed + 7919L * t)
+            SimilarityOps.hyperplaneSignature(col(vecCol), planes, seed + 7919L * t, d)
               .as("bucket"))): _*)).as("bb"))
       .select(col("key"), col("vec"), col("bb.tbl"), col("bb.bucket"))
     val l = base.select(col("tbl"), col("bucket"), col("key").as("key_a"), col("vec").as("vec_a"))

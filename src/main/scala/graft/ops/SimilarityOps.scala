@@ -33,10 +33,13 @@ object SimilarityOps {
   def cosineHof(a: Column, b: Column): Column = dotHof(a, b) / (sqrt(dotHof(a, a)) * sqrt(dotHof(b, b)))
 
   /** Deterministic random hyperplanes (SplitMix64-seeded, unit-free signs):
-    * bucket id = bit pattern of sign(dot(v, r_i)), i < planes.
+    * bucket id = bit pattern of sign(dot(v, r_i)), i < planes. `dims` MUST
+    * equal the embedding dimension — planes shorter than the vectors would
+    * silently ignore the tail dimensions and degrade bucket quality
+    * (callers that don't know the dimension statically use [[vectorDims]]).
     */
-  def hyperplaneSignature(vec: Column, planes: Int, seed: Long): Column = {
-    val dims = 64 // embeddings table dimension; generic callers pass vectors >= planes dims
+  def hyperplaneSignature(vec: Column, planes: Int, seed: Long, dims: Int = 64): Column = {
+    require(dims >= 1, s"dims must be positive (got $dims)")
     val planeLits: Seq[Column] = (0 until planes).map { p =>
       array((0 until dims).map(d =>
         lit(if (DetHash.splitmix64(seed ^ (p * 1009L + d)) >= 0) 1.0 else -1.0)): _*)
@@ -45,6 +48,17 @@ object SimilarityOps {
       when(dot(vec, plane) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
     bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** Embedding dimension of `vecCol`, read from ONE row (a limit-1 job —
+    * negligible even at corpus scale; parquet stops after the first page).
+    * Fails loudly on ragged dimensions being impossible to detect here —
+    * the signature expressions themselves require equal-length inputs.
+    */
+  def vectorDims(df: DataFrame, vecCol: String): Int = {
+    val head = df.select(size(col(vecCol)).as("d")).limit(1).collect()
+    require(head.nonEmpty, s"cannot infer dims of '$vecCol' from an empty DataFrame")
+    head(0).getInt(0)
   }
 
   /** Exact brute-force top-k by cosine for each query vector. `queries`
@@ -79,7 +93,8 @@ object SimilarityOps {
   def ivfTopK(corpus: DataFrame, corpusVec: String, corpusId: String,
               queries: DataFrame, queryVec: String, queryId: String,
               k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
-              trainSample: Int = 4096, seed: Long = 42L): DataFrame = {
+              trainSample: Int = 4096, seed: Long = 42L,
+              distributedIters: Int = 0): DataFrame = {
     val c = corpus.select(col(corpusId).as("corpus_id"), col(corpusVec).as("cv"))
     // --- quantizer training: DRIVER-SIDE Lloyd on a deterministic sample.
     // One Spark job total for training (the sample collect); at 10^10 rows
@@ -114,18 +129,53 @@ object SimilarityOps {
         if (counts(j) == 0) centroids(j)
         else sums(j).map(_ / counts(j))).toArray
     }
+    // Tie-break contract: assignment and probing must prefer the SAME cell
+    // on equal cosine, or a corpus vector lands in a cell its identical
+    // query never probes first. Both sides prefer the SMALLEST cell index:
+    // nearestCell maximizes (sim, -cell); probeCells sorts (-sim, cell).
+    def mkNearestCell(ctrLits: Seq[Column])(vec: Column): Column =
+      -greatest(ctrLits.zipWithIndex.map { case (ctr, i) =>
+        struct(cosine(vec, ctr).as("sim"), lit(-i).as("negcell"))
+      }: _*).getField("negcell")
+    def mkProbeCells(ctrLits: Seq[Column])(vec: Column): Column =
+      slice(array_sort(array(ctrLits.zipWithIndex.map { case (ctr, i) =>
+        struct((-cosine(vec, ctr)).as("negsim"), lit(i).as("cell"))
+      }: _*)), 1, nprobe).getField("cell")
+    // --- distributed quantizer refinement: when the bounded driver sample
+    // under-covers the cells (some centroid attracted no sample points —
+    // common when nlist is large relative to trainSample or the corpus is
+    // heavily clustered), refine over the WHOLE corpus: assignment scan →
+    // per-(cell, dim) mean via posexplode — an aggregation collecting only
+    // nlist × dims doubles to the driver, never the vectors. Also runs for
+    // `distributedIters` explicit iterations.
+    val sampleCovers = {
+      val hit = new Array[Boolean](nlist)
+      sample.foreach { v =>
+        var best = 0; var bestSim = Double.MinValue; var j = 0
+        while (j < nlist) {
+          val s = cosineLocal(v, centroids(j)); if (s > bestSim) { bestSim = s; best = j }; j += 1
+        }
+        hit(best) = true
+      }
+      hit.forall(identity)
+    }
+    val refineIters = math.max(distributedIters, if (sampleCovers) 0 else 1)
+    for (_ <- 0 until refineIters) {
+      val ctrLits = centroids.map(ctr => typedLit(ctr.toSeq)).toSeq
+      val means = c.withColumn("cell", mkNearestCell(ctrLits)(col("cv")))
+        .select(col("cell"), posexplode(col("cv")).as(Seq("d", "x")))
+        .groupBy("cell", "d").agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+      val next = centroids.map(_.clone())
+      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+      centroids = next
+    }
     // --- distributed phase: one assignment scan + one probe equi-join.
     // Centroids enter the plan as constant array literals (typedLit) — one
     // literal node per centroid, cosine stays the native codegen'd loop.
-    val ctrLits = centroids.map(ctr => typedLit(ctr.toSeq))
-    def nearestCell(vec: Column): Column =
-      greatest(ctrLits.zipWithIndex.map { case (ctr, i) =>
-        struct(cosine(vec, ctr).as("sim"), lit(i).as("cell"))
-      }.toSeq: _*).getField("cell")
-    def probeCells(vec: Column): Column =
-      slice(array_sort(array(ctrLits.zipWithIndex.map { case (ctr, i) =>
-        struct((-cosine(vec, ctr)).as("negsim"), lit(i).as("cell"))
-      }.toSeq: _*)), 1, nprobe).getField("cell")
+    val ctrLits = centroids.map(ctr => typedLit(ctr.toSeq)).toSeq
+    def nearestCell(vec: Column): Column = mkNearestCell(ctrLits)(vec)
+    def probeCells(vec: Column): Column = mkProbeCells(ctrLits)(vec)
     val cellAssigned = c.withColumn("cell", nearestCell(col("cv")))
     val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
       .withColumn("cell", explode(probeCells(col("qv"))))
@@ -147,12 +197,16 @@ object SimilarityOps {
     */
   def lshTopK(corpus: DataFrame, corpusVec: String, corpusId: String,
               queries: DataFrame, queryVec: String, queryId: String,
-              k: Int, planes: Int = 10, tables: Int = 4, seed: Long = 42L): DataFrame = {
+              k: Int, planes: Int = 10, tables: Int = 4, seed: Long = 42L,
+              dims: Int = -1): DataFrame = {
+    // dims <= 0 → infer from the corpus (one limit-1 row read); planes
+    // sized to the ACTUAL dimension, never a hardcoded 64
+    val d = if (dims > 0) dims else vectorDims(corpus, corpusVec)
     def withBuckets(df: DataFrame, vec: String, idAs: String, vecAs: String): DataFrame =
       df.select(col(idAs), col(vecAs),
         explode(array((0 until tables).map(t =>
           struct(lit(t).as("tbl"),
-            hyperplaneSignature(col(vecAs), planes, seed + 7919L * t).as("bucket"))): _*)).as("bb"))
+            hyperplaneSignature(col(vecAs), planes, seed + 7919L * t, d).as("bucket"))): _*)).as("bb"))
         .select(col(idAs), col(vecAs), col("bb.tbl"), col("bb.bucket"))
     val c = withBuckets(
       corpus.select(col(corpusId).as("corpus_id"), col(corpusVec).as("cv")), corpusVec, "corpus_id", "cv")

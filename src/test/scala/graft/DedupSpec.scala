@@ -197,6 +197,63 @@ class DedupSpec extends SparkSpec {
     assert(out.forall(r => r.getDouble(2) <= 1.0 + 1e-9 && r.getDouble(2) >= -1.0 - 1e-9))
   }
 
+  test("embedding cosine near-dup: dims inferred — recall >= 0.8 on a 48-d corpus") {
+    val rnd = new scala.util.Random(13)
+    val base = (0 until 60).map(i =>
+      (i.toLong, Array.fill(48)((rnd.nextFloat() - 0.5f) * 2f)))
+    val twins = (0 until 20).map(i =>
+      (1000L + i, base(i)._2.map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f)))
+    val df = (base ++ twins).toDF("vec_id", "embedding")
+    // no dims passed: hyperplanes must span all 48 dimensions (a hardcoded
+    // 64 would zero-pad; a hardcoded 32 would ignore a third of the signal)
+    val pairs = DedupOps.embeddingCosinePairs(df, "embedding", "vec_id",
+      minCosine = 0.9, planes = 8, tables = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = (0 until 20).count(i => pairs.contains((i.toLong, 1000L + i)))
+    assert(found >= 16, s"48-d recall ${found / 20.0} < 0.8: $pairs")
+  }
+
+  test("ANN: IVF tie-break — identical centroids (all cells tie) still route query to its twin at nprobe=1") {
+    // A degenerate corpus where every vector is identical makes ALL
+    // centroids equal, so every cell ties at every assignment/probe. The
+    // contract: assignment and probing prefer the SAME cell on ties —
+    // inconsistent tie-breaks would assign the corpus to one cell and
+    // probe another, returning ZERO candidates at nprobe=1.
+    val v = Array.tabulate(16)(d => (d + 1).toFloat / 16f)
+    val corpus = (0 until 50).map(i => (i.toLong, v.clone())).toDF("vec_id", "embedding")
+    val query = Seq((999L, v.clone())).toDF("vec_id", "embedding")
+    val out = SimilarityOps.ivfTopK(corpus, "embedding", "vec_id",
+      query, "embedding", "vec_id", k = 1, nlist = 4, nprobe = 1)
+      .collect()
+    assert(out.length == 1, s"tie-broken probe found no candidates: ${out.mkString(",")}")
+    assert(out(0).getLong(0) == 999L && math.abs(out(0).getDouble(2) - 1.0) < 1e-9)
+  }
+
+  test("ANN: IVF recall@1 >= 0.9 on a 10x harder planted set at the same nprobe") {
+    val rnd = new scala.util.Random(17)
+    val base = (0 until 120).map(i => (i.toLong, Array.fill(64)((rnd.nextFloat() - 0.5f) * 2f)))
+    val df = base.toDF("vec_id", "embedding")
+    // 10 queries perturbed 10x harder than the original planted set (0.5
+    // vs 0.05 noise amplitude) — the true neighbor is still the original
+    val queries = (0 until 10).map(i =>
+      (1000L + i, base(i)._2.map(x => x + (rnd.nextFloat() - 0.5f) * 0.5f)))
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.ivfTopK(df, "embedding", "vec_id",
+      queries, "embedding", "vec_id", k = 3, nlist = 8, nprobe = 3)
+      .collect()
+    val top1 = out.filter(_.getInt(3) == 1).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hits = (0 until 10).count(i => top1.get(1000L + i).contains(i.toLong))
+    assert(hits >= 9, s"IVF recall@1 ${hits / 10.0} < 0.9 on the hard set: ${top1.mkString(",")}")
+    // the distributed-refinement path (posexplode per-cell means over the
+    // whole corpus) must preserve recall when run explicitly
+    val refined = SimilarityOps.ivfTopK(df, "embedding", "vec_id",
+      queries, "embedding", "vec_id", k = 3, nlist = 8, nprobe = 3,
+      distributedIters = 1).collect()
+    val rTop1 = refined.filter(_.getInt(3) == 1).map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rHits = (0 until 10).count(i => rTop1.get(1000L + i).contains(i.toLong))
+    assert(rHits >= 9, s"refined IVF recall@1 ${rHits / 10.0} < 0.9")
+  }
+
   test("multimodal decode: schema + modality-dependent metadata") {
     val docs = Seq((0L, "image", "abcdef"), (1L, "audio", "hello world"),
       (2L, "video", "0123456789")).toDF("id", "modality", "t")

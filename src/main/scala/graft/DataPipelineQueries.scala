@@ -25,6 +25,77 @@ object DataPipelineQueries {
     similarity()
     textAnalysis()
     multimodal()
+    benchVariants()
+  }
+
+  /** Lean bench twins of the verification-heavy queries: the operator
+    * alone, with the bounded-quadratic completeness checks and brute-force
+    * recall baselines stripped (those stay in the CORRECTNESS queries and
+    * in DedupSpec) — the bench measures the operator's scale path.
+    */
+  private def benchVariants(): Unit = {
+    import Queries.registerBench
+
+    registerBench("q_dedup_ngram_jaccard") { (s, dir) =>
+      val df = T(s, dir, "documents").withColumn("len_band", (col("n_chars") / 64).cast("int"))
+      DedupOps.ngramJaccardPairs(df, "text", "doc_id", Seq("lang", "len_band"),
+        n = 3, minJaccard = 0.3).orderBy("key_a", "key_b")
+    }
+
+    // bench twin runs the PRODUCTION simhash path: xxhash64 token hashes +
+    // the native codegen'd 64-bit SimHash64 expression (one fused loop) —
+    // the correctness query uses the md5-low-60 portable form purely so
+    // DuckDB can replicate it, and md5 string hashing + 60 interpreted HOF
+    // traversals is ~10x the native cost by design, not a plan regression.
+    registerBench("q_dedup_simhash") { (s, dir) =>
+      DedupOps.simhashPairs(T(s, dir, "documents"), "text", "doc_id", maxHamming = 3)
+        .orderBy("key_a", "key_b")
+    }
+
+    registerBench("q_dedup_drop_neardup") { (s, dir) =>
+      DedupOps.dropMinhashNearDuplicates(T(s, dir, "documents"), "text", "doc_id",
+        minJaccard = 0.5).select("doc_id", "lang", "n_chars").orderBy("doc_id")
+    }
+
+    // production fingerprint path (xxhash64 Karp-Rabin, no md5 string work,
+    // no cluster-equality crosscheck)
+    registerBench("q_fingerprint") { (s, dir) =>
+      T(s, dir, "documents").select(
+        col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    }
+
+    // production checksum path: ONE xxhash64 plan (the engine's
+    // contentChecksum), no portable-md5 leg, no two-plan invariance rerun
+    registerBench("q_checksum_agg") { (s, dir) =>
+      val base = T(s, dir, "lineitem")
+      base.agg(
+        AggOps.contentChecksum(base, Seq("l_orderkey", "l_linenumber", "l_returnflag"))
+          .cast("string").as("checksum"),
+        count(lit(1)).as("n"))
+    }
+
+    registerBench("q_ann_lsh") { (s, dir) =>
+      val emb = T(s, dir, "embeddings").select("vec_id", "embedding")
+      val queries = emb.filter(col("vec_id") < 5).select(
+        (col("vec_id") + 1000000).as("vec_id"),
+        zip_with(col("embedding"), reverse(col("embedding")),
+          (x, y) => x + lit(0.1f) * y).as("embedding"))
+      SimilarityOps.lshTopK(emb, "embedding", "vec_id",
+        queries, "embedding", "vec_id", k = 5, planes = 8, tables = 8)
+        .orderBy("query_id", "rank")
+    }
+
+    registerBench("q_ann_ivf") { (s, dir) =>
+      val emb = T(s, dir, "embeddings").select("vec_id", "embedding")
+      val queries = emb.filter(col("vec_id") < 5).select(
+        (col("vec_id") + 1000000).as("vec_id"),
+        zip_with(col("embedding"), reverse(col("embedding")),
+          (x, y) => x + lit(0.1f) * y).as("embedding"))
+      SimilarityOps.ivfTopK(emb, "embedding", "vec_id",
+        queries, "embedding", "vec_id", k = 5, nlist = 16, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }
   }
 
   private def dedup(): Unit = {
@@ -371,7 +442,11 @@ object DataPipelineQueries {
   }
 
   private def multimodal(): Unit = {
-    // binary-column decode plumbing with deterministic stub codec
+    // binary-column decode: image rows carry SYNTHESIZED PNG payloads whose
+    // IHDR encodes dims derived from the text length — the query must parse
+    // the actual PNG header (MultimodalOps.imageDims) to reproduce the
+    // oracle's arithmetic, so a wrong parser fails the hash. Audio/video
+    // stay on the deterministic stub codec (no audio/video libs shipped).
     register("q_multimodal_decode", Some(
       """SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
@@ -380,11 +455,18 @@ object DataPipelineQueries {
         |  CASE WHEN doc_id % 3 = 1 THEN CAST(8000 + (length(text) % 3) * 4000 AS INTEGER) END AS sample_rate,
         |  CASE WHEN doc_id % 3 = 2 THEN CAST(1 + length(text) % 30 AS INTEGER) END AS n_frames
         |FROM documents ORDER BY media_id""".stripMargin)) { (s, dir) =>
-      val media = T(s, dir, "documents").select(
-        col("doc_id"),
-        when(col("doc_id") % 3 === 0, "image")
-          .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("modality"),
-        encode(col("text"), "utf-8").as("payload"))
+      import s.implicits._
+      val media = T(s, dir, "documents").select("doc_id", "text")
+        .as[(Long, String)].map { case (id, text) =>
+          val modality = (id % 3) match {
+            case 0 => "image"; case 1 => "audio"; case _ => "video"
+          }
+          val payload =
+            if (modality == "image")
+              MultimodalOps.pngHeader(16 + text.length % 64, 16 + (text.length / 64) % 64)
+            else text.getBytes("UTF-8")
+          (id, modality, payload)
+        }.toDF("doc_id", "modality", "payload")
       MultimodalOps.decode(media, "doc_id", "payload", "modality").toDF()
         .select("media_id", "modality", "width", "height", "sample_rate", "n_frames")
         .orderBy("media_id")

@@ -17,9 +17,13 @@ object ArithOps {
     val out = df.withColumn(target, f(col(a), col(b)))
     (MetaOps.varMeta(df, a), MetaOps.varMeta(df, b)) match {
       case (Some(ma), Some(mb)) =>
-        MetaOps.withVarMeta(out, target, VariableMeta.combine(ma, mb, op))
-      case (Some(ma), None) => MetaOps.withVarMeta(out, target, ma.log(op))
-      case (None, Some(mb)) => MetaOps.withVarMeta(out, target, mb.log(op))
+        MetaOps.withVarMeta(out, target, VariableMeta.combine(ma, a, mb, b, op, target))
+      case (Some(ma), None) =>
+        MetaOps.withVarMeta(out, target,
+          ma.logOp(target, op, List(ma.parentRef(a), b)))
+      case (None, Some(mb)) =>
+        MetaOps.withVarMeta(out, target,
+          mb.logOp(target, op, List(a, mb.parentRef(b))))
       case _ => out
     }
   }

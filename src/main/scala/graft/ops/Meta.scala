@@ -14,15 +14,44 @@ import org.json4s.jackson.Serialization
   * `StructField.metadata`, so every Spark op that preserves the schema
   * (select/filter/join/union) transports it for free.
   */
+/** One typed processing-log entry — mirrors owid-etl's `LogEntry`
+  * (`lib/catalog/owid/catalog/processing_log.py:46-66`): which variable an
+  * operation produced, from which parents. `target` is the entry's output
+  * handle: downstream entries reference their parents by the parent's LAST
+  * target (processing_log.py:96-117), so a chain of entries reconstructs
+  * every output column's full ancestry. Targets are deterministic
+  * (`variable#op<n>`), not random hashes — replayability beats uniqueness
+  * across unrelated pipelines.
+  */
+final case class ProcEntry(
+    variable: String,
+    operation: String,
+    target: String,
+    parents: List[String] = Nil,
+    comment: Option[String] = None
+)
+
 final case class VariableMeta(
     title: Option[String] = None,
     unit: Option[String] = None,
     shortUnit: Option[String] = None,
     description: Option[String] = None,
     origins: List[String] = Nil,
-    processing: List[String] = Nil
+    processing: List[ProcEntry] = Nil
 ) {
-  def log(op: String): VariableMeta = copy(processing = processing :+ op)
+  /** How downstream entries should name this variable as a parent: the
+    * last entry's target, else the variable's own column name.
+    */
+  def parentRef(name: String): String =
+    processing.lastOption.map(_.target).getOrElse(name)
+
+  /** Append a typed entry for `operation` producing `variable`. */
+  def logOp(variable: String, operation: String, parents: List[String],
+            comment: Option[String] = None): VariableMeta = {
+    val target = s"$variable#$operation${processing.length + 1}"
+    copy(processing =
+      processing :+ ProcEntry(variable, operation, target, parents, comment))
+  }
 }
 
 object VariableMeta {
@@ -36,19 +65,27 @@ object VariableMeta {
     if (md.contains(KEY)) Some(Serialization.read[VariableMeta](md.getString(KEY)))
     else None
 
-  /** Combination rules when two variables are merged/added — mirrors
-    * owid-etl `combine_variables_metadata` (`variables.py:363-568`):
-    * unit kept iff identical, title kept iff identical (else dropped),
-    * origins unioned, processing logs concatenated.
+  /** Field-combination rules when two variables meet — mirrors owid-etl
+    * `combine_variables_metadata` (`variables.py:363-568`): unit kept iff
+    * identical, title kept iff identical (else dropped), origins unioned,
+    * processing logs concatenated (no new entry — see [[combine]]).
     */
-  def combine(a: VariableMeta, b: VariableMeta, op: String): VariableMeta = VariableMeta(
+  def combineFields(a: VariableMeta, b: VariableMeta): VariableMeta = VariableMeta(
     title = if (a.title == b.title) a.title else None,
     unit = if (a.unit == b.unit) a.unit else None,
     shortUnit = if (a.shortUnit == b.shortUnit) a.shortUnit else None,
     description = if (a.description == b.description) a.description else None,
     origins = (a.origins ++ b.origins).distinct,
-    processing = ((a.processing ++ b.processing) :+ op).distinct
+    processing = (a.processing ++ b.processing).distinct
   )
+
+  /** Combine two variables' metadata AND record the combining operation as
+    * a typed entry whose parents are each side's last target.
+    */
+  def combine(a: VariableMeta, aName: String, b: VariableMeta, bName: String,
+              op: String, targetVariable: String): VariableMeta =
+    combineFields(a, b).logOp(targetVariable, op,
+      List(a.parentRef(aName), b.parentRef(bName)))
 }
 
 /** Table-level metadata (owid-etl `TableMeta`, `meta.py:206-263` trimmed):

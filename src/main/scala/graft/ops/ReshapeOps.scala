@@ -10,8 +10,19 @@ object ReshapeOps {
     * unpivot (Spark 3.4+) — one narrow codegen'd pass, no shuffle.
     */
   def melt(df: DataFrame, idVars: Seq[String], valueVars: Seq[String],
-           varName: String = "variable", valueName: String = "value"): DataFrame =
-    df.unpivot(idVars.map(col).toArray, valueVars.map(col).toArray, varName, valueName)
+           varName: String = "variable", valueName: String = "value"): DataFrame = {
+    val out = df.unpivot(idVars.map(col).toArray, valueVars.map(col).toArray, varName, valueName)
+    // processing log: the value column's parents are ALL melted source
+    // columns (their last targets); field metadata combines pairwise
+    // (unit kept iff identical across sources, origins unioned).
+    val metas = valueVars.flatMap(v => MetaOps.varMeta(df, v).map(v -> _))
+    if (metas.isEmpty) out
+    else {
+      val parents = metas.map { case (n, m) => m.parentRef(n) }.toList
+      val combined = metas.map(_._2).reduce(VariableMeta.combineFields)
+      MetaOps.withVarMeta(out, valueName, combined.logOp(valueName, "melt", parents))
+    }
+  }
 
   /** Long→wide (owid-etl `pivot`, `tables.py:1553-1620`):
     * groupBy(index).pivot(column).agg(first(value)). Callers pass explicit

@@ -103,7 +103,21 @@ object TableOps {
     val shared = (left.columns.toSet & right.columns.toSet) -- on.toSet
     val l = shared.foldLeft(left)((d, c) => d.withColumnRenamed(c, c + suffixes._1))
     val r = shared.foldLeft(right)((d, c) => d.withColumnRenamed(c, c + suffixes._2))
-    l.join(r, on, how)
+    val joined = l.join(r, on, how)
+    // processing log: every metadata-carrying column records the merge as a
+    // typed entry with its pre-merge identity as parent (suffixed columns
+    // point back at their unsuffixed source), so downstream ops can
+    // reconstruct each output column's ancestry across the join.
+    val originalName = (shared.map(c => (c + suffixes._1) -> c) ++
+      shared.map(c => (c + suffixes._2) -> c)).toMap
+    joined.columns.filterNot(on.contains).foldLeft(joined) { (d, c) =>
+      MetaOps.varMeta(d, c) match {
+        case Some(m) =>
+          val src = originalName.getOrElse(c, c)
+          MetaOps.withVarMeta(d, c, m.logOp(c, "merge", List(m.parentRef(src))))
+        case None => d
+      }
+    }
   }
 
   /** Fold-left merge of N tables on common keys (`tables.py:2008-2028`). */

@@ -268,6 +268,27 @@ class DedupSpec extends SparkSpec {
     assert(frames.filter(col("media_id") === 2).count() == 3) // frames 0,5,10 of 11
   }
 
+  test("multimodal decode: REAL PNG/JPEG header parsing beats the stub") {
+    // driver-side round trips, including >127 byte values (sign handling)
+    assert(MultimodalOps.imageDims(MultimodalOps.pngHeader(640, 480)).contains((640, 480)))
+    assert(MultimodalOps.imageDims(MultimodalOps.pngHeader(70000, 3)).contains((70000, 3)))
+    assert(MultimodalOps.imageDims(MultimodalOps.jpegHeader(1920, 1080)).contains((1920, 1080)))
+    assert(MultimodalOps.imageDims("not an image".getBytes).isEmpty)
+    assert(MultimodalOps.imageDims(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
+    // distributed: real containers decode to their true dims, the
+    // unrecognized payload falls back to the deterministic stub
+    val rows = Seq(
+      (0L, "image", MultimodalOps.pngHeader(320, 200)),
+      (1L, "image", MultimodalOps.jpegHeader(64, 32)),
+      (2L, "image", "plain bytes".getBytes("UTF-8")))
+    val docs = spark.createDataFrame(rows).toDF("id", "modality", "payload")
+    val out = MultimodalOps.decode(docs, "id", "payload", "modality").collect()
+      .sortBy(_.media_id)
+    assert(out(0).width.contains(320) && out(0).height.contains(200))
+    assert(out(1).width.contains(64) && out(1).height.contains(32))
+    assert(out(2).width.contains(16 + 11 % 64)) // stub fallback
+  }
+
   test("langid + quality + fingerprint are deterministic and sane") {
     val docs = Seq(
       (1L, "the cat and the dog of the house"),

@@ -148,4 +148,43 @@ class OpsSpec extends SparkSpec {
     val c2 = shuffled.agg(AggOps.contentChecksum(shuffled, Seq("k", "v"))).collect()(0).getDecimal(0)
     assert(c1 == c2)
   }
+
+  test("structured processing log: melt → merge → add reconstructs each column's parent set") {
+    // wide energy table with per-column metadata
+    val wide = MetaOps.withVarMeta(
+      MetaOps.withVarMeta(
+        Seq((2000, 2.0, 3.0)).toDF("year", "coal", "gas"),
+        "coal", VariableMeta(title = Some("Coal"), unit = Some("TWh"), origins = List("o_coal"))),
+      "gas", VariableMeta(title = Some("Gas"), unit = Some("TWh"), origins = List("o_gas")))
+    // melt: energy's parents are BOTH melted source columns
+    val long = ReshapeOps.melt(wide, Seq("year"), Seq("coal", "gas"), "fuel", "energy")
+    val mEnergy = MetaOps.varMeta(long, "energy").get
+    val meltE = mEnergy.processing.last
+    assert(meltE.operation == "melt" && meltE.variable == "energy")
+    assert(meltE.parents.toSet == Set("coal", "gas"))
+    assert(mEnergy.unit.contains("TWh") && mEnergy.origins.toSet == Set("o_coal", "o_gas"))
+    // merge: each carried column logs the join with its pre-merge self as parent
+    val pop = MetaOps.withVarMeta(Seq((2000, 10.0)).toDF("year", "pop"),
+      "pop", VariableMeta(unit = Some("people"), origins = List("o_pop")))
+    val merged = TableOps.merge(long, pop, Seq("year"), "inner")
+    val mergeE = MetaOps.varMeta(merged, "energy").get.processing.last
+    assert(mergeE.operation == "merge" && mergeE.parents == List(meltE.target))
+    val mergePopE = MetaOps.varMeta(merged, "pop").get.processing.last
+    assert(mergePopE.operation == "merge" && mergePopE.parents == List("pop"))
+    // add: the combined column's entry points at both sides' last targets
+    val added = ArithOps.add(merged, "energy", "pop", "total")
+    val mTotal = MetaOps.varMeta(added, "total").get
+    val addE = mTotal.processing.last
+    assert(addE.operation == "+" && addE.variable == "total")
+    assert(addE.parents.toSet == Set(mergeE.target, mergePopE.target))
+    // full ancestry reconstruction: walking targets back from `total`
+    // reaches exactly the raw source columns {coal, gas, pop}
+    val byTarget = mTotal.processing.map(e => e.target -> e).toMap
+    def roots(ref: String): Set[String] = byTarget.get(ref) match {
+      case Some(e) => e.parents.toSet.flatMap(roots)
+      case None => Set(ref)
+    }
+    assert(roots(addE.target) == Set("coal", "gas", "pop"))
+    assert(mTotal.origins.toSet == Set("o_coal", "o_gas", "o_pop"))
+  }
 }

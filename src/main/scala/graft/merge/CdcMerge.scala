@@ -451,12 +451,24 @@ object Compactor {
   /** Compaction with OPTIMISTIC-CONCURRENCY commit — the maintenance-thread
     * form: the (slow) bucket rewrite runs off the streaming hot path while
     * writers keep committing; the commit then validates-and-retries
-    * Iceberg-style. Validation: the compacted buckets' file sets must be
-    * UNCHANGED since the compaction read them — concurrent commits to
-    * OTHER buckets are rebased onto (carried files re-read from the current
-    * manifest); a concurrent write INTO a compacted bucket invalidates the
-    * rewrite (its delta would be lost) → staged output is abandoned and
-    * None returned (the next maintenance tick retries from fresh state).
+    * Iceberg-style.
+    *
+    * Rebase rules (per compacted bucket, against the pinned manifest m0):
+    *  - files ADDED since the pin (a streaming writer's new deltas) are
+    *    CARRIED alongside the rewritten base — correct under merge-on-read
+    *    because resolve takes the per-key max LSN: the compacted base holds
+    *    exactly the pinned files' winners (tombstones kept), and any
+    *    concurrent delta rides on top exactly as it did before. Without
+    *    this, a steady stream touching every bucket invalidates EVERY
+    *    compaction and delta depth grows with stream age (measured: depth
+    *    64 after 64 rapid batches under the abandon-on-any-write rule).
+    *  - files REMOVED since the pin (a CoW rewrite or another compactor
+    *    folded the bucket) → the rewrite is stale → staged output is
+    *    abandoned and None returned.
+    *  - `dropTombstones` requires quiescence: folding away a tombstone
+    *    while a concurrent (late, stale) update could still arrive would
+    *    resurrect the deleted key — any post-pin file in a compacted
+    *    bucket aborts a tombstone-dropping compaction.
     * `preCommit` is a test seam to inject a concurrent commit into the
     * validation window deterministically.
     */
@@ -492,12 +504,17 @@ object Compactor {
     var attempt = 0
     while (attempt < maxRetries) {
       val cur = table.manifest
-      if (cur.filesForBuckets(buckets).map(_.path).toSet != inputFiles) {
-        // someone wrote into a compacted bucket → our rewrite is stale
+      val curBucketFiles = cur.filesForBuckets(buckets)
+      val curPaths = curBucketFiles.map(_.path).toSet
+      val addedSincePin = curBucketFiles.filterNot(f => inputFiles.contains(f.path))
+      val stale = !inputFiles.subsetOf(curPaths) || // pinned input vanished → bucket was rewritten
+        (dropTombstones && addedSincePin.nonEmpty)  // tombstone-drop needs quiescence
+      if (stale) {
         newFiles.foreach(f => java.nio.file.Files.deleteIfExists(table.root.resolve(f.path)))
         return None
       }
-      val allFiles = cur.files.filterNot(f => buckets.contains(f.bucket)) ++ newFiles
+      val allFiles = cur.files.filterNot(f => buckets.contains(f.bucket)) ++
+        newFiles ++ addedSincePin
       val wallMs = (System.nanoTime() - t0) / 1000000
       val m2 = cur.copy(
         version = cur.version + 1,

@@ -55,7 +55,7 @@ class CompactionSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
-  test("concurrent commit INTO a compacted bucket: compaction abandons, nothing lost") {
+  test("concurrent delta INTO a compacted bucket: compaction carries it and commits") {
     val dir = tmpDir("cc2")
     val cfg = WalGen.Config(numEvents = 8000, numConvs = 100)
     try {
@@ -66,23 +66,44 @@ class CompactionSpec extends SparkSpec {
       val compactBuckets = Set(0, 1)
       val victimConv = table.snapshot().withColumn("b", table.bucketExpr(4))
         .filter(col("b").isin(compactBuckets.toSeq: _*)).select("conv_id").first().getString(0)
-      val inject: () => Unit = () => {
+      def injectAt(epoch: Long): () => Unit = () => {
         val extra = WalGen.events(spark, cfg, 0, 2000).toDF()
           .filter(col("conv_id") === victimConv)
-        assert(CdcMerge.apply(table, extra, epoch = 99, streamId = "injector").applied)
+        assert(CdcMerge.apply(table, extra, epoch = epoch, streamId = "injector").applied)
         ()
       }
+      val inject = injectAt(99)
+      // a post-pin delta append must NOT invalidate the rewrite: the
+      // compacted base holds the pinned files' per-key winners and the new
+      // delta rides on top (max-LSN resolve) — abandoning here would let
+      // delta depth grow with stream age under a steady all-bucket stream
       val r = Compactor.compactConcurrent(table, compactBuckets, preCommit = inject)
-      assert(r.isEmpty, "compaction must abandon when its input buckets changed")
-      // injected delta is still visible; a FRESH compaction then succeeds
-      assert(table.manifest.filesForBuckets(compactBuckets).exists(_.kind == FileEntry.DELTA))
-      assert(Compactor.compactConcurrent(table, compactBuckets).isDefined)
-      assert(table.manifest.filesForBuckets(compactBuckets).forall(_.kind == FileEntry.BASE))
+      assert(r.isDefined, "compaction must rebase over a post-pin delta, not abandon")
+      val m = table.manifest
+      val inBuckets = m.filesForBuckets(compactBuckets)
+      assert(inBuckets.exists(_.kind == FileEntry.BASE), "rewritten base missing")
+      // the concurrent delta SURVIVED the rebase (only post-pin files remain as deltas)
+      assert(inBuckets.filter(_.kind == FileEntry.DELTA).forall(_.epoch > 1L),
+        "pre-pin deltas must be folded away")
+      assert(inBuckets.exists(_.kind == FileEntry.DELTA), "post-pin delta lost by the rebase")
       oracleCheck(table, cfg)
-      // abandoned compaction left no orphan entries in the manifest
+      // manifest references only existing files (nothing orphaned/dangling)
       val missing = table.manifest.files.filterNot(f =>
         java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/t").resolve(f.path)))
       assert(missing.isEmpty, s"manifest references missing files: $missing")
+
+      // tombstone-dropping compaction DOES require quiescence: the same
+      // post-pin injection aborts it (resurrection hazard)
+      val r2 = Compactor.compactConcurrent(table, compactBuckets,
+        dropTombstones = true, preCommit = injectAt(100))
+      assert(r2.isEmpty, "dropTombstones compaction must abandon on a post-pin write")
+      // a CoW rewrite of the bucket (pinned files REMOVED) also aborts MOR compaction
+      val r3 = Compactor.compactConcurrent(table, compactBuckets, preCommit = () => {
+        Compactor.compact(table, compactBuckets) // folds the bucket → pinned files vanish
+        ()
+      })
+      assert(r3.isEmpty, "compaction must abandon when its pinned input files were removed")
+      oracleCheck(table, cfg)
     } finally rmrf(dir)
   }
 

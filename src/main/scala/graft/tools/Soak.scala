@@ -166,7 +166,7 @@ object Soak {
          |
          || t (s) | version | delta files | max/bucket | mean/bucket | base files |
          ||---|---|---|---|---|---|
-         |$seriesMd
+         |@SERIES@
          |
          |**Flatness**: mean(max delta files per bucket), first third =
          |${f"$headMax%.1f"} vs last third = ${f"$tailMax%.1f"}; peak = $peakMax.
@@ -174,7 +174,7 @@ object Soak {
          |(compaction trigger = $compactEvery epochs).
          |A last-third value <= first-third + the compaction hysteresis
          |means the read bound holds for arbitrarily long streams.
-         |""".stripMargin
+         |""".stripMargin.replace("@SERIES@", seriesMd)
     Files.createDirectories(Paths.get("BENCH"))
     Files.write(Paths.get("BENCH/SOAK.md"), md.getBytes(StandardCharsets.UTF_8))
 

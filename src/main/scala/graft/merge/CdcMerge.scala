@@ -130,10 +130,13 @@ object CdcMerge {
 
     // Unique per attempt: a second writer racing on the same effEpoch (e.g.
     // streaming writer + SQL MERGE on one table) must not share — and
-    // deleteRecursively — this in-flight staging directory.
+    // deleteRecursively — this in-flight staging directory. Unique names
+    // mean a CRASHED attempt's directory is never reclaimed by the retry,
+    // so sweep abandoned staging dirs older than the grace window first
+    // (in-flight writers are younger than it by construction).
+    sweepStaleStaging(table)
     val staging = table.root.resolve(
       s"_staging/epoch-$effEpoch-${java.util.UUID.randomUUID().toString.take(8)}")
-    deleteRecursively(staging)
 
     val (newFiles, carried, affected) = mode match {
       case MergeOnRead =>
@@ -316,6 +319,25 @@ object CdcMerge {
   private[merge] def deleteRecursively(p: java.nio.file.Path): Unit =
     if (Files.exists(p))
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+
+  /** GC abandoned per-attempt staging dirs (a merge that crashed mid-write
+    * leaves `_staging/epoch-N-<uuid>` behind and no retry ever reuses the
+    * name). Anything under `_staging` untouched for `olderThanMs` cannot
+    * belong to an in-flight writer — parquet writes touch their dir far
+    * more often than that.
+    */
+  private[merge] def sweepStaleStaging(table: LakeTable,
+                                       olderThanMs: Long = 3600000L): Unit = {
+    val dir = table.root.resolve("_staging")
+    if (!Files.exists(dir)) return
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val kids = Files.list(dir)
+    try kids.iterator().asScala.toSeq.foreach { d =>
+      val stale = try Files.getLastModifiedTime(d).toMillis < cutoff
+        catch { case _: Throwable => false }
+      if (stale) try deleteRecursively(d) catch { case _: Throwable => () }
+    } finally kids.close()
+  }
 }
 
 /** Initial bulk load (bootstrap): write a SNAPSHOT DataFrame straight to

@@ -55,8 +55,14 @@ final class DimStore private (val root: Path, spark: SparkSession,
       val v = currentVersion
       val d = dimAt(v)
       // distributed: only keys the current dim lacks come to the driver
-      val missing = keys.join(d.select(col(naturalKey)), Seq(naturalKey), "left_anti")
-        .collect().map(_.get(0)).sortBy(_.toString)
+      val missingRaw = keys.join(d.select(col(naturalKey)), Seq(naturalKey), "left_anti")
+        .collect().map(_.get(0))
+      // a NULL natural key always anti-joins as "missing" — refuse loudly
+      // instead of NPE-ing in the sort or minting an id for the string
+      // "null" (reference behavior: entities must have names)
+      require(!missingRaw.contains(null),
+        s"fact contains NULL $naturalKey rows — cannot mint an entity id for null")
+      val missing = missingRaw.map(_.toString).sorted
       if (missing.isEmpty) {
         val joined = fact.join(broadcast(d), Seq(naturalKey), "left")
         return (joined, d)

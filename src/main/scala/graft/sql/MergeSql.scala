@@ -72,7 +72,11 @@ case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
     val pairs = conjuncts(cond).map {
       case EqualTo(l, r) =>
         (attrName(l), attrName(r)) match {
-          case (Some(ln), Some(rn)) if ln == rn => Some(ln)
+          // `l.sql != r.sql` rejects same-relation self-equalities
+          // (t.conv_id = t.conv_id is a tautology, not a join key — the
+          // name-pair check alone would validate it and silently execute
+          // different semantics than the user wrote)
+          case (Some(ln), Some(rn)) if ln == rn && l.sql != r.sql => Some(ln)
           case _ => None
         }
       case _ => None

@@ -110,28 +110,35 @@ object IncrementalAgg {
     val changed = table.changesBetween(fromVersion, toVersion)
       .select("conv_id").distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // touched BUCKETS via the bucket expression — collects at most
-    // numBuckets ints, never the conversation ids themselves
-    val buckets = changed
-      .select(table.bucketExpr(mTo.numBuckets).as("b"))
-      .distinct().collect().map(_.getInt(0)).toSet
-    // bucket-pruned snapshot read of ONLY the touched buckets, then group
-    // filter to the touched conversations
-    val touched = table.snapshotPhysical(mTo, Some(buckets))
-      .filter(!col(graft.model.Schemas.DELETED_COL))
-      .join(broadcast(changed), Seq("conv_id"), "left_semi")
-    val recomputed = aggregateOf(touched)
-    val next = view.join(changed, Seq("conv_id"), "left_anti") // carry untouched groups
-      .unionByName(recomputed)
-    // Materialize the new view eagerly (localCheckpoint): (a) the follower
-    // loop feeds each refresh's output into the next — without truncation
-    // the plan grows one join+union PER REFRESH and the leaked `changed`
-    // persist per round accumulates MEMORY_AND_DISK blocks forever; (b) the
-    // checkpointed blocks are released by the ContextCleaner once the
-    // previous view is dereferenced, so a long-running follower holds
-    // exactly one view generation (+ the one being built) at a time.
-    val out = next.localCheckpoint(eager = true)
-    changed.unpersist()
-    out
+    // everything after the persist runs under a finally: a failing job
+    // (vacuumed-changelog error at the bucket collect, a lost checkpoint
+    // write) must not leak the persisted block — a catch-and-retry
+    // follower would otherwise accumulate one orphaned cache per error
+    try {
+      // touched BUCKETS via the bucket expression — collects at most
+      // numBuckets ints, never the conversation ids themselves
+      val buckets = changed
+        .select(table.bucketExpr(mTo.numBuckets).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      // bucket-pruned snapshot read of ONLY the touched buckets, then group
+      // filter to the touched conversations
+      val touched = table.snapshotPhysical(mTo, Some(buckets))
+        .filter(!col(graft.model.Schemas.DELETED_COL))
+        .join(broadcast(changed), Seq("conv_id"), "left_semi")
+      val recomputed = aggregateOf(touched)
+      val next = view.join(changed, Seq("conv_id"), "left_anti") // carry untouched groups
+        .unionByName(recomputed)
+      // Materialize the new view eagerly (localCheckpoint): (a) the follower
+      // loop feeds each refresh's output into the next — without truncation
+      // the plan grows one join+union PER REFRESH; (b) the checkpointed
+      // blocks are released by the ContextCleaner once the previous view is
+      // dereferenced, so a long-running follower holds exactly one view
+      // generation (+ the one being built) at a time. Local checkpointing
+      // trades executor-loss resilience for speed — right in a single-JVM
+      // follower; a cluster-grade follower should additionally persist the
+      // view to a table every K refreshes so it can rebuild from
+      // (tableVersion, view) instead of replaying history.
+      next.localCheckpoint(eager = true)
+    } finally changed.unpersist()
   }
 }

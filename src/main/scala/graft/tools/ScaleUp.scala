@@ -68,13 +68,22 @@ object ScaleUp {
     replicate("documents") { (df, i) =>
       if (i == 0) df
       else shifted(df, i, Seq("doc_id"))
-        .withColumn("text", regexp_replace(col("text"), " ", s" r$i "))
+        // SUFFIX every token with the replica id (token count unchanged,
+        // shingle sets disjoint across replicas, within-replica similarity
+        // preserved). Do NOT interleave a tag as a separate token: a token
+        // repeated ~len(doc) times dominates the SimHash per-bit majority
+        // vote and collapses every doc in a replica onto one signature
+        // (caught in review — it made the sf1 simhash query degenerate).
+        .withColumn("text", regexp_replace(col("text"), "(\\S+)", s"$$1_r$i"))
         .withColumn("n_chars", length(col("text")))
     }
     replicate("embeddings") { (df, i) =>
       if (i == 0) df
       else {
-        val rot = 6 * i // cyclic rotation: norm-preserving, decorrelated
+        // cyclic rotation: norm-preserving, decorrelated; mod the known
+        // 64-d width so large factors don't degrade to identity (rot=0
+        // collides with replica 0 → bump to 1)
+        val rot = math.max(1, (6 * i) % 64)
         shifted(df, i, Seq("vec_id"))
           .withColumn("embedding",
             concat(slice(col("embedding"), rot + 1, 10000),

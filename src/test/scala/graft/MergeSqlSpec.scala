@@ -80,6 +80,16 @@ class MergeSqlSpec extends SparkSpec {
           |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect())
       assert(crossed.getMessage.contains("conjunction of same-name key equalities"),
         crossed.getMessage)
+      // same-relation self-equality (a tautology mentioning both key
+      // names) is NOT the key-equality upsert — rejected
+      val selfEq = intercept[Exception](s2.sql(
+        """MERGE INTO lake_transcripts USING changes
+          |ON lake_transcripts.conv_id = lake_transcripts.conv_id
+          |   AND lake_transcripts.turn_idx = changes.turn_idx
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect())
+      assert(selfEq.getMessage.contains("conjunction of same-name key equalities"),
+        selfEq.getMessage)
       // non-equality predicate over the key columns → rejected
       val nonEq = intercept[Exception](s2.sql(
         """MERGE INTO lake_transcripts USING changes

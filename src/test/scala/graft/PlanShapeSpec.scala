@@ -66,4 +66,25 @@ class PlanShapeSpec extends SparkSpec {
       assert(!plan.contains("Window"), "clean-table read must not window")
     } finally rmrf(dir)
   }
+
+  test("dedup/ANN scale paths plan as equi-joins — no quadratic leg") {
+    // Encodes BENCH's "no quadratic leg" claim as a regression test: the
+    // production (bench-twin) form of every dedup/ANN operator must not
+    // plan a CartesianProduct or BroadcastNestedLoopJoin anywhere.
+    // Intentionally-quadratic forms are excluded: q_neardup_exact_pairs
+    // (bounded oracle baseline) and q_ann_brute_force (the exact baseline
+    // broadcast crossJoin).
+    val sfDir = "/root/testdata/sf0.001"
+    val scalePaths = Seq("q_dedup_exact", "q_dedup_minhash_lsh", "q_dedup_simhash",
+      "q_dedup_ngram_jaccard", "q_dedup_drop_neardup", "q_dedup_embedding_cosine",
+      "q_ann_lsh", "q_ann_ivf")
+    val reg = graft.Queries.allForBench
+    scalePaths.foreach { name =>
+      val plan = reg(name)(spark, sfDir).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n${plan.take(2000)}")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name plans a BroadcastNestedLoopJoin:\n${plan.take(2000)}")
+    }
+  }
 }

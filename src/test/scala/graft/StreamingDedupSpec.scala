@@ -42,4 +42,39 @@ class StreamingDedupSpec extends SparkSpec {
       } finally q.stop()
     } finally rmrf(dir)
   }
+
+  test("streaming dedup state runs on the RocksDB state store (the 10^10-doc provider)") {
+    // The HDFS-backed default keeps state on the JVM heap; at 10^10
+    // distinct digests the production choice is RocksDB. Same semantics,
+    // different provider — this pins that the op is provider-agnostic.
+    val dir = tmpDir("sdedup-rocks")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      implicit val sc: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val input = MemoryStream[(Long, String)]
+      val out = StreamingDedup.dropExactDuplicates(
+        input.toDF().toDF("doc_id", "text"), "text", "doc_id")
+      val q = out.writeStream
+        .format("memory").queryName("sdedup_rocks_out").outputMode("append")
+        .option("checkpointLocation", s"$dir/cp")
+        .start()
+      try {
+        input.addData((1L, "x y"), (2L, "x y"))
+        q.processAllAvailable()
+        input.addData((3L, "x y"), (4L, "fresh"))
+        q.processAllAvailable()
+        val ids = spark.table("sdedup_rocks_out").collect().map(_.getLong(1)).toSet
+        assert(ids == Set(1L, 4L), s"RocksDB-backed dedup wrong: $ids")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+      rmrf(dir)
+    }
+  }
 }

@@ -37,9 +37,14 @@ object CdcMerge {
   case object MergeOnRead extends Mode
   case object CopyOnWrite extends Mode
 
+  /** `epoch` is the SOURCE epoch the caller presented; `effEpoch` the
+    * internal epoch the files were actually recorded under (remapped to
+    * stay monotone after fresh-checkpoint restarts) — manifest lookups by
+    * epoch must use `effEpoch`, not `epoch`.
+    */
   final case class Stats(
       epoch: Long, applied: Boolean, batchRows: Long,
-      affectedBuckets: Int, wallMs: Long)
+      affectedBuckets: Int, wallMs: Long, effEpoch: Long = -1L)
 
   /** Keep the latest change per key within the batch:
     * `row_number() over (partition by key order by lsn desc) = 1`.
@@ -54,16 +59,20 @@ object CdcMerge {
   }
 
   /** Same max-LSN-per-key semantics as [[dedupMaxLsn]], but as a hash
-    * aggregation (`max_by(struct(*), lsn)`): partial aggregation combines
-    * duplicate keys map-side BEFORE the shuffle, so the exchange carries
-    * only surviving rows — the hot-path choice for merge-on-read. (Ties on
-    * identical (key, lsn) duplicate deliveries pick an arbitrary copy; the
-    * copies are identical by construction.)
+    * aggregation (`max_by(struct(*), struct(lsn, op))`): partial
+    * aggregation combines duplicate keys map-side BEFORE the shuffle, so
+    * the exchange carries only surviving rows — the hot-path choice for
+    * merge-on-read. The ordering key is (lsn, op), matching the window
+    * form's `lsn desc, op desc` tie-break EXACTLY: the synthetic WAL only
+    * ever ties on identical duplicate deliveries, but the SQL MERGE
+    * surface accepts arbitrary sources — two ops at one (key, lsn) must
+    * resolve identically under MOR and CoW, and identically across
+    * replays, or reconvergence breaks.
     */
   def dedupMaxLsnAgg(batch: DataFrame): DataFrame = {
     val all = struct(batch.columns.map(col).toIndexedSeq: _*)
     batch.groupBy(KEY_COLS.map(col): _*)
-      .agg(max_by(all, col("lsn")).as("__r"))
+      .agg(max_by(all, struct(col("lsn"), col("op"))).as("__r"))
       .select(col("__r.*"))
   }
 
@@ -92,7 +101,7 @@ object CdcMerge {
     // per-key max-LSN gate).
     val sameStream = m.streamId == streamId
     if (sameStream && m.lastSourceEpoch >= epoch) {
-      return Stats(epoch, applied = false, -1, 0, 0)
+      return Stats(epoch, applied = false, -1, 0, 0, effEpoch = m.lastEpoch)
     }
     if (!sameStream && m.streamId.nonEmpty && epoch <= m.lastEpoch)
       System.err.println(s"[cdc-merge] WARN: stream '$streamId' presented epoch " +
@@ -246,7 +255,7 @@ object CdcMerge {
           System.currentTimeMillis())).takeRight(1000))
       try {
         table.commit(m2, base.version)
-        return Stats(epoch, applied = true, newFiles.map(_.rows).sum, affected.size, wallMs)
+        return Stats(epoch, applied = true, newFiles.map(_.rows).sum, affected.size, wallMs, effEpoch)
       } catch {
         // CAS lost → re-enter the loop; carriedNow then rebases (MOR) or
         // raises the explicit single-committer error (CoW)
@@ -267,7 +276,16 @@ object CdcMerge {
   private[merge] def adoptStaged(table: LakeTable, spark: SparkSession,
                                  staging: java.nio.file.Path, epoch: Long,
                                  schemaId: Int, kind: String): Seq[FileEntry] = {
-    if (!Files.exists(staging)) return Nil
+    // Always called right after a SUCCESSFUL write to `staging` — a missing
+    // directory is never "no output" (an empty result still leaves the dir
+    // + _SUCCESS); it means something deleted the staged data between write
+    // and adopt (e.g. a mis-tuned staging GC). Committing Nil here would
+    // silently drop the batch — or, in the compactor, remove a bucket's
+    // files with no replacement. Fail loudly instead.
+    if (!Files.exists(staging))
+      throw new IllegalStateException(
+        s"staged output vanished before adoption: $staging — " +
+        "was the staging GC grace window set below the write duration?")
     val bucketRe = ".*bucket=(\\d+).*".r
     val parquetFiles = Files.walk(staging).iterator().asScala
       .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
@@ -322,9 +340,13 @@ object CdcMerge {
 
   /** GC abandoned per-attempt staging dirs (a merge that crashed mid-write
     * leaves `_staging/epoch-N-<uuid>` behind and no retry ever reuses the
-    * name). Anything under `_staging` untouched for `olderThanMs` cannot
-    * belong to an in-flight writer — parquet writes touch their dir far
-    * more often than that.
+    * name). Staleness is judged by the SUBTREE's max mtime, not the top
+    * dir's: a running parquet job touches only `_temporary/` and bucket
+    * subdirectories, so the top-level dir's mtime is its creation time and
+    * a long rewrite (> grace) would be swept mid-flight. A subtree with no
+    * write activity for `olderThanMs` cannot belong to a live writer short
+    * of a task stalled a full hour between file creations (raise the grace
+    * if that is plausible in your environment).
     */
   private[merge] def sweepStaleStaging(table: LakeTable,
                                        olderThanMs: Long = 3600000L): Unit = {
@@ -333,8 +355,13 @@ object CdcMerge {
     val cutoff = System.currentTimeMillis() - olderThanMs
     val kids = Files.list(dir)
     try kids.iterator().asScala.toSeq.foreach { d =>
-      val stale = try Files.getLastModifiedTime(d).toMillis < cutoff
-        catch { case _: Throwable => false }
+      val stale = try {
+        val walk = Files.walk(d)
+        try walk.iterator().asScala
+          .map(p => try Files.getLastModifiedTime(p).toMillis catch { case _: Throwable => Long.MaxValue })
+          .max < cutoff
+        finally walk.close()
+      } catch { case _: Throwable => false }
       if (stale) try deleteRecursively(d) catch { case _: Throwable => () }
     } finally kids.close()
   }
@@ -401,7 +428,7 @@ object BulkLoad {
         System.currentTimeMillis())))
     table.commit(m2, m.version)
     CdcMerge.Stats(0L, applied = true, newFiles.map(_.rows).sum,
-      newFiles.map(_.bucket).toSet.size, wallMs)
+      newFiles.map(_.bucket).toSet.size, wallMs, effEpoch = 0L)
   }
 }
 

@@ -41,8 +41,14 @@ object SimilarityOps {
   def hyperplaneSignature(vec: Column, planes: Int, seed: Long, dims: Int = 64): Column = {
     require(dims >= 1, s"dims must be positive (got $dims)")
     val planeLits: Seq[Column] = (0 until planes).map { p =>
+      // (p, d) hashed JOINTLY through two splitmix rounds: the old
+      // `seed ^ (p * K + d)` form collides plane p's dims >= K with plane
+      // p+1's head, correlating hyperplanes on any corpus wider than K
+      // (1536/3072-d embeddings are standard) and silently breaking the
+      // 1-(1-prob)^tables recall math.
+      val planeSeed = DetHash.splitmix64(seed + 0x9E3779B97F4A7C15L * p)
       array((0 until dims).map(d =>
-        lit(if (DetHash.splitmix64(seed ^ (p * 1009L + d)) >= 0) 1.0 else -1.0)): _*)
+        lit(if (DetHash.splitmix64(planeSeed ^ d) >= 0) 1.0 else -1.0)): _*)
     }
     val bits = planeLits.zipWithIndex.map { case (plane, i) =>
       when(dot(vec, plane) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))

@@ -123,11 +123,16 @@ object CdcStream {
         // max LSN per file, appended as JSON lines next to the checkpoint
         if (stats.applied) {
           val m = table.manifest
-          val files = m.files.filter(f => f.epoch == epoch && f.kind == graft.lake.FileEntry.DELTA)
+          // files are recorded under the REMAPPED internal epoch (monotone
+          // across fresh-checkpoint restarts), not the source epoch —
+          // filtering on the source epoch attributed each batch's
+          // partitions to the wrong (or no) lineage line
+          val files = m.files.filter(f =>
+            f.epoch == stats.effEpoch && f.kind == graft.lake.FileEntry.DELTA)
           val parts = files.map(f =>
             s"""{"bucket":${f.bucket},"rows":${f.rows},"maxLsn":${f.maxLsn},"path":"${f.path}"}""")
             .mkString("[", ",", "]")
-          val line = s"""{"epoch":$epoch,"tableVersion":${m.version},""" +
+          val line = s"""{"epoch":$epoch,"effEpoch":${stats.effEpoch},"tableVersion":${m.version},""" +
             s""""batchRows":${stats.batchRows},"wallMs":${stats.wallMs},"partitions":$parts}""" + "\n"
           val p = java.nio.file.Paths.get(checkpointDir, "lineage.jsonl")
           java.nio.file.Files.createDirectories(p.getParent)

@@ -255,6 +255,48 @@ final class LakeTable private (val root: Path, spark: SparkSession) {
     s"data/bucket=$bucket/$name"
   }
 
+  // ---- consumer reference pins -------------------------------------
+  // A downstream consumer (changelog follower, incremental view, a
+  // published chart) registers the oldest version it still needs; vacuum
+  // and metadata-vacuum DEFER reclamation of anything that version (or
+  // its changelog suffix) requires until the pin is released. This is the
+  // engine's analogue of the reference's chart-reference delete
+  // protection — grapher refuses to delete variables a chart still
+  // references (owid-etl `etl/grapher_import.py:457-575`) — re-expressed
+  // as Iceberg-style named snapshot refs: the consumer's hold is durable
+  // (a file, not process state), survives restarts, and is released
+  // explicitly.
+
+  private def refsDir: Path = root.resolve("_refs")
+
+  /** Register (or advance) a named consumer pin at `version`. Fails if the
+    * version does not resolve to a retained manifest — a pin on an already
+    * vacuumed version would be an unsatisfiable promise.
+    */
+  def pin(name: String, version: Long): Unit = LakeTable.pathLock(root).synchronized {
+    require(name.nonEmpty && !name.contains('/') && !name.contains('.'),
+      s"pin name must be a simple identifier (got '$name')")
+    require(scala.util.Try(manifestAt(version)).isSuccess,
+      s"cannot pin version $version: its manifest is not retained (already vacuumed?)")
+    Files.createDirectories(refsDir)
+    Manifest.writeAtomic(refsDir.resolve(name), version.toString)
+  }
+
+  /** Release a consumer pin; idempotent. */
+  def unpin(name: String): Unit = LakeTable.pathLock(root).synchronized {
+    Files.deleteIfExists(refsDir.resolve(name))
+  }
+
+  /** All live pins (name → pinned version). */
+  def pins: Map[String, Long] = {
+    if (!Files.isDirectory(refsDir)) return Map.empty
+    val s = Files.list(refsDir)
+    try s.iterator().asScala.map { p =>
+      p.getFileName.toString -> new String(Files.readAllBytes(p)).trim.toLong
+    }.toMap
+    finally s.close()
+  }
+
   /** Delete files no longer referenced by any of the last `keepVersions`
     * manifests (vacuum). Safe because readers resolve through `_current`.
     *
@@ -263,6 +305,11 @@ final class LakeTable private (val root: Path, spark: SparkSession) {
     * versions is guaranteed its delta files survive vacuum. Reads past the
     * retention window fail loudly in `changesBetween` (never return
     * silently-partial changes).
+    *
+    * Consumer [[pin]]s further widen both windows: a pin at version v
+    * keeps v's files (snapshot read) AND every later delta file (the
+    * pinned consumer's unread changelog suffix `changesBetween(v, cur)`),
+    * regardless of how aggressive the numeric retention is.
     */
   def vacuum(keepVersions: Int = 2, changelogRetentionVersions: Int = 0,
              graceMs: Long = 300000L): Int =
@@ -288,7 +335,14 @@ final class LakeTable private (val root: Path, spark: SparkSession) {
       if (changelogRetentionVersions <= keepVersions) Nil
       else filesOf(math.max(0L, cur - changelogRetentionVersions + 1).toInt to cur.toInt)
         .filter(_.kind == FileEntry.DELTA).map(_.path)
-    val keep = (keepAll ++ keepDeltas).toSet
+    // pinned consumers: the pinned snapshot's full file set, plus every
+    // later delta (their unread changelog suffix)
+    val keepPinned = pins.values.toSeq.distinct.flatMap { v =>
+      filesOf(v.toInt to v.toInt).map(_.path) ++
+        filesOf(math.min(v + 1, cur).toInt to cur.toInt)
+          .filter(_.kind == FileEntry.DELTA).map(_.path)
+    }
+    val keep = (keepAll ++ keepDeltas ++ keepPinned).toSet
     if (!Files.exists(dataDir)) return 0
     var removed = 0
     Files.walk(dataDir).iterator().asScala
@@ -319,7 +373,10 @@ final class LakeTable private (val root: Path, spark: SparkSession) {
         try s.iterator().asScala.toSeq finally s.close()
       }
       val cur = currentVersion
-      val horizon = math.max(0L, cur - keepVersions + 1)
+      // the horizon never passes a pinned version: the pin is a promise
+      // that snapshotAt(pinned) and changesBetween(pinned, cur) stay
+      // readable until released
+      val horizon = (math.max(0L, cur - keepVersions + 1) +: pins.values.toSeq).min
       val manifestRe = "manifest-(\\d{10})\\.json".r
       var removedManifests = 0
       val keptVersions = scala.collection.mutable.ArrayBuffer.empty[Long]

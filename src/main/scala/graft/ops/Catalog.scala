@@ -60,4 +60,107 @@ final class Catalog(spark: SparkSession, root: String) {
   def load(e: Entry): DataFrame =
     if (e.isLake) LakeTable.load(spark, e.path).snapshot()
     else TableIO.readParquet(spark, e.path)._1
+
+  /** Publish this catalog's index (see [[PublishedCatalog]]). */
+  def publish(version: Long = System.currentTimeMillis()): Long =
+    PublishedCatalog.publish(spark, root, entries.map(e =>
+      (e.channel, e.namespace, e.table, e.path, e.isLake)), version)
+}
+
+/** Published, frame-indexed catalog — the remote-catalog semantics of the
+  * reference (`RemoteCatalog`, `lib/catalog/owid/catalog/catalogs.py:249-407`):
+  * consumers search a PUBLISHED index frame, never walk the data tree.
+  *
+  * Why this matters at scale: a catalog over millions of published tables
+  * on object storage cannot answer `find` by listing directories (S3
+  * listing storms, eventual consistency); the reference solves it with a
+  * per-channel feather frame downloaded once and searched locally. Same
+  * design here: `publish` writes one parquet index per channel plus an
+  * atomically swapped `_index/catalog.json` consistency token (version +
+  * channel list), and readers load exactly the channels they ask for —
+  * search is then a DataFrame filter, distributable and predicate-pushed.
+  *
+  * Concurrent publishes are last-writer-wins on the token swap, but a
+  * reader holding an older token keeps reading its versioned channel
+  * frames (they are never overwritten in place — version-suffixed files,
+  * like manifest snapshots).
+  */
+object PublishedCatalog {
+
+  private def indexDir(root: String): Path = Paths.get(root, "_index")
+
+  /** Write the channel-sharded index frames + swap the consistency token.
+    * Returns the published version.
+    */
+  def publish(spark: SparkSession, root: String,
+              entries: Seq[(String, String, String, String, Boolean)],
+              version: Long): Long = {
+    import spark.implicits._
+    val dir = indexDir(root)
+    Files.createDirectories(dir)
+    val channels = entries.map(_._1).distinct.sorted
+    channels.foreach { ch =>
+      val rows = entries.filter(_._1 == ch)
+      rows.toDF("channel", "namespace", "table", "path", "is_lake")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(dir.resolve(s"channel-$ch-$version.parquet").toString)
+    }
+    val doc = s"""{"version":$version,"channels":[${
+      channels.map(c => s""""$c"""").mkString(",")}]}"""
+    graft.lake.Manifest.writeAtomic(dir.resolve("catalog.json"), doc)
+    version
+  }
+
+  /** Reader over the published index. `channels = Nil` loads all published
+    * channels (the reference defaults to its channel subset the same way).
+    */
+  final class Reader private[PublishedCatalog] (spark: SparkSession, root: String,
+                                               val version: Long, val index: DataFrame) {
+    import org.apache.spark.sql.functions.{col, lower}
+
+    /** Frame search — substring on table, exact on namespace/channel, like
+      * the reference's `find`. Returns the matching index slice.
+      */
+    def find(table: String = "", namespace: String = "", channel: String = ""): DataFrame = {
+      var df = index
+      if (table.nonEmpty) df = df.filter(lower(col("table")).contains(table.toLowerCase))
+      if (namespace.nonEmpty) df = df.filter(col("namespace") === namespace)
+      if (channel.nonEmpty) df = df.filter(col("channel") === channel)
+      df
+    }
+
+    def findOne(table: String = "", namespace: String = "", channel: String = ""): (String, Boolean) = {
+      val hits = find(table, namespace, channel).select("path", "is_lake").collect()
+      require(hits.nonEmpty, s"no published table matching table=$table namespace=$namespace channel=$channel")
+      require(hits.length == 1, s"ambiguous: ${hits.map(_.getString(0)).mkString(", ")}")
+      (hits(0).getString(0), hits(0).getBoolean(1))
+    }
+
+    def load(path: String, isLake: Boolean): DataFrame =
+      if (isLake) LakeTable.load(spark, path).snapshot()
+      else TableIO.readParquet(spark, path)._1
+  }
+
+  /** Open the published catalog at its current consistency token. */
+  def open(spark: SparkSession, root: String, channels: Seq[String] = Nil): Reader = {
+    val tokenPath = indexDir(root).resolve("catalog.json")
+    require(Files.exists(tokenPath), s"no published catalog at $root (run publish first)")
+    val token = new String(Files.readAllBytes(tokenPath))
+    val verRe = """"version":(\d+)""".r
+    val chRe = """"([^"]+)"""".r
+    val version = verRe.findFirstMatchIn(token).map(_.group(1).toLong)
+      .getOrElse(throw new IllegalStateException(s"bad catalog token: $token"))
+    val published = chRe.findAllMatchIn(
+      token.dropWhile(_ != '[')).map(_.group(1)).toSeq
+    val want = if (channels.isEmpty) published else {
+      val missing = channels.filterNot(published.contains)
+      require(missing.isEmpty, s"channels not published: ${missing.mkString(", ")}")
+      channels
+    }
+    val frames = want.map(ch => spark.read.parquet(
+      indexDir(root).resolve(s"channel-$ch-$version.parquet").toString))
+    require(frames.nonEmpty, "published catalog has no channels")
+    new Reader(spark, root, version, frames.reduce(_ unionByName _))
+  }
 }

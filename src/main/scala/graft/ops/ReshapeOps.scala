@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Reshaping operators — the reference's signature ops (SURVEY.md §2.9). */
@@ -36,17 +36,49 @@ object ReshapeOps {
     p.agg(first(col(value)))
   }
 
+  /** Max generated column name length (the reference trims grapher
+    * short_names past MySQL's 255-char identifier limit,
+    * `etl/grapher_io.py:987`; parquet/metastore identifiers hit similar
+    * walls). Names over the limit keep a readable prefix and append a
+    * 12-hex md5 of the FULL name, so trimmed names stay deterministic,
+    * collision-resistant, and stable across runs.
+    */
+  val MaxNameLen = 255
+  private val NamePrefixLen = MaxNameLen - 13 // "_" + 12 hex
+
+  /** Column-expression form of the trim — runs inside the fan-out plan
+    * (names are generated per-row; a driver-side trim would need a
+    * collect).
+    */
+  def trimLongNameExpr(name: Column): Column =
+    when(length(name) > MaxNameLen,
+      concat(substring(name, 1, NamePrefixLen), lit("_"),
+        substring(md5(name), 1, 12))).otherwise(name)
+
+  /** Driver-side twin of [[trimLongNameExpr]] — MUST produce identical
+    * output (used where names are already driver strings, e.g.
+    * [[longToWideTables]]).
+    */
+  def trimLongName(name: String): String =
+    if (name.length <= MaxNameLen) name
+    else {
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(name.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      name.substring(0, NamePrefixLen) + "_" + digest.take(12)
+    }
+
   /** Dimension fan-out (owid-etl `_yield_wide_table`,
     * `etl/grapher_helpers.py:74-191`): every combination of dimension
     * values becomes its own column named `col__dim1_v1__dim2_v2`. In Spark
     * this is a pivot on the concatenated dimension key; all-null slices are
-    * dropped like the reference.
+    * dropped like the reference, and names past [[MaxNameLen]] are
+    * hash-trimmed like the reference's short_name trim.
     */
   def wideTableFanOut(df: DataFrame, index: Seq[String], dims: Seq[String],
                       valueCol: String): DataFrame = {
-    val nameExpr = concat_ws("__",
+    val nameExpr = trimLongNameExpr(concat_ws("__",
       (lit(valueCol) +: dims.map(d => concat_ws("_", lit(TableOps.underscoreName(d)),
-        col(d).cast("string")))): _*)
+        col(d).cast("string")))): _*))
     val long = df.withColumn("__wide_name", nameExpr)
     val wide = pivot(long, index, "__wide_name", valueCol)
     // drop all-null slices (reference drops empty dimension combos) —
@@ -65,7 +97,8 @@ object ReshapeOps {
     val vars = df.select(varCol).distinct().collect().map(_.getString(0))
     vars.map { v =>
       v -> df.filter(col(varCol) === v)
-        .select((index.map(col) :+ col(valueCol).as(TableOps.underscoreName(v))): _*)
+        .select((index.map(col) :+
+          col(valueCol).as(trimLongName(TableOps.underscoreName(v)))): _*)
     }.toMap
   }
 

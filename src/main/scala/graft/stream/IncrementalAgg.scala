@@ -48,13 +48,25 @@ object ChangelogFollower {
     * `fromVersion`: first version already seen (callbacks start after it).
     * `onError` fires immediately when the loop dies (default: stderr); the
     * failure is also retained on the handle and rethrown by `close()`.
+    *
+    * `pinName`: when set, the follower holds a durable [[LakeTable.pin]]
+    * at its last-consumed version, ADVANCED after each successful
+    * callback — vacuum then defers reclaiming the follower's unread
+    * changelog suffix no matter how far it lags (the reference's
+    * "consumer holds a reference → refuse the delete" guard,
+    * `etl/grapher_import.py:457-575`, as a durable snapshot ref). The
+    * pin survives crash/restart (resume from `table.pins(pinName)`) and
+    * is deliberately NOT released by `close()` — a stopped follower still
+    * intends to resume; release with `table.unpin` when decommissioning.
     */
   def follow(table: LakeTable, fromVersion: Long, pollMs: Long = 200L,
+             pinName: Option[String] = None,
              onError: Throwable => Unit = e =>
                System.err.println(s"[changelog-follower] DIED: $e"))
             (f: (DataFrame, Long) => Unit): Handle = {
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val err = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    pinName.foreach(n => table.pin(n, fromVersion))
     val t = new Thread(() => {
       var last = fromVersion
       try {
@@ -63,6 +75,10 @@ object ChangelogFollower {
           if (cur > last) {
             f(table.changesBetween(last, cur), cur)
             last = cur
+            // advance only AFTER the callback: a crash mid-callback leaves
+            // the pin at the last fully consumed version, so the retry's
+            // window is still fully retained
+            pinName.foreach(n => table.pin(n, cur))
           } else Thread.sleep(pollMs)
         }
       } catch {

@@ -32,4 +32,39 @@ class CatalogSpec extends SparkSpec {
       intercept[IllegalArgumentException](cat.findOne(table = "nope"))
     } finally rmrf(dir)
   }
+
+  test("published catalog: frame-indexed search over the published index, channel subsetting, token swap isolation") {
+    val dir = tmpDir("pubcat")
+    try {
+      val plain = Seq((1, "x"), (2, "y")).toDF("id", "v")
+      TableIO.writeParquet(plain, s"$dir/garden/demo/plain.parquet", graft.ops.TableMeta("plain"))
+      val t = LakeTable.create(spark, s"$dir/grapher/demo/convs", Schemas.transcript, 2)
+      val cfg = WalGen.Config(numEvents = 500, numConvs = 10)
+      CdcMerge.apply(t, WalGen.events(spark, cfg, 0, 500).toDF(), 0L)
+
+      // publish v1, then open WITHOUT walking the tree
+      val cat = new Catalog(spark, dir)
+      val v1 = cat.publish(version = 1L)
+      val reader = graft.ops.PublishedCatalog.open(spark, dir)
+      assert(reader.version == v1)
+      assert(reader.index.count() == 2)
+      // frame search: substring table match, exact channel
+      assert(reader.find(table = "conv").count() == 1)
+      val (path, isLake) = reader.findOne(table = "convs", channel = "grapher")
+      assert(isLake && reader.load(path, isLake).count() == WalGen.oracleState(cfg).size)
+      // channel subset loads only that channel's frame
+      val gardenOnly = graft.ops.PublishedCatalog.open(spark, dir, channels = Seq("garden"))
+      assert(gardenOnly.index.count() == 1)
+      intercept[IllegalArgumentException](
+        graft.ops.PublishedCatalog.open(spark, dir, channels = Seq("nope")))
+      // a new table is INVISIBLE until re-published (index, not listing)
+      TableIO.writeParquet(plain, s"$dir/garden/demo/late.parquet", graft.ops.TableMeta("late"))
+      assert(graft.ops.PublishedCatalog.open(spark, dir).index.count() == 2)
+      val v2 = cat.publish(version = 2L)
+      val reader2 = graft.ops.PublishedCatalog.open(spark, dir)
+      assert(reader2.version == v2 && reader2.index.count() == 3)
+      // the old reader's pinned frames still read (version-suffixed files)
+      assert(reader.index.count() == 2)
+    } finally rmrf(dir)
+  }
 }

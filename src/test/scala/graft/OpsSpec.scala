@@ -91,6 +91,23 @@ class OpsSpec extends SparkSpec {
     assert(us.getAs[Double]("v__sex_m") == 1.0 && us.getAs[Double]("v__sex_f") == 2.0)
   }
 
+  test("fan-out names past 255 chars are hash-trimmed, deterministic, and distinct; driver and expression twins agree") {
+    val longA = "a" * 300
+    val longB = "a" * 299 + "b" // same 242-char prefix, different tail
+    val df = Seq(("US", longA, 1.0), ("US", longB, 2.0), ("FR", "m", 3.0))
+      .toDF("country", "grp", "v")
+    val out = ReshapeOps.wideTableFanOut(df, Seq("country"), Seq("grp"), "v")
+    val generated = out.columns.filterNot(_ == "country")
+    assert(generated.length == 3)
+    assert(generated.forall(_.length <= ReshapeOps.MaxNameLen))
+    assert(generated.distinct.length == 3) // hash suffix keeps shared-prefix names apart
+    assert(generated.contains("v__grp_m")) // short names untouched
+    // driver-side twin reproduces the expression's output exactly
+    val expectTrimmed = Set(s"v__grp_$longA", s"v__grp_$longB").map(ReshapeOps.trimLongName)
+    assert(generated.filter(_.length == ReshapeOps.MaxNameLen).toSet == expectTrimmed)
+    assert(ReshapeOps.trimLongName("short") == "short")
+  }
+
   test("metadata: travels through ops, combines on arithmetic") {
     val df = Seq((1.0, 2.0)).toDF("a", "b")
     val withMeta = MetaOps.withVarMeta(

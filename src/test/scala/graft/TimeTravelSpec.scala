@@ -67,4 +67,62 @@ class TimeTravelSpec extends SparkSpec {
       assert(table.snapshotAt(vCompact).count() == table.snapshot().count())
     } finally rmrf(dir)
   }
+
+  test("consumer pins defer vacuum: a pinned version's snapshot AND changelog suffix survive aggressive retention; release reclaims") {
+    val dir = tmpDir("ttp")
+    val cfg = WalGen.Config(numEvents = 4000, numConvs = 40)
+    try {
+      val table = LakeTable.create(spark, s"$dir/t", Schemas.transcript, numBuckets = 2)
+      val versionAfter = (0 until 4).map { b =>
+        CdcMerge.apply(table, WalGen.events(spark, cfg, b * 1000L, (b + 1) * 1000L).toDF(), b.toLong)
+        table.currentVersion
+      }
+      val pinned = versionAfter(0)
+      table.pin("lagging-consumer", pinned)
+      assert(table.pins == Map("lagging-consumer" -> pinned))
+      Compactor.compact(table, Set(0, 1)) // folds deltas; only references pin them now
+      // aggressive retention on BOTH axes — the pin must defer reclamation
+      table.vacuum(keepVersions = 1, graceMs = 0L)
+      table.vacuumMetadata(keepVersions = 1)
+      val rowsAtPin = table.snapshotAt(pinned).count()
+      assert(rowsAtPin > 0) // pinned snapshot still fully readable
+      assert(table.changesBetween(pinned, versionAfter(3)).count() > 0) // unread suffix intact
+      // a pin on a reclaimed version is an unsatisfiable promise → refuse
+      intercept[IllegalArgumentException] { table.pin("too-late", -1L) }
+      // release → the same retention now reclaims: read fails loudly
+      table.unpin("lagging-consumer")
+      assert(table.pins.isEmpty)
+      table.vacuum(keepVersions = 1, graceMs = 0L)
+      table.vacuumMetadata(keepVersions = 1)
+      assert(scala.util.Try(table.snapshotAt(pinned).count()).isFailure)
+      // current snapshot unaffected throughout
+      assert(table.snapshot().count() > 0)
+    } finally rmrf(dir)
+  }
+
+  test("follower with pinName advances its durable pin past consumed windows") {
+    val dir = tmpDir("ttf")
+    val cfg = WalGen.Config(numEvents = 2000, numConvs = 20)
+    try {
+      val table = LakeTable.create(spark, s"$dir/t", Schemas.transcript, numBuckets = 2)
+      CdcMerge.apply(table, WalGen.events(spark, cfg, 0L, 1000L).toDF(), 0L)
+      val v0 = table.currentVersion
+      val seen = new java.util.concurrent.atomic.AtomicLong(v0)
+      val h = graft.stream.ChangelogFollower.follow(table, v0, pollMs = 20L,
+        pinName = Some("ivm")) { (_, to) => seen.set(to) }
+      try {
+        assert(table.pins("ivm") == v0)
+        CdcMerge.apply(table, WalGen.events(spark, cfg, 1000L, 2000L).toDF(), 1L)
+        val v1 = table.currentVersion
+        val deadline = System.currentTimeMillis() + 30000
+        while (seen.get() < v1 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+        assert(seen.get() == v1)
+        // pin advanced to the consumed version (poll until the post-callback write lands)
+        while (table.pins("ivm") < v1 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+        assert(table.pins("ivm") == v1)
+      } finally h.close()
+      // close() does NOT release the pin — a stopped follower intends to resume
+      assert(table.pins.contains("ivm"))
+    } finally rmrf(dir)
+  }
 }

@@ -67,12 +67,62 @@ object ReshapeOps {
       name.substring(0, NamePrefixLen) + "_" + digest.take(12)
     }
 
+  // ---- per-dimension metadata expansion -----------------------------
+  // The reference expands each fan-out slice's variable metadata per
+  // dimension combination (`etl/grapher_helpers.py:146-264`): fields with
+  // `<<dim>>` placeholders are template-substituted; a plain title gets
+  // the default "Title - Age: 10-18 - Sex: male" composition. Jinja
+  // control blocks (`<% %>`) are out of scope and REJECTED loudly — a raw
+  // template leaking into published metadata is worse than an error.
+
+  private val PlaceholderRe = "<<\\s*([A-Za-z0-9_]+)\\s*>>".r
+
+  def usesTemplate(s: String): Boolean = s.contains("<<") || s.contains("<%")
+
+  /** Substitute `<<dim>>` placeholders; unknown placeholders fail loudly. */
+  def expandTemplate(text: String, dims: Map[String, String]): String = {
+    require(!text.contains("<%"),
+      s"template control blocks (<% %>) are not supported: $text")
+    PlaceholderRe.replaceAllIn(text, m => {
+      val k = m.group(1)
+      java.util.regex.Matcher.quoteReplacement(dims.getOrElse(k,
+        throw new IllegalArgumentException(
+          s"unknown dimension '<<$k>>' in template '$text'; " +
+          s"have: ${dims.keys.toSeq.sorted.mkString(", ")}")))
+    })
+  }
+
+  /** Default title composition (`_title_column_and_dimensions`,
+    * `grapher_helpers.py:236-241`): `Deaths` × (age→10-18, sex→male) →
+    * `Deaths - Age: 10-18 - Sex: male`.
+    */
+  def titleWithDims(title: String, dims: Seq[(String, String)]): String =
+    (title +: dims.map { case (n, v) => s"${n.replace('_', ' ').capitalize}: $v" })
+      .mkString(" - ")
+
+  /** Expand one slice's metadata for its dimension combination, recording
+    * the expansion in the processing log.
+    */
+  def expandDimensionMeta(meta: VariableMeta, variable: String,
+                          dims: Seq[(String, String)]): VariableMeta = {
+    val dmap = dims.toMap
+    def exp(o: Option[String]) = o.map(t => if (usesTemplate(t)) expandTemplate(t, dmap) else t)
+    val title = meta.title.map(t =>
+      if (usesTemplate(t)) expandTemplate(t, dmap) else titleWithDims(t, dims))
+    meta.copy(title = title, unit = exp(meta.unit), shortUnit = exp(meta.shortUnit),
+        description = exp(meta.description))
+      .logOp(variable, "expand_dims", List(meta.parentRef(variable)),
+        comment = Some(dims.map { case (n, v) => s"$n=$v" }.mkString(",")))
+  }
+
   /** Dimension fan-out (owid-etl `_yield_wide_table`,
     * `etl/grapher_helpers.py:74-191`): every combination of dimension
     * values becomes its own column named `col__dim1_v1__dim2_v2`. In Spark
     * this is a pivot on the concatenated dimension key; all-null slices are
-    * dropped like the reference, and names past [[MaxNameLen]] are
-    * hash-trimmed like the reference's short_name trim.
+    * dropped like the reference, names past [[MaxNameLen]] are
+    * hash-trimmed like the reference's short_name trim, and — when the
+    * value column carries [[VariableMeta]] — each generated column gets
+    * its metadata expanded per dimension combination.
     */
   def wideTableFanOut(df: DataFrame, index: Seq[String], dims: Seq[String],
                       valueCol: String): DataFrame = {
@@ -86,7 +136,22 @@ object ReshapeOps {
     val valueColumns = wide.columns.filterNot(index.contains)
     val counts = wide.select(valueColumns.map(c => count(col(s"`$c`")).as(c)).toSeq: _*).collect()(0)
     val keep = valueColumns.zipWithIndex.collect { case (c, i) if counts.getLong(i) > 0 => c }
-    wide.select((index ++ keep).map(c => col(s"`$c`")).toSeq: _*)
+    val pruned = wide.select((index ++ keep).map(c => col(s"`$c`")).toSeq: _*)
+    MetaOps.varMeta(df, valueCol) match {
+      case None => pruned
+      case Some(m) =>
+        // name → dimension combo: one distinct row per GENERATED COLUMN
+        // (bounded by the pivot width, which already materialized as
+        // columns — never corpus-sized)
+        val combos = long
+          .select((col("__wide_name") +: dims.map(d => col(d).cast("string"))): _*)
+          .distinct().collect()
+        combos.filter(r => keep.contains(r.getString(0))).foldLeft(pruned) { (acc, r) =>
+          val name = r.getString(0)
+          val dimVals = dims.zipWithIndex.map { case (d, i) => d -> r.getString(i + 1) }
+          MetaOps.withVarMeta(acc, name, expandDimensionMeta(m, name, dimVals))
+        }
+    }
   }
 
   /** Split a long (variable, value) table into per-variable tables

@@ -91,6 +91,33 @@ class OpsSpec extends SparkSpec {
     assert(us.getAs[Double]("v__sex_m") == 1.0 && us.getAs[Double]("v__sex_f") == 2.0)
   }
 
+  test("fan-out expands per-dimension metadata: <<dim>> templates substitute, plain titles get the default composition, control blocks fail loudly") {
+    val df = MetaOps.withVarMeta(
+      Seq(("US", 2000, "10-18", "m", 1.0), ("US", 2000, "19-25", "f", 2.0))
+        .toDF("country", "year", "age_group", "sex", "v"),
+      "v", VariableMeta(title = Some("Deaths"),
+        unit = Some("deaths (<<sex>>)"), origins = List("o1")))
+    val out = ReshapeOps.wideTableFanOut(df, Seq("country", "year"),
+      Seq("age_group", "sex"), "v")
+    val m1 = MetaOps.varMeta(out, "v__age_group_10-18__sex_m").get
+    assert(m1.title.contains("Deaths - Age group: 10-18 - Sex: m")) // default composition
+    assert(m1.unit.contains("deaths (m)"))                          // template substitution
+    assert(m1.origins == List("o1"))
+    assert(m1.processing.last.operation == "expand_dims")
+    val m2 = MetaOps.varMeta(out, "v__age_group_19-25__sex_f").get
+    assert(m2.title.contains("Deaths - Age group: 19-25 - Sex: f"))
+    assert(m2.unit.contains("deaths (f)"))
+    // templated title: substitution replaces the default composition
+    assert(ReshapeOps.expandDimensionMeta(
+      VariableMeta(title = Some("Deaths of <<sex>>")), "x", Seq("sex" -> "m"))
+      .title.contains("Deaths of m"))
+    // unknown placeholder and control blocks fail loudly
+    intercept[IllegalArgumentException](
+      ReshapeOps.expandTemplate("x <<nope>>", Map("sex" -> "m")))
+    intercept[IllegalArgumentException](
+      ReshapeOps.expandTemplate("<% if a %>x<% endif %>", Map.empty))
+  }
+
   test("fan-out names past 255 chars are hash-trimmed, deterministic, and distinct; driver and expression twins agree") {
     val longA = "a" * 300
     val longB = "a" * 299 + "b" // same 242-char prefix, different tail

@@ -287,13 +287,23 @@ final class LakeTable private (val root: Path, spark: SparkSession) {
     Files.deleteIfExists(refsDir.resolve(name))
   }
 
-  /** All live pins (name → pinned version). */
+  /** All live pins (name → pinned version). Only files matching the pin
+    * name shape count: `pin()`'s writeAtomic stages `name.tmp.<uuid>`
+    * siblings in `_refs` before the atomic move, and a crash can leave one
+    * behind — parsing it would either throw (torn write) or mint a
+    * phantom pin that `unpin(name)` can never release (so vacuum would
+    * retain its version forever). Names cannot contain '.', so the filter
+    * is exact.
+    */
   def pins: Map[String, Long] = {
     if (!Files.isDirectory(refsDir)) return Map.empty
     val s = Files.list(refsDir)
-    try s.iterator().asScala.map { p =>
-      p.getFileName.toString -> new String(Files.readAllBytes(p)).trim.toLong
-    }.toMap
+    try s.iterator().asScala
+      .filterNot(_.getFileName.toString.contains('.'))
+      .flatMap { p =>
+        scala.util.Try(new String(Files.readAllBytes(p)).trim.toLong)
+          .toOption.map(p.getFileName.toString -> _)
+      }.toMap
     finally s.close()
   }
 

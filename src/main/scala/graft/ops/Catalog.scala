@@ -87,6 +87,15 @@ final class Catalog(spark: SparkSession, root: String) {
   */
 object PublishedCatalog {
 
+  /** The consistency token — typed, serialized with the same json4s
+    * formats as every other metadata doc in the repo (a hand-rolled regex
+    * parse would silently depend on field order and never-quoted channel
+    * names; a typed decode fails loudly on drift instead).
+    */
+  final case class CatalogToken(version: Long, channels: List[String])
+  private implicit val formats: org.json4s.Formats =
+    org.json4s.jackson.Serialization.formats(org.json4s.NoTypeHints)
+
   private def indexDir(root: String): Path = Paths.get(root, "_index")
 
   /** Write the channel-sharded index frames + swap the consistency token.
@@ -106,8 +115,8 @@ object PublishedCatalog {
         .write.mode("overwrite")
         .parquet(dir.resolve(s"channel-$ch-$version.parquet").toString)
     }
-    val doc = s"""{"version":$version,"channels":[${
-      channels.map(c => s""""$c"""").mkString(",")}]}"""
+    val doc = org.json4s.jackson.Serialization.write(
+      CatalogToken(version, channels.toList))
     graft.lake.Manifest.writeAtomic(dir.resolve("catalog.json"), doc)
     version
   }
@@ -146,13 +155,10 @@ object PublishedCatalog {
   def open(spark: SparkSession, root: String, channels: Seq[String] = Nil): Reader = {
     val tokenPath = indexDir(root).resolve("catalog.json")
     require(Files.exists(tokenPath), s"no published catalog at $root (run publish first)")
-    val token = new String(Files.readAllBytes(tokenPath))
-    val verRe = """"version":(\d+)""".r
-    val chRe = """"([^"]+)"""".r
-    val version = verRe.findFirstMatchIn(token).map(_.group(1).toLong)
-      .getOrElse(throw new IllegalStateException(s"bad catalog token: $token"))
-    val published = chRe.findAllMatchIn(
-      token.dropWhile(_ != '[')).map(_.group(1)).toSeq
+    val token = org.json4s.jackson.Serialization.read[CatalogToken](
+      new String(Files.readAllBytes(tokenPath)))
+    val version = token.version
+    val published = token.channels
     val want = if (channels.isEmpty) published else {
       val missing = channels.filterNot(published.contains)
       require(missing.isEmpty, s"channels not published: ${missing.mkString(", ")}")

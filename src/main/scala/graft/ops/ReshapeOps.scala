@@ -57,14 +57,17 @@ object ReshapeOps {
 
   /** Driver-side twin of [[trimLongNameExpr]] — MUST produce identical
     * output (used where names are already driver strings, e.g.
-    * [[longToWideTables]]).
+    * [[longToWideTables]]). Lengths and the prefix cut are measured in
+    * CODE POINTS, matching Spark's `length`/`substring` on UTF8String —
+    * `String.length`/`substring` count UTF-16 units and would cut a
+    * different prefix on names containing supplementary-plane characters.
     */
   def trimLongName(name: String): String =
-    if (name.length <= MaxNameLen) name
+    if (name.codePointCount(0, name.length) <= MaxNameLen) name
     else {
       val digest = java.security.MessageDigest.getInstance("MD5")
         .digest(name.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      name.substring(0, NamePrefixLen) + "_" + digest.take(12)
+      name.substring(0, name.offsetByCodePoints(0, NamePrefixLen)) + "_" + digest.take(12)
     }
 
   // ---- per-dimension metadata expansion -----------------------------
@@ -129,29 +132,41 @@ object ReshapeOps {
     val nameExpr = trimLongNameExpr(concat_ws("__",
       (lit(valueCol) +: dims.map(d => concat_ws("_", lit(TableOps.underscoreName(d)),
         col(d).cast("string")))): _*))
+    // persisted across the operator's internal jobs: the combos distinct,
+    // and the pivot aggregation both read it (without the cache each one
+    // re-evaluates the source plan + the md5 trim from scratch)
     val long = df.withColumn("__wide_name", nameExpr)
-    val wide = pivot(long, index, "__wide_name", valueCol)
-    // drop all-null slices (reference drops empty dimension combos) —
-    // one aggregation job for all columns, not one job per column
-    val valueColumns = wide.columns.filterNot(index.contains)
-    val counts = wide.select(valueColumns.map(c => count(col(s"`$c`")).as(c)).toSeq: _*).collect()(0)
-    val keep = valueColumns.zipWithIndex.collect { case (c, i) if counts.getLong(i) > 0 => c }
-    val pruned = wide.select((index ++ keep).map(c => col(s"`$c`")).toSeq: _*)
-    MetaOps.varMeta(df, valueCol) match {
-      case None => pruned
-      case Some(m) =>
-        // name → dimension combo: one distinct row per GENERATED COLUMN
-        // (bounded by the pivot width, which already materialized as
-        // columns — never corpus-sized)
-        val combos = long
-          .select((col("__wide_name") +: dims.map(d => col(d).cast("string"))): _*)
-          .distinct().collect()
-        combos.filter(r => keep.contains(r.getString(0))).foldLeft(pruned) { (acc, r) =>
-          val name = r.getString(0)
-          val dimVals = dims.zipWithIndex.map { case (d, i) => d -> r.getString(i + 1) }
-          MetaOps.withVarMeta(acc, name, expandDimensionMeta(m, name, dimVals))
-        }
-    }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // ONE distinct job yields both the explicit pivot value list (no
+      // separate discovery job inside pivot) and the name → dimension
+      // combo mapping for metadata expansion; bounded by the pivot width,
+      // never corpus-sized
+      val combos = long
+        .select((col("__wide_name") +: dims.map(d => col(d).cast("string"))): _*)
+        .distinct().collect()
+      val names = combos.map(_.getString(0)).distinct.sorted.toSeq
+      val wide = pivot(long, index, "__wide_name", valueCol, names)
+      // drop all-null slices (reference drops empty dimension combos) —
+      // one aggregation job for all columns, not one job per column
+      val valueColumns = wide.columns.filterNot(index.contains)
+      val counts = wide.select(valueColumns.map(c => count(col(s"`$c`")).as(c)).toSeq: _*).collect()(0)
+      val keep = valueColumns.zipWithIndex.collect { case (c, i) if counts.getLong(i) > 0 => c }
+      val pruned = wide.select((index ++ keep).map(c => col(s"`$c`")).toSeq: _*)
+      MetaOps.varMeta(df, valueCol) match {
+        case None => pruned
+        case Some(m) =>
+          combos.filter(r => keep.contains(r.getString(0))).foldLeft(pruned) { (acc, r) =>
+            val name = r.getString(0)
+            // a NULL dimension value was skipped by concat_ws in the NAME;
+            // skip it in the metadata too so name and recorded dims agree
+            // (and so templates referencing it fail loudly as unknown)
+            val dimVals = dims.zipWithIndex.flatMap { case (d, i) =>
+              Option(r.getString(i + 1)).map(d -> _) }
+            MetaOps.withVarMeta(acc, name, expandDimensionMeta(m, name, dimVals))
+          }
+      }
+    } finally long.unpersist()
   }
 
   /** Split a long (variable, value) table into per-variable tables

@@ -56,14 +56,19 @@ object SimilarityOps {
     bits.reduce(_.bitwiseOR(_))
   }
 
-  /** Embedding dimension of `vecCol`, read from ONE row (a limit-1 job —
-    * negligible even at corpus scale; parquet stops after the first page).
-    * Fails loudly on ragged dimensions being impossible to detect here —
-    * the signature expressions themselves require equal-length inputs.
+  /** Embedding dimension of `vecCol`, read from ONE non-null row (a
+    * limit-1 job — negligible even at corpus scale; parquet stops after
+    * the first page). Null vectors are skipped, not sampled: `size(null)`
+    * would surface as a bare NPE at `getInt`, and whether the sampled row
+    * is null would vary run to run (limit-1 picks an arbitrary row).
+    * Ragged dimensions are impossible to detect here — the signature
+    * expressions themselves require equal-length inputs.
     */
   def vectorDims(df: DataFrame, vecCol: String): Int = {
-    val head = df.select(size(col(vecCol)).as("d")).limit(1).collect()
-    require(head.nonEmpty, s"cannot infer dims of '$vecCol' from an empty DataFrame")
+    val head = df.select(size(col(vecCol)).as("d"))
+      .filter(col("d").isNotNull && col("d") >= 1).limit(1).collect()
+    require(head.nonEmpty,
+      s"cannot infer dims of '$vecCol': no row with a non-empty vector")
     head(0).getInt(0)
   }
 

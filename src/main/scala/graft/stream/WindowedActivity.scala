@@ -16,8 +16,8 @@ import org.apache.spark.sql.functions._
   */
 object WindowedActivity {
 
-  /** `events` must carry (conv_id, turn_idx, op, lsn, ts). Returns the
-    * windowed aggregate stream (append-mode-ready).
+  /** `events` must carry (conv_id, turn_idx, op, lsn, tool, ts). Returns
+    * the windowed aggregate stream (append-mode-ready).
     */
   def perConversation(events: DataFrame,
                       windowLen: String = "10 minutes",

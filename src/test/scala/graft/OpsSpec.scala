@@ -92,21 +92,33 @@ class OpsSpec extends SparkSpec {
   }
 
   test("fan-out expands per-dimension metadata: <<dim>> templates substitute, plain titles get the default composition, control blocks fail loudly") {
+    // "1.5" exercises dotted generated names (metadata attach must not
+    // parse them as struct paths); the null age_group row exercises
+    // null-dim handling (skipped in name AND metadata, consistently)
     val df = MetaOps.withVarMeta(
-      Seq(("US", 2000, "10-18", "m", 1.0), ("US", 2000, "19-25", "f", 2.0))
+      Seq(("US", 2000, "10-18", "m", 1.0), ("US", 2000, "19-25", "f", 2.0),
+          ("US", 2000, "1.5", "m", 3.0), ("FR", 2001, null, "f", 4.0))
         .toDF("country", "year", "age_group", "sex", "v"),
       "v", VariableMeta(title = Some("Deaths"),
-        unit = Some("deaths (<<sex>>)"), origins = List("o1")))
+        unit = Some("deaths"), origins = List("o1")))
     val out = ReshapeOps.wideTableFanOut(df, Seq("country", "year"),
       Seq("age_group", "sex"), "v")
     val m1 = MetaOps.varMeta(out, "v__age_group_10-18__sex_m").get
     assert(m1.title.contains("Deaths - Age group: 10-18 - Sex: m")) // default composition
-    assert(m1.unit.contains("deaths (m)"))                          // template substitution
     assert(m1.origins == List("o1"))
     assert(m1.processing.last.operation == "expand_dims")
-    val m2 = MetaOps.varMeta(out, "v__age_group_19-25__sex_f").get
-    assert(m2.title.contains("Deaths - Age group: 19-25 - Sex: f"))
-    assert(m2.unit.contains("deaths (f)"))
+    val mDot = MetaOps.varMeta(out, "v__age_group_1.5__sex_m").get
+    assert(mDot.title.contains("Deaths - Age group: 1.5 - Sex: m"))
+    // null dim: skipped by concat_ws in the name, skipped in the title too
+    val mNull = MetaOps.varMeta(out, "v__age_group__sex_f").get
+    assert(mNull.title.contains("Deaths - Sex: f"), mNull.title)
+    // templated fields substitute per combo
+    val df2 = MetaOps.withVarMeta(
+      Seq(("US", "m", 1.0), ("US", "f", 2.0)).toDF("country", "sex", "v"),
+      "v", VariableMeta(title = Some("Deaths"), unit = Some("deaths (<<sex>>)")))
+    val out2 = ReshapeOps.wideTableFanOut(df2, Seq("country"), Seq("sex"), "v")
+    assert(MetaOps.varMeta(out2, "v__sex_m").get.unit.contains("deaths (m)"))
+    assert(MetaOps.varMeta(out2, "v__sex_f").get.unit.contains("deaths (f)"))
     // templated title: substitution replaces the default composition
     assert(ReshapeOps.expandDimensionMeta(
       VariableMeta(title = Some("Deaths of <<sex>>")), "x", Seq("sex" -> "m"))
@@ -133,6 +145,17 @@ class OpsSpec extends SparkSpec {
     val expectTrimmed = Set(s"v__grp_$longA", s"v__grp_$longB").map(ReshapeOps.trimLongName)
     assert(generated.filter(_.length == ReshapeOps.MaxNameLen).toSet == expectTrimmed)
     assert(ReshapeOps.trimLongName("short") == "short")
+    // twins agree on supplementary-plane characters too (Spark counts code
+    // points; a UTF-16-unit cut would slice a different prefix)
+    val astral = "😀" * 200 // 200 code points, 400 UTF-16 units
+    val exprOut = Seq(astral).toDF("n")
+      .select(ReshapeOps.trimLongNameExpr(col("n"))).collect()(0).getString(0)
+    assert(exprOut == astral) // 200 code points <= 255: untouched
+    assert(ReshapeOps.trimLongName(astral) == astral)
+    val astralLong = "😀" * 300
+    val exprLong = Seq(astralLong).toDF("n")
+      .select(ReshapeOps.trimLongNameExpr(col("n"))).collect()(0).getString(0)
+    assert(ReshapeOps.trimLongName(astralLong) == exprLong)
   }
 
   test("metadata: travels through ops, combines on arithmetic") {

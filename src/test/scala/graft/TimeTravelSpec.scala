@@ -89,6 +89,13 @@ class TimeTravelSpec extends SparkSpec {
       assert(table.changesBetween(pinned, versionAfter(3)).count() > 0) // unread suffix intact
       // a pin on a reclaimed version is an unsatisfiable promise → refuse
       intercept[IllegalArgumentException] { table.pin("too-late", -1L) }
+      // a crash-leftover writeAtomic temp file in _refs is NOT a pin:
+      // parsing it would crash vacuum (torn write) or mint a phantom pin
+      // no unpin() could ever release
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/t/_refs/ghost.tmp.abc123"), Array.emptyByteArray)
+      assert(table.pins == Map("lagging-consumer" -> pinned))
+      table.vacuum(keepVersions = 1, graceMs = 0L) // must not throw
       // release → the same retention now reclaims: read fails loudly
       table.unpin("lagging-consumer")
       assert(table.pins.isEmpty)

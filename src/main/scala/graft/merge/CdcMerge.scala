@@ -348,7 +348,7 @@ object CdcMerge {
     * of a task stalled a full hour between file creations (raise the grace
     * if that is plausible in your environment).
     */
-  private[merge] def sweepStaleStaging(table: LakeTable,
+  private[graft] def sweepStaleStaging(table: LakeTable,
                                        olderThanMs: Long = 3600000L): Unit = {
     val dir = table.root.resolve("_staging")
     if (!Files.exists(dir)) return

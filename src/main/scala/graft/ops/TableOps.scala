@@ -63,7 +63,7 @@ object TableOps {
     val m = typedLit(mapping)
     val mapped = element_at(m, col(column))
     val out = if (keepUnmapped) coalesce(mapped, col(column)) else mapped
-    df.withColumn(column, out)
+    MetaOps.relog(df, df.withColumn(column, out), column, "map_values")
   }
 
   /** Fill nulls of `column` in `df` from the same column of `other`
@@ -75,7 +75,7 @@ object TableOps {
       .withColumnsRenamed(columns.map(c => c -> s"__fill_$c").toMap)
     val joined = df.join(o, keys, "left")
     columns.foldLeft(joined) { (d, c) =>
-      d.withColumn(c, coalesce(col(c), col(s"__fill_$c")))
+      MetaOps.relog(df, d.withColumn(c, coalesce(col(c), col(s"__fill_$c"))), c, "fill_from")
     }.drop(columns.map(c => s"__fill_$c"): _*)
   }
 

@@ -101,14 +101,18 @@ object TimeOps {
   def ffill(df: DataFrame, entity: Seq[String], timeCol: String, valueCol: String): DataFrame = {
     val w = Window.partitionBy(entity.map(col): _*).orderBy(col(timeCol))
       .rowsBetween(Window.unboundedPreceding, 0)
-    df.withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
+    MetaOps.relog(df,
+      df.withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w)),
+      valueCol, "ffill")
   }
 
   /** Backward-fill per entity. */
   def bfill(df: DataFrame, entity: Seq[String], timeCol: String, valueCol: String): DataFrame = {
     val w = Window.partitionBy(entity.map(col): _*).orderBy(col(timeCol))
       .rowsBetween(0, Window.unboundedFollowing)
-    df.withColumn(valueCol, first(col(valueCol), ignoreNulls = true).over(w))
+    MetaOps.relog(df,
+      df.withColumn(valueCol, first(col(valueCol), ignoreNulls = true).over(w)),
+      valueCol, "bfill")
   }
 
   /** Per-entity linear interpolation over the time axis with
@@ -136,7 +140,7 @@ object TimeOps {
       .when(nextT === prevT, prevV)
       .otherwise(prevV + (nextV - prevV) *
         ((col(timeCol) - prevT).cast("double") / (nextT - prevT).cast("double")))
-    df.withColumn(valueCol, interp)
+    MetaOps.relog(df, df.withColumn(valueCol, interp), valueCol, "interpolate")
   }
 
   /** One row per time unit in [startCol, endCol] (owid-etl

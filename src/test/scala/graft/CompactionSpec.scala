@@ -14,6 +14,36 @@ import graft.stream.CdcStream
   */
 class CompactionSpec extends SparkSpec {
 
+  test("sweepStaleStaging: stale subtrees swept, subtrees with ANY recent write kept, live merges unaffected") {
+    val dir = tmpDir("sweep")
+    val cfg = WalGen.Config(numEvents = 500, numConvs = 10)
+    try {
+      val table = LakeTable.create(spark, s"$dir/t", Schemas.transcript, numBuckets = 2)
+      val staging = java.nio.file.Paths.get(s"$dir/t/_staging")
+      // abandoned attempt: top dir AND contents old → swept
+      val dead = staging.resolve("epoch-1-deadbeef")
+      java.nio.file.Files.createDirectories(dead.resolve("bucket=0"))
+      java.nio.file.Files.write(dead.resolve("bucket=0/part-0.parquet"), Array[Byte](1))
+      val old = java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 7200000L)
+      java.nio.file.Files.walk(dead).forEach(p => java.nio.file.Files.setLastModifiedTime(p, old))
+      // long-running writer: top dir old (mkdir at job start) but a file
+      // deep in the tree written moments ago → MUST survive (the bug the
+      // subtree-mtime rule fixes: judging by the top dir would sweep it)
+      val live = staging.resolve("epoch-2-12345678")
+      java.nio.file.Files.createDirectories(live.resolve("bucket=1"))
+      java.nio.file.Files.setLastModifiedTime(live, old)
+      java.nio.file.Files.write(live.resolve("bucket=1/part-0.parquet"), Array[Byte](1))
+      java.nio.file.Files.setLastModifiedTime(live.resolve("bucket=1"), old)
+      CdcMerge.sweepStaleStaging(table, olderThanMs = 3600000L)
+      assert(!java.nio.file.Files.exists(dead), "stale attempt should be swept")
+      assert(java.nio.file.Files.exists(live.resolve("bucket=1/part-0.parquet")),
+        "subtree with a recent write must not be swept mid-flight")
+      // a real merge (which sweeps on entry) still applies cleanly
+      CdcMerge.apply(table, WalGen.events(spark, cfg, 0, 500).toDF(), 0L)
+      oracleCheck(table, cfg)
+    } finally rmrf(dir)
+  }
+
   private def oracleCheck(table: LakeTable, cfg: WalGen.Config): Unit = {
     val oracle = WalGen.oracleState(cfg)
     val got = table.snapshot().select("conv_id", "turn_idx", "text").collect()

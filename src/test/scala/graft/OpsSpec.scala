@@ -254,4 +254,29 @@ class OpsSpec extends SparkSpec {
     assert(roots(addE.target) == Set("coal", "gas", "pop"))
     assert(mTotal.origins.toSet == Set("o_coal", "o_gas", "o_pop"))
   }
+
+  test("in-place rewrites preserve metadata and log the op: map_values, fill_from, ffill, interpolate") {
+    // withColumn REPLACES the field and drops schema metadata — these ops
+    // must re-attach it and record a typed entry
+    val df = MetaOps.withVarMeta(
+      Seq(("US", 1, Some(1.0)), ("US", 2, None), ("US", 3, Some(3.0)))
+        .toDF("country", "year", "v"),
+      "v", VariableMeta(title = Some("V"), unit = Some("u"), origins = List("o")))
+    val filled = graft.ops.TimeOps.ffill(df, Seq("country"), "year", "v")
+    val mF = MetaOps.varMeta(filled, "v").get
+    assert(mF.unit.contains("u") && mF.processing.last.operation == "ffill")
+    val interp = graft.ops.TimeOps.interpolate(df, Seq("country"), "year", "v")
+    assert(MetaOps.varMeta(interp, "v").get.processing.last.operation == "interpolate")
+    val dfS = MetaOps.withVarMeta(Seq(("usa", 1)).toDF("c", "x"),
+      "c", VariableMeta(title = Some("Country")))
+    val mapped = TableOps.mapValues(dfS, "c", Map("usa" -> "United States"))
+    val mM = MetaOps.varMeta(mapped, "c").get
+    assert(mM.title.contains("Country") && mM.processing.last.operation == "map_values")
+    val other = Seq(("US", 2, 2.5)).toDF("country", "year", "v")
+    val fromOther = TableOps.fillFrom(df, other, Seq("country", "year"), Seq("v"))
+    val mFF = MetaOps.varMeta(fromOther, "v").get
+    assert(mFF.unit.contains("u") && mFF.processing.last.operation == "fill_from")
+    // each entry chains: parent is the column's previous identity
+    assert(mFF.processing.last.parents == List("v"))
+  }
 }

@@ -40,6 +40,40 @@ class SoakSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("pinned lagging consumer under a steady stream: aggressive vacuum every batch never breaks its window; release reclaims") {
+    val dir = tmpDir("soakpin")
+    val cfg = WalGen.Config(numEvents = 16000, numConvs = 100)
+    try {
+      val table = LakeTable.create(spark, s"$dir/t", Schemas.transcript, numBuckets = 4)
+      // first batch, then pin a consumer at that early version
+      CdcMerge.apply(table, WalGen.events(spark, cfg, 0, 2000).toDF(), 0L)
+      val pinned = table.currentVersion
+      table.pin("lagging", pinned)
+      val pinnedSnapshotRows = table.snapshotAt(pinned).count()
+      // steady stream: 7 more batches, compaction + AGGRESSIVE vacuum after
+      // each — without the pin this retention reclaims every old delta
+      (1 to 7).foreach { b =>
+        CdcMerge.apply(table,
+          WalGen.events(spark, cfg, b * 2000L, (b + 1) * 2000L).toDF(), b.toLong)
+        if (b % 3 == 0) graft.merge.Compactor.compactIfNeeded(table, deltaThreshold = 2)
+        table.vacuum(keepVersions = 1, graceMs = 0L)
+        table.vacuumMetadata(keepVersions = 1)
+        // the pinned consumer's window stays fully readable at EVERY step
+        assert(table.snapshotAt(pinned).count() == pinnedSnapshotRows)
+        assert(table.changesBetween(pinned, table.currentVersion).count() > 0)
+      }
+      // final state matches the oracle (retention never touched live data)
+      val oracle = WalGen.oracleState(cfg)
+      assert(table.snapshot().count() == oracle.size)
+      // release → the same retention reclaims the pinned version
+      table.unpin("lagging")
+      table.vacuum(keepVersions = 1, graceMs = 0L)
+      table.vacuumMetadata(keepVersions = 1)
+      assert(scala.util.Try(table.snapshotAt(pinned).count()).isFailure)
+      assert(table.snapshot().count() == oracle.size)
+    } finally rmrf(dir)
+  }
+
   test("commit CAS rejects a stale writer") {
     val dir = tmpDir("cas")
     try {

@@ -21,11 +21,16 @@ final class Catalog(spark: SparkSession, root: String) {
   def entries: Seq[Entry] = {
     val r = Paths.get(root)
     if (!Files.isDirectory(r)) return Nil
+    // Files.list streams hold an open directory handle until closed — a
+    // walk over a large catalog tree must not rely on GC to release them
+    def ls(p: Path): Seq[Path] = {
+      val s = Files.list(p)
+      try s.iterator().asScala.toSeq finally s.close()
+    }
     def isTable(p: Path): Boolean =
       Files.isRegularFile(p) && p.toString.endsWith(".parquet") ||
         (Files.isDirectory(p) && (Files.exists(p.resolve("_current")) ||
-          Files.list(p).iterator().asScala.exists(c =>
-            Files.isRegularFile(c) && c.toString.endsWith(".parquet"))))
+          ls(p).exists(c => Files.isRegularFile(c) && c.toString.endsWith(".parquet"))))
     def name(p: Path): String = p.getFileName.toString.stripSuffix(".parquet")
     def walk(p: Path, parts: List[String]): Seq[Entry] = {
       if (isTable(p) && parts.nonEmpty) {
@@ -34,7 +39,7 @@ final class Catalog(spark: SparkSession, root: String) {
           if (parts.size >= 2) pad(parts.size - 2) else "",
           name(p), p.toString, Files.exists(p.resolve("_current"))))
       } else if (Files.isDirectory(p)) {
-        Files.list(p).iterator().asScala.toSeq.sortBy(_.toString)
+        ls(p).sortBy(_.toString)
           .filterNot(_.getFileName.toString.startsWith("_"))
           .flatMap(c => walk(c, name(c) :: parts))
       } else Nil

@@ -106,90 +106,19 @@ object SimilarityOps {
               k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 3,
               trainSample: Int = 4096, seed: Long = 42L,
               distributedIters: Int = 0): DataFrame = {
+    // Quantizer training (driver Lloyd on a bounded deterministic sample,
+    // corpus-wide refinement on cell under-coverage) and the tie-break
+    // contract live in IncrementalAnn — one trainer for the batch operator
+    // and the incrementally maintained index.
+    val index = IncrementalAnn.train(corpus, corpusVec, corpusId,
+      nlist, nprobe, iters, trainSample, seed, distributedIters)
+    // Batch phase: one assignment scan + one probe equi-join. Centroids
+    // enter the plan as constant array literals (typedLit); cosine stays
+    // the native codegen'd loop.
     val c = corpus.select(col(corpusId).as("corpus_id"), col(corpusVec).as("cv"))
-    // --- quantizer training: DRIVER-SIDE Lloyd on a deterministic sample.
-    // One Spark job total for training (the sample collect); at 10^10 rows
-    // the quantizer still trains on a bounded sample — the corpus-wide
-    // work stays exactly two scans (assignment + probe join).
-    val sample: Array[Array[Double]] = c
-      .withColumn("__r", xxhash64(col("corpus_id"), lit(seed)))
-      .orderBy("__r").limit(trainSample)
-      .select("cv").collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-    require(sample.length >= nlist, s"corpus smaller than nlist=$nlist")
-    val dims = sample(0).length
-    def cosineLocal(a: Array[Double], b: Array[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < dims) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
-    var centroids = Array.tabulate(nlist)(i => sample(i * (sample.length / nlist)))
-    for (_ <- 0 until iters) {
-      val sums = Array.fill(nlist, dims)(0.0)
-      val counts = new Array[Int](nlist)
-      sample.foreach { v =>
-        var best = 0; var bestSim = Double.MinValue
-        var j = 0
-        while (j < nlist) {
-          val s = cosineLocal(v, centroids(j)); if (s > bestSim) { bestSim = s; best = j }; j += 1
-        }
-        counts(best) += 1
-        var d = 0; while (d < dims) { sums(best)(d) += v(d); d += 1 }
-      }
-      centroids = centroids.indices.map(j =>
-        if (counts(j) == 0) centroids(j)
-        else sums(j).map(_ / counts(j))).toArray
-    }
-    // Tie-break contract: assignment and probing must prefer the SAME cell
-    // on equal cosine, or a corpus vector lands in a cell its identical
-    // query never probes first. Both sides prefer the SMALLEST cell index:
-    // nearestCell maximizes (sim, -cell); probeCells sorts (-sim, cell).
-    def mkNearestCell(ctrLits: Seq[Column])(vec: Column): Column =
-      -greatest(ctrLits.zipWithIndex.map { case (ctr, i) =>
-        struct(cosine(vec, ctr).as("sim"), lit(-i).as("negcell"))
-      }: _*).getField("negcell")
-    def mkProbeCells(ctrLits: Seq[Column])(vec: Column): Column =
-      slice(array_sort(array(ctrLits.zipWithIndex.map { case (ctr, i) =>
-        struct((-cosine(vec, ctr)).as("negsim"), lit(i).as("cell"))
-      }: _*)), 1, nprobe).getField("cell")
-    // --- distributed quantizer refinement: when the bounded driver sample
-    // under-covers the cells (some centroid attracted no sample points —
-    // common when nlist is large relative to trainSample or the corpus is
-    // heavily clustered), refine over the WHOLE corpus: assignment scan →
-    // per-(cell, dim) mean via posexplode — an aggregation collecting only
-    // nlist × dims doubles to the driver, never the vectors. Also runs for
-    // `distributedIters` explicit iterations.
-    val sampleCovers = {
-      val hit = new Array[Boolean](nlist)
-      sample.foreach { v =>
-        var best = 0; var bestSim = Double.MinValue; var j = 0
-        while (j < nlist) {
-          val s = cosineLocal(v, centroids(j)); if (s > bestSim) { bestSim = s; best = j }; j += 1
-        }
-        hit(best) = true
-      }
-      hit.forall(identity)
-    }
-    val refineIters = math.max(distributedIters, if (sampleCovers) 0 else 1)
-    for (_ <- 0 until refineIters) {
-      val ctrLits = centroids.map(ctr => typedLit(ctr.toSeq)).toSeq
-      val means = c.withColumn("cell", mkNearestCell(ctrLits)(col("cv")))
-        .select(col("cell"), posexplode(col("cv")).as(Seq("d", "x")))
-        .groupBy("cell", "d").agg(avg(col("x").cast("double")).as("m"))
-        .collect()
-      val next = centroids.map(_.clone())
-      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-      centroids = next
-    }
-    // --- distributed phase: one assignment scan + one probe equi-join.
-    // Centroids enter the plan as constant array literals (typedLit) — one
-    // literal node per centroid, cosine stays the native codegen'd loop.
-    val ctrLits = centroids.map(ctr => typedLit(ctr.toSeq)).toSeq
-    def nearestCell(vec: Column): Column = mkNearestCell(ctrLits)(vec)
-    def probeCells(vec: Column): Column = mkProbeCells(ctrLits)(vec)
-    val cellAssigned = c.withColumn("cell", nearestCell(col("cv")))
+    val cellAssigned = c.withColumn("cell", index.assignExpr(col("cv")))
     val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
-      .withColumn("cell", explode(probeCells(col("qv"))))
+      .withColumn("cell", explode(index.probeExpr(col("qv"))))
     val cand = q.join(cellAssigned, Seq("cell"))
       .filter(col("query_id") =!= col("corpus_id"))
       .dropDuplicates("query_id", "corpus_id")

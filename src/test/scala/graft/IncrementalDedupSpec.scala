@@ -79,6 +79,81 @@ class IncrementalDedupSpec extends SparkSpec {
     assert(pairState.contains(("a2", "a3")))
   }
 
+  test("end-to-end: the lake table's own changelog drives incremental dedup of the live corpus") {
+    import graft.lake.LakeTable
+    import graft.merge.CdcMerge
+    import graft.model.Schemas
+    val dir = tmpDir("cdcdedup")
+    try {
+      val table = LakeTable.create(spark, s"$dir/t", Schemas.transcript, numBuckets = 2)
+      val base = "assistant replies with a long explanation about spark partitioning and shuffle behavior"
+      def turn(conv: String, idx: Int, lsn: Long, text: String, op: String = "U") =
+        (conv, idx, "assistant", text, null.asInstanceOf[String],
+          new java.sql.Timestamp(1700000000000L + lsn), op, lsn)
+      def batchDf(rows: Seq[(String, Int, String, String, String, java.sql.Timestamp, String, Long)]) =
+        rows.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts", "op", "lsn")
+
+      var store = IncrementalDedup.emptyStore(spark)
+      var pairState = Set.empty[(String, String)]
+      var lastVersion = table.currentVersion
+
+      /** Consume (lastVersion, cur] from the table's OWN changelog: resolve
+        * latest-per-key inside the window, route deletes to remove() and
+        * upserts to refresh() — exactly a ChangelogFollower callback body.
+        */
+      def consume(): Unit = {
+        val cur = table.currentVersion
+        if (cur == lastVersion) return
+        val changes = table.changesBetween(lastVersion, cur)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("conv_id", "turn_idx").orderBy(col(Schemas.LSN_COL).desc)
+        val latest = changes.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+          .withColumn("key", concat_ws("#", col("conv_id"), col("turn_idx")))
+          .localCheckpoint(true)
+        val deleted = latest.filter(col(Schemas.DELETED_COL)).select("key")
+        val upserts = latest.filter(!col(Schemas.DELETED_COL)).select("key", "text")
+        store = IncrementalDedup.remove(store, deleted, "key")
+        val changedKeys = latest.select("key").collect().map(_.getString(0)).toSet
+        pairState = pairState.filterNot { case (a, b) =>
+          changedKeys.contains(a) || changedKeys.contains(b) }
+        if (upserts.head(1).nonEmpty) {
+          val (s2, pairs) = IncrementalDedup.refresh(store, upserts, "text", "key",
+            bands, rowsPerBand, minJ)
+          store = s2
+          pairState ++= pairs.select("key_a", "key_b").collect()
+            .map(r => (r.getString(0), r.getString(1)))
+        }
+        lastVersion = cur
+        // invariant: pair state == full recompute over the LIVE snapshot
+        val live = table.snapshot()
+          .withColumn("key", concat_ws("#", col("conv_id"), col("turn_idx")))
+          .select("key", "text").collect().map(r => r.getString(0) -> r.getString(1)).toMap
+        assert(store.count() == live.size)
+        assert(pairState == fullRecompute(live))
+      }
+
+      // batch 1: two near-dup turns across conversations + one unrelated
+      CdcMerge.apply(table, batchDf(Seq(
+        turn("c1", 0, 1, base + " alpha"),
+        turn("c2", 0, 2, base + " beta"),
+        turn("c3", 0, 3, "totally unrelated content about duckdb oracles"))), 0L)
+      consume()
+      assert(pairState.contains(("c1#0", "c2#0")))
+      // batch 2: update c2#0 away from the twin + add a new twin c4#0
+      CdcMerge.apply(table, batchDf(Seq(
+        turn("c2", 0, 10, "rewritten entirely different answer text now"),
+        turn("c4", 0, 11, base + " gamma"))), 1L)
+      consume()
+      assert(!pairState.exists { case (a, b) => a == "c2#0" || b == "c2#0" })
+      assert(pairState.contains(("c1#0", "c4#0")))
+      // batch 3: tombstone c1#0
+      CdcMerge.apply(table, batchDf(Seq(turn("c1", 0, 20, "", op = "D"))), 2L)
+      consume()
+      assert(!pairState.exists { case (a, b) => a == "c1#0" || b == "c1#0" })
+    } finally rmrf(dir)
+  }
+
   test("work per refresh is O(batch): only changed docs are shingled") {
     // 50 stable docs in the store; a 2-doc batch must emit its pairs
     // without recomputing stable signatures (verified by value: the

@@ -13,6 +13,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     // MERGE INTO <registered lake table> → CdcMerge (graft.sql.MergeSql)
     e.injectResolutionRule(session => graft.sql.GraftMergeRule(session))
+    // SELECT ... FROM <registered lake table> [VERSION AS OF v] →
+    // snapshot / snapshotAt (graft.sql.SelectSql)
+    e.injectResolutionRule(session => graft.sql.GraftSelectRule(session))
     e.injectFunction((
       new FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),

@@ -1,0 +1,65 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, MergeIntoTable}
+import org.apache.spark.sql.catalyst.rules.Rule
+import graft.lake.LakeTable
+
+/** SQL read surface for registered lake tables: `SELECT ... FROM <name>`
+  * resolves to the table's live snapshot, and Spark's native time-travel
+  * syntax `SELECT ... FROM <name> VERSION AS OF <v>` resolves to
+  * `snapshotAt(v)` — the parser already produces [[RelationTimeTravel]];
+  * this rule gives it lake semantics (Iceberg-style reads, no connector
+  * needed: parser reuse + resolution rule, the same route as the MERGE
+  * surface).
+  *
+  * Resolution substitutes the snapshot's ANALYZED plan, so everything
+  * downstream (predicate pushdown into the parquet scans, per-bucket MOR
+  * resolve, column pruning) is ordinary Catalyst on ordinary operators.
+  *
+  * A `MERGE INTO <name> ...` statement's TARGET relation is deliberately
+  * left unresolved — [[GraftMergeRule]] owns that node (rewriting it to a
+  * scan would break the write path). A lake table that appears both as
+  * the MERGE target and inside the source subquery in the SAME statement
+  * is therefore not readable from the source side; split the statement.
+  *
+  * `TIMESTAMP AS OF` is rejected loudly: manifest versions are the lake's
+  * time axis; mapping wall-clock to versions would silently pick a commit
+  * the user didn't mean.
+  */
+case class GraftSelectRule(session: SparkSession) extends Rule[LogicalPlan] {
+
+  private def nameOf(u: UnresolvedRelation): String =
+    u.multipartIdentifier.mkString(".")
+
+  private def snapshotPlan(dir: String, version: Option[Long]): LogicalPlan = {
+    val table = LakeTable.load(session, dir)
+    val df = version match {
+      case Some(v) => table.snapshotAt(v)
+      case None => table.snapshot()
+    }
+    df.queryExecution.analyzed
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // the MERGE rule owns MergeIntoTable targets — skip them (structural
+    // equality; see scaladoc for the self-referential MERGE corner)
+    val mergeTargets: Set[LogicalPlan] =
+      plan.collect { case m: MergeIntoTable => m.targetTable }.toSet
+    plan.resolveOperatorsUp {
+      case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver)
+          if LakeCatalog.lookup(nameOf(u)).isDefined =>
+        if (ts.nonEmpty) throw new IllegalArgumentException(
+          s"lake table '${nameOf(u)}': TIMESTAMP AS OF is not supported — " +
+          "manifest versions are the time axis; use VERSION AS OF <version>")
+        val v = ver.get.toLongOption.getOrElse(throw new IllegalArgumentException(
+          s"lake table '${nameOf(u)}': VERSION AS OF expects a numeric manifest " +
+          s"version (got '${ver.get}')"))
+        snapshotPlan(LakeCatalog.lookup(nameOf(u)).get, Some(v))
+      case u: UnresolvedRelation
+          if !mergeTargets.contains(u) && LakeCatalog.lookup(nameOf(u)).isDefined =>
+        snapshotPlan(LakeCatalog.lookup(nameOf(u)).get, None)
+    }
+  }
+}

@@ -154,6 +154,54 @@ class IncrementalDedupSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("property: any random upsert/delete stream converges to the full recompute") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // a small doc universe with heavy near-dup structure: texts drawn from
+    // 3 templates + a distinguishing token, keys reused across batches so
+    // updates and resurrections occur naturally
+    val templates = Vector(
+      "alpha body text shared across many documents in this cluster today",
+      "beta completely different sentence family for the second cluster",
+      "gamma third cluster of text with its own vocabulary and rhythm")
+    val docGen = for {
+      key <- Gen.chooseNum(0, 14).map(i => s"k$i")
+      t <- Gen.chooseNum(0, templates.size - 1)
+      tag <- Gen.chooseNum(0, 9)
+    } yield (key, s"${templates(t)} tag$tag")
+    val batchGen = for {
+      ups <- Gen.chooseNum(0, 6).flatMap(n => Gen.listOfN(n, docGen))
+      dels <- Gen.chooseNum(0, 2).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(0, 14).map(i => s"k$i")))
+    } yield (ups.groupBy(_._1).map(_._2.head).toSeq, dels.distinct) // one upsert per key
+
+    (0 until 6).foreach { caseId =>
+      val stream = Gen.listOfN(4, batchGen)
+        .pureApply(Gen.Parameters.default, Seed(1000L + caseId))
+      var corpus = Map.empty[String, String]
+      var store = IncrementalDedup.emptyStore(spark)
+      var pairState = Set.empty[(String, String)]
+      stream.foreach { case (ups, dels) =>
+        val upserts = ups.filterNot { case (k, _) => dels.contains(k) }
+        corpus = corpus -- dels ++ upserts
+        store = IncrementalDedup.remove(store, dels.toDF("doc_id"), "doc_id")
+        val changed = upserts.map(_._1).toSet ++ dels
+        pairState = pairState.filterNot { case (a, b) =>
+          changed.contains(a) || changed.contains(b) }
+        if (upserts.nonEmpty) {
+          val (s2, pairs) = IncrementalDedup.refresh(store,
+            upserts.toDF("doc_id", "text"), "text", "doc_id", bands, rowsPerBand, minJ)
+          store = s2
+          pairState ++= pairs.select("key_a", "key_b").collect()
+            .map(r => (r.getString(0), r.getString(1)))
+        }
+        assert(store.count() == corpus.size, s"case $caseId: store size drift")
+        assert(pairState == fullRecompute(corpus),
+          s"case $caseId diverged; corpus=${corpus.keys.toSeq.sorted}")
+      }
+    }
+  }
+
   test("work per refresh is O(batch): only changed docs are shingled") {
     // 50 stable docs in the store; a 2-doc batch must emit its pairs
     // without recomputing stable signatures (verified by value: the

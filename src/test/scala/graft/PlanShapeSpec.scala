@@ -87,4 +87,36 @@ class PlanShapeSpec extends SparkSpec {
         s"$name plans a BroadcastNestedLoopJoin:\n${plan.take(2000)}")
     }
   }
+
+  test("incremental dedup refresh re-shingles only the batch: store side reads checkpointed signatures") {
+    import spark.implicits._
+    val docs = (0 until 200).map(i => (s"d$i", s"document number $i sharing lots of words with neighbors"))
+    val (store, _) = graft.ops.IncrementalDedup.refresh(
+      graft.ops.IncrementalDedup.emptyStore(spark), docs.toDF("doc_id", "text"),
+      "text", "doc_id")
+    val batch = Seq(("n1", "a brand new arrival"), ("n2", "a brand new arrival"))
+    val (_, pairs) = graft.ops.IncrementalDedup.refresh(
+      store, batch.toDF("doc_id", "text"), "text", "doc_id")
+    val plan = pairs.queryExecution.executedPlan.toString
+    // the stored side enters as checkpointed rows (ExistingRDD/LocalTableScan
+    // family), NOT as a re-computation of the text pipeline; the signature
+    // expression appears only for the 2-doc batch side
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      s"store side is not a checkpoint scan:\n${plan.take(2000)}")
+    val shingleOps = "minhash_signature|regexp_extract_all|sentences\\(".r
+      .findAllIn(plan).size
+    // one signature pipeline (the batch side of the candidate join may be
+    // referenced from a reused exchange/subplan, so allow plan-node reuse,
+    // but a store-side recompute would roughly double the count vs the
+    // batch-only baseline)
+    val batchOnlyPlan = graft.ops.IncrementalDedup.signatureOf(
+      batch.toDF("doc_id", "text"), "text", "doc_id", 8, 4)
+      .queryExecution.executedPlan.toString
+    val baseline = "minhash_signature|regexp_extract_all|sentences\\(".r
+      .findAllIn(batchOnlyPlan).size
+    assert(shingleOps <= baseline * 2,
+      s"refresh plan computes signatures $shingleOps times (batch-only baseline $baseline):\n${plan.take(3000)}")
+    // and no quadratic leg, same contract as the batch operators
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
 }

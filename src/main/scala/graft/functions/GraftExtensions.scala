@@ -16,6 +16,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // SELECT ... FROM <registered lake table> [VERSION AS OF v] →
     // snapshot / snapshotAt (graft.sql.SelectSql)
     e.injectResolutionRule(session => graft.sql.GraftSelectRule(session))
+    // OPTIMIZE / VACUUM maintenance statements (graft.sql.MaintenanceSql)
+    e.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
     e.injectFunction((
       new FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),

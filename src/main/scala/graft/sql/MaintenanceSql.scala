@@ -1,0 +1,112 @@
+package graft.sql
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StructType}
+import graft.lake.LakeTable
+import graft.merge.Compactor
+
+/** Maintenance SQL for lake tables — the third leg of the SQL surface
+  * (reads: [[GraftSelectRule]]; writes: [[GraftMergeRule]]; maintenance:
+  * here). Spark's grammar has no OPTIMIZE/VACUUM statement to reuse, so
+  * this is the documented route for custom statements: a DELEGATING
+  * parser injected via `injectParser` that recognizes exactly our two
+  * statements and hands everything else to Spark's own parser untouched
+  * (the same pattern Delta Lake uses for its DDL).
+  *
+  *   OPTIMIZE <name>
+  *     → fold every delta-bearing bucket back into per-key-resolved base
+  *       files ([[Compactor.compact]]); returns (buckets_compacted, wall_ms).
+  *   VACUUM <name> [RETAIN <n> VERSIONS]
+  *     → reclaim data files unreferenced by the last n (default 2)
+  *       manifests, honoring consumer pins; then bound the metadata
+  *       horizon to the same window; returns (files_removed,
+  *       manifests_removed, segments_removed).
+  *
+  * Statement recognition is on the FIRST KEYWORD ONLY (cheap, no
+  * grammar); a malformed tail fails loudly with the expected shape
+  * rather than falling through to Spark and producing a confusing
+  * parse error against the wrong grammar.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  private val optimizeRe =
+    """(?is)\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_.]*)\s*;?\s*""".r
+  private val vacuumRe =
+    """(?is)\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_.]*)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+  private def firstWord(sql: String): String =
+    sql.trim.takeWhile(!_.isWhitespace).toUpperCase
+
+  override def parsePlan(sqlText: String): LogicalPlan = firstWord(sqlText) match {
+    case "OPTIMIZE" => sqlText match {
+      case optimizeRe(name) if LakeCatalog.lookup(name).isDefined =>
+        GraftOptimizeCommand(LakeCatalog.lookup(name).get)
+      case optimizeRe(name) =>
+        throw new IllegalArgumentException(s"OPTIMIZE: '$name' is not a registered lake table")
+      case _ =>
+        throw new IllegalArgumentException("expected: OPTIMIZE <lake table name>")
+    }
+    case "VACUUM" => sqlText match {
+      case vacuumRe(name, retain) if LakeCatalog.lookup(name).isDefined =>
+        GraftVacuumCommand(LakeCatalog.lookup(name).get,
+          Option(retain).map(_.toInt).getOrElse(2))
+      case vacuumRe(name, _) =>
+        throw new IllegalArgumentException(s"VACUUM: '$name' is not a registered lake table")
+      case _ =>
+        throw new IllegalArgumentException(
+          "expected: VACUUM <lake table name> [RETAIN <n> VERSIONS]")
+    }
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  // everything else delegates verbatim
+  override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType = delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType = delegate.parseDataType(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType = delegate.parseRoutineParam(sqlText)
+}
+
+/** OPTIMIZE: compact every delta-bearing bucket. */
+case class GraftOptimizeCommand(tableDir: String) extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("buckets_compacted", IntegerType, nullable = false)(),
+    AttributeReference("wall_ms", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val table = LakeTable.load(session, tableDir)
+    Compactor.compactIfNeeded(table, deltaThreshold = 1) match {
+      case Some(r) => Seq(Row(r.compactedBuckets.size, r.wallMs))
+      case None => Seq(Row(0, 0L))
+    }
+  }
+}
+
+/** VACUUM ... RETAIN n VERSIONS: data + metadata reclamation in one
+  * statement, pin-aware via the LakeTable implementations.
+  */
+case class GraftVacuumCommand(tableDir: String, retainVersions: Int)
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("files_removed", IntegerType, nullable = false)(),
+    AttributeReference("manifests_removed", IntegerType, nullable = false)(),
+    AttributeReference("segments_removed", IntegerType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    require(retainVersions >= 1, s"RETAIN must be >= 1 (got $retainVersions)")
+    val table = LakeTable.load(session, tableDir)
+    val files = table.vacuum(keepVersions = retainVersions)
+    val (manifests, segs) = table.vacuumMetadata(keepVersions = retainVersions)
+    Seq(Row(files, manifests, segs))
+  }
+}

@@ -163,4 +163,56 @@ class MergeSqlSpec extends SparkSpec {
       rmrf(dir)
     }
   }
+
+  test("OPTIMIZE and VACUUM maintenance statements; ordinary SQL still parses through the delegate") {
+    val dir = tmpDir("maintsql")
+    spark.sparkContext
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      val cfg = WalGen.Config(numEvents = 3000, numConvs = 30)
+      val table = LakeTable.create(s2, s"$dir/t", Schemas.transcript, numBuckets = 2)
+      LakeCatalog.register("lake_maint", s"$dir/t")
+      (0 until 3).foreach { b =>
+        graft.merge.CdcMerge.apply(table,
+          WalGen.events(s2, cfg, b * 1000L, (b + 1) * 1000L).toDF(), b.toLong)
+      }
+      val rowsBefore = table.snapshot().count()
+      assert(table.manifest.files.exists(_.kind == graft.lake.FileEntry.DELTA))
+
+      // OPTIMIZE folds deltas into bases
+      val opt = s2.sql("OPTIMIZE lake_maint").collect()(0)
+      assert(opt.getInt(0) > 0, "no buckets compacted")
+      assert(table.manifest.files.forall(_.kind == graft.lake.FileEntry.BASE))
+      assert(table.snapshot().count() == rowsBefore)
+
+      // VACUUM RETAIN 1 VERSIONS reclaims superseded files + old manifests
+      // (age the files past the command's production mtime grace window)
+      val old = java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3600000L)
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/t/data"))
+        .forEach(p => java.nio.file.Files.setLastModifiedTime(p, old))
+      val vac = s2.sql("VACUUM lake_maint RETAIN 1 VERSIONS").collect()(0)
+      assert(vac.getInt(0) > 0, "no data files reclaimed")
+      assert(vac.getInt(1) > 0, "no manifests reclaimed")
+      assert(table.snapshot().count() == rowsBefore)
+
+      // unregistered name and malformed tails fail loudly
+      assert(intercept[Exception](s2.sql("OPTIMIZE nope").collect())
+        .getMessage.contains("not a registered lake table"))
+      assert(intercept[Exception](s2.sql("VACUUM lake_maint RETAIN VERSIONS").collect())
+        .getMessage.contains("expected: VACUUM"))
+      // everything else still parses through Spark's own grammar
+      assert(s2.sql("SELECT 1 + 1 AS two").collect()(0).getInt(0) == 2)
+      assert(s2.sql("SELECT count(*) FROM lake_maint").collect()(0).getLong(0) == rowsBefore)
+    } finally {
+      LakeCatalog.unregister("lake_maint")
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+      rmrf(dir)
+    }
+  }
 }

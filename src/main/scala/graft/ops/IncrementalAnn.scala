@@ -37,7 +37,8 @@ object IncrementalAnn {
 
     /** Nearest cell id for a vector column. */
     def assignExpr(vec: Column): Column =
-      -greatest(ctrLits.zipWithIndex.map { case (ctr, i) =>
+      if (nlist == 1) lit(0) // greatest() needs >= 2 args; one cell is trivial
+      else -greatest(ctrLits.zipWithIndex.map { case (ctr, i) =>
         struct(cosine(vec, ctr).as("sim"), lit(-i).as("negcell"))
       }: _*).getField("negcell")
 
@@ -129,6 +130,13 @@ object IncrementalAnn {
     val fresh = changed.select(col(idCol).cast("string").as("id"), col(vecCol).as("vec"))
       .withColumn("cell", index.assignExpr(col("vec")))
       .select("id", "cell", "vec")
+      .localCheckpoint(true)
+    // same contract as IncrementalDedup: one row per id or the carry
+    // anti-join + union silently leaves duplicate store rows forever
+    val dup = fresh.groupBy("id").count().filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"IncrementalAnn.refresh: change batch has multiple rows for id " +
+      s"'${if (dup.isEmpty) "" else dup(0).get(0)}' — resolve latest-per-key first")
     val carried = store.join(fresh.select("id"), Seq("id"), "left_anti")
     carried.unionByName(fresh).localCheckpoint(true)
   }

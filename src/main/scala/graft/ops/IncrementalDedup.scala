@@ -34,21 +34,33 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalDedup {
 
-  /** Empty signature store (schema: key string, sig array<bigint>). */
+  /** Empty signature store (schema: key string, sig array<bigint>,
+    * bands array<struct<band int, bucket int>>). The banded bucket ids
+    * are PRECOMPUTED at signature time: carried rows' buckets never
+    * change, so a refresh must not re-slice and re-hash the whole store
+    * to rebuild them (that would put O(corpus · bands) hashing on every
+    * small batch).
+    */
   def emptyStore(spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import org.apache.spark.sql.types._
+    val bandT = ArrayType(StructType(Seq(
+      StructField("band", IntegerType), StructField("bucket", IntegerType))))
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      StructType(Seq(StructField("key", StringType), StructField("sig", ArrayType(LongType)))))
+      StructType(Seq(StructField("key", StringType), StructField("sig", ArrayType(LongType)),
+        StructField("bands", bandT))))
   }
 
-  /** Signatures of `df`'s documents: (key, sig) with k = bands·rowsPerBand
-    * components (same permutation family as the batch operator, so batch
-    * and incremental results are bit-comparable).
+  /** Signatures of `df`'s documents: (key, sig, bands) with
+    * k = bands·rowsPerBand components (same permutation family as the
+    * batch operator, so batch and incremental results are bit-comparable).
     */
   def signatureOf(df: DataFrame, textCol: String, keyCol: String,
                   bands: Int, rowsPerBand: Int, shingleN: Int = 3): DataFrame =
     df.select(col(keyCol).cast("string").as("key"),
-      DedupOps.minhashSignature(col(textCol), bands * rowsPerBand, shingleN).as("sig"))
+        DedupOps.minhashSignature(col(textCol), bands * rowsPerBand, shingleN).as("sig"))
+      .withColumn("bands", transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.cast("int").as("band"),
+          hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket"))))
 
   /** MinHash estimate of Jaccard: fraction of matching signature
     * components. Unbiased; stderr ≈ 1/sqrt(k).
@@ -57,11 +69,11 @@ object IncrementalDedup {
     aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
       lit(0), (acc, m) => acc + m).cast("double") / lit(k.toDouble)
 
-  private def banded(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame =
-    sigs.select(col("key"), col("sig"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket")))).as("bb"))
+  /** Explode the PRECOMPUTED banded buckets — no hashing here; carried
+    * rows re-enter the candidate join from stored (band, bucket) ids.
+    */
+  private def banded(sigs: DataFrame): DataFrame =
+    sigs.select(col("key"), col("sig"), explode(col("bands")).as("bb"))
       .select(col("key"), col("sig"), col("bb.band"), col("bb.bucket"))
 
   /** One refresh. `store` is the previous signature view; `changedDocs`
@@ -85,13 +97,14 @@ object IncrementalDedup {
     // compute it once
     val newSigs = signatureOf(changedDocs, textCol, keyCol, bands, rowsPerBand, shingleN)
       .localCheckpoint(true)
+    requireUniqueKeys(newSigs, "IncrementalDedup.refresh")
     val carried = store.join(newSigs.select("key"), Seq("key"), "left_anti")
     val updated = carried.unionByName(newSigs).localCheckpoint(true)
     // probe NEW against ALL (carried + new): every pair with a changed
     // member sharing any band bucket, deduped, similarity from signatures
-    val l = banded(newSigs, bands, rowsPerBand)
+    val l = banded(newSigs)
       .select(col("band"), col("bucket"), col("key").as("key_l"), col("sig").as("sig_l"))
-    val r = banded(updated, bands, rowsPerBand)
+    val r = banded(updated)
       .select(col("band"), col("bucket"), col("key").as("key_r"), col("sig").as("sig_r"))
     val pairs = l.join(r, Seq("band", "bucket"))
       .filter(col("key_l") =!= col("key_r"))
@@ -104,9 +117,27 @@ object IncrementalDedup {
   }
 
   /** Remove deleted documents from the store (tombstones in the change
-    * feed): their pairs die with them on the consumer side.
+    * feed): their pairs die with them on the consumer side. Checkpointed
+    * like [[refresh]]'s output — a tombstone-heavy stream calling remove
+    * repeatedly with no intervening refresh must not grow the plan one
+    * anti-join per batch.
     */
   def remove(store: DataFrame, deletedKeys: DataFrame, keyCol: String): DataFrame =
     store.join(deletedKeys.select(col(keyCol).cast("string").as("key")),
       Seq("key"), "left_anti")
+      .localCheckpoint(true)
+
+  /** A change batch must carry ONE row per key (latest wins upstream — a
+    * raw CDC batch with several LSNs per key has not been resolved yet).
+    * Silently accepting duplicates would permanently corrupt the store:
+    * the carry anti-join drops the key's old row but the union inserts
+    * every duplicate, so store size drifts and pair emission
+    * double-counts. One aggregation over O(batch) rows; fails loudly.
+    */
+  private[ops] def requireUniqueKeys(batch: DataFrame, who: String): Unit = {
+    val dup = batch.groupBy("key").count().filter(col("count") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"$who: change batch has multiple rows for key '${if (dup.isEmpty) "" else dup(0).get(0)}' — " +
+      "resolve latest-per-key (e.g. max-LSN window) before refreshing the store")
+  }
 }

@@ -38,29 +38,53 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_.]*)\s*;?\s*""".r
   private val vacuumRe =
     """(?is)\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_.]*)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
-  private def firstWord(sql: String): String =
-    sql.trim.takeWhile(!_.isWhitespace).toUpperCase
 
-  override def parsePlan(sqlText: String): LogicalPlan = firstWord(sqlText) match {
-    case "OPTIMIZE" => sqlText match {
-      case optimizeRe(name) if LakeCatalog.lookup(name).isDefined =>
-        GraftOptimizeCommand(LakeCatalog.lookup(name).get)
-      case optimizeRe(name) =>
-        throw new IllegalArgumentException(s"OPTIMIZE: '$name' is not a registered lake table")
-      case _ =>
-        throw new IllegalArgumentException("expected: OPTIMIZE <lake table name>")
+  /** First keyword AFTER leading whitespace and comments — a scheduler's
+    * "-- nightly\nOPTIMIZE t" must reach the recognizer, not fall through
+    * to Spark's grammar and die with a confusing parse error there.
+    */
+  private def stripLeading(sql: String): String = {
+    var s = sql
+    var changed = true
+    while (changed) {
+      val before = s
+      s = s.dropWhile(_.isWhitespace)
+      if (s.startsWith("--")) s = s.dropWhile(_ != '\n')
+      else if (s.startsWith("/*")) {
+        val end = s.indexOf("*/")
+        s = if (end >= 0) s.substring(end + 2) else ""
+      }
+      changed = s != before
     }
-    case "VACUUM" => sqlText match {
-      case vacuumRe(name, retain) if LakeCatalog.lookup(name).isDefined =>
-        GraftVacuumCommand(LakeCatalog.lookup(name).get,
-          Option(retain).map(_.toInt).getOrElse(2))
-      case vacuumRe(name, _) =>
-        throw new IllegalArgumentException(s"VACUUM: '$name' is not a registered lake table")
-      case _ =>
-        throw new IllegalArgumentException(
-          "expected: VACUUM <lake table name> [RETAIN <n> VERSIONS]")
+    s
+  }
+
+  override def parsePlan(sqlText: String): LogicalPlan = {
+    val body = stripLeading(sqlText)
+    def firstWord = body.takeWhile(!_.isWhitespace).toUpperCase
+    firstWord match {
+      case "OPTIMIZE" => body match {
+        case optimizeRe(name) => LakeCatalog.lookup(name) match {
+          case Some(dir) => GraftOptimizeCommand(dir)
+          case None => throw new IllegalArgumentException(
+            s"OPTIMIZE: '$name' is not a registered lake table")
+        }
+        case _ =>
+          throw new IllegalArgumentException("expected: OPTIMIZE <lake table name>")
+      }
+      case "VACUUM" => body match {
+        case vacuumRe(name, retain) => LakeCatalog.lookup(name) match {
+          case Some(dir) =>
+            GraftVacuumCommand(dir, Option(retain).map(_.toInt).getOrElse(2))
+          case None => throw new IllegalArgumentException(
+            s"VACUUM: '$name' is not a registered lake table")
+        }
+        case _ =>
+          throw new IllegalArgumentException(
+            "expected: VACUUM <lake table name> [RETAIN <n> VERSIONS]")
+      }
+      case _ => delegate.parsePlan(sqlText)
     }
-    case _ => delegate.parsePlan(sqlText)
   }
 
   // everything else delegates verbatim

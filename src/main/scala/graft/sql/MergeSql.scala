@@ -111,10 +111,21 @@ case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
+  /** `MERGE INTO t AS x` parses as SubqueryAlias(x, UnresolvedRelation(t))
+    * — the alias changes how the ON condition NAMES columns (name-based
+    * validation is unaffected), not which table is merged into.
+    */
+  private def targetRelation(p: LogicalPlan): Option[UnresolvedRelation] = p match {
+    case org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(_, child) =>
+      targetRelation(child)
+    case u: UnresolvedRelation => Some(u)
+    case _ => None
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
     case m: MergeIntoTable =>
-      m.targetTable match {
-        case u: UnresolvedRelation if m.sourceTable.resolved &&
+      targetRelation(m.targetTable) match {
+        case Some(u) if m.sourceTable.resolved &&
             LakeCatalog.lookup(u.multipartIdentifier.mkString(".")).isDefined =>
           val name = u.multipartIdentifier.mkString(".")
           validate(m, name)

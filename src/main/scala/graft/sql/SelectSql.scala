@@ -2,7 +2,7 @@ package graft.sql
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedRelation}
-import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, MergeIntoTable}
+import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement, LogicalPlan, MergeIntoTable, SubqueryAlias}
 import org.apache.spark.sql.catalyst.rules.Rule
 import graft.lake.LakeTable
 
@@ -42,11 +42,25 @@ case class GraftSelectRule(session: SparkSession) extends Rule[LogicalPlan] {
     df.queryExecution.analyzed
   }
 
+  /** The bare relation under any alias wrappers — a MERGE target parsed
+    * from `MERGE INTO t AS x` arrives as SubqueryAlias(x, Unresolved(t)),
+    * and the traversal below visits the INNER node, so the guard must
+    * match what the traversal sees.
+    */
+  private def stripAliases(p: LogicalPlan): LogicalPlan = p match {
+    case SubqueryAlias(_, child) => stripAliases(child)
+    case other => other
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    // the MERGE rule owns MergeIntoTable targets — skip them (structural
-    // equality; see scaladoc for the self-referential MERGE corner)
-    val mergeTargets: Set[LogicalPlan] =
-      plan.collect { case m: MergeIntoTable => m.targetTable }.toSet
+    // DML statements own their target relation — the MERGE rule rewrites
+    // its target, and INSERT INTO a lake table must fail Spark's own way,
+    // not silently become a read of the snapshot. Skip those nodes
+    // (structural equality; see scaladoc for the self-referential corner).
+    val dmlTargets: Set[LogicalPlan] = plan.collect {
+      case m: MergeIntoTable => stripAliases(m.targetTable)
+      case i: InsertIntoStatement => stripAliases(i.table)
+    }.toSet
     plan.resolveOperatorsUp {
       case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver)
           if LakeCatalog.lookup(nameOf(u)).isDefined =>
@@ -58,7 +72,7 @@ case class GraftSelectRule(session: SparkSession) extends Rule[LogicalPlan] {
           s"version (got '${ver.get}')"))
         snapshotPlan(LakeCatalog.lookup(nameOf(u)).get, Some(v))
       case u: UnresolvedRelation
-          if !mergeTargets.contains(u) && LakeCatalog.lookup(nameOf(u)).isDefined =>
+          if !dmlTargets.contains(u) && LakeCatalog.lookup(nameOf(u)).isDefined =>
         snapshotPlan(LakeCatalog.lookup(nameOf(u)).get, None)
     }
   }

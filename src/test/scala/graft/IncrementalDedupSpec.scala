@@ -202,6 +202,21 @@ class IncrementalDedupSpec extends SparkSpec {
     }
   }
 
+  test("a change batch with several rows per key is refused loudly, not silently deduplicated into store corruption") {
+    val dup = Seq(("k1", "first version of the text"), ("k1", "second version of the text"))
+    val e = intercept[IllegalArgumentException](
+      IncrementalDedup.refresh(IncrementalDedup.emptyStore(spark),
+        dup.toDF("doc_id", "text"), "text", "doc_id"))
+    assert(e.getMessage.contains("latest-per-key"), e.getMessage)
+    val vecDup = Seq(("v1", Seq.fill(8)(1.0f)), ("v1", Seq.fill(8)(0.5f)))
+      .toDF("doc_id", "emb").select(col("doc_id"), col("emb").cast("array<float>").as("emb"))
+    val idx = graft.ops.IncrementalAnn.IvfIndex(Array(Array.fill(8)(1.0)), nprobe = 1)
+    val e2 = intercept[IllegalArgumentException](
+      graft.ops.IncrementalAnn.refresh(idx,
+        graft.ops.IncrementalAnn.emptyStore(spark), vecDup, "emb", "doc_id"))
+    assert(e2.getMessage.contains("latest-per-key"), e2.getMessage)
+  }
+
   test("work per refresh is O(batch): only changed docs are shingled") {
     // 50 stable docs in the store; a 2-doc batch must emit its pairs
     // without recomputing stable signatures (verified by value: the

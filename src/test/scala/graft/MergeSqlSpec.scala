@@ -208,6 +208,25 @@ class MergeSqlSpec extends SparkSpec {
       // everything else still parses through Spark's own grammar
       assert(s2.sql("SELECT 1 + 1 AS two").collect()(0).getInt(0) == 2)
       assert(s2.sql("SELECT count(*) FROM lake_maint").collect()(0).getLong(0) == rowsBefore)
+      // leading comments must not hide the statement from the recognizer
+      val commented = s2.sql("-- nightly maintenance\n/* run by scheduler */\nOPTIMIZE lake_maint")
+        .collect()(0)
+      assert(commented.schema.fieldNames.contains("buckets_compacted"))
+      // an ALIASED merge target still resolves as MERGE (loud shape
+      // validation), not as a snapshot scan slipped under the select rule
+      WalGen.events(s2, cfg, 0, 50).toDF().createOrReplaceTempView("chg2")
+      val aliased = intercept[Exception](s2.sql(
+        """MERGE INTO lake_maint AS t USING chg2
+          |ON t.conv_id = chg2.conv_id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect())
+      assert(aliased.getMessage.contains("key columns"), aliased.getMessage)
+      val aliasedOk = s2.sql(
+        """MERGE INTO lake_maint AS t USING chg2
+          |ON t.conv_id = chg2.conv_id AND t.turn_idx = chg2.turn_idx
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()(0)
+      assert(aliasedOk.schema.fieldNames.contains("applied"))
     } finally {
       LakeCatalog.unregister("lake_maint")
       SparkSession.setActiveSession(spark)

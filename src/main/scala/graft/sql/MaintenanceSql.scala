@@ -101,7 +101,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parseRoutineParam(sqlText: String): StructType = delegate.parseRoutineParam(sqlText)
 }
 
-/** OPTIMIZE: compact every delta-bearing bucket. */
+/** OPTIMIZE: compact every delta-bearing bucket. Uses the
+  * OPTIMISTIC-CONCURRENCY compactor, not the single-committer one — a
+  * maintenance statement is exactly the thing run while the streaming
+  * writer is live, and a concurrent micro-batch commit must rebase (or
+  * abandon this pass cleanly), never throw a CAS failure at the user.
+  */
 case class GraftOptimizeCommand(tableDir: String) extends LeafRunnableCommand {
   override def output: Seq[Attribute] = Seq(
     AttributeReference("buckets_compacted", IntegerType, nullable = false)(),
@@ -109,9 +114,11 @@ case class GraftOptimizeCommand(tableDir: String) extends LeafRunnableCommand {
 
   override def run(session: SparkSession): Seq[Row] = {
     val table = LakeTable.load(session, tableDir)
-    Compactor.compactIfNeeded(table, deltaThreshold = 1) match {
+    val due = Compactor.dueBuckets(table, deltaThreshold = 1)
+    if (due.isEmpty) return Seq(Row(0, 0L))
+    Compactor.compactConcurrent(table, due.toSet) match {
       case Some(r) => Seq(Row(r.compactedBuckets.size, r.wallMs))
-      case None => Seq(Row(0, 0L))
+      case None => Seq(Row(0, 0L)) // abandoned: a concurrent rewrite superseded this pass
     }
   }
 }

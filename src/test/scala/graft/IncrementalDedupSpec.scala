@@ -202,6 +202,50 @@ class IncrementalDedupSpec extends SparkSpec {
     }
   }
 
+  test("DedupMaintenance follows the live table: pairs land in the versioned log, store tracks the corpus, pin advances") {
+    import graft.lake.LakeTable
+    import graft.merge.CdcMerge
+    import graft.model.Schemas
+    val dir = tmpDir("dedupmaint")
+    try {
+      val table = LakeTable.create(spark, s"$dir/t", Schemas.transcript, numBuckets = 2)
+      val base = "the maintenance thread watches a long answer about shuffle partitioning"
+      def turn(conv: String, lsn: Long, text: String) =
+        (conv, 0, "assistant", text, null.asInstanceOf[String],
+          new java.sql.Timestamp(1700000000000L + lsn), "U", lsn)
+      def df(rows: Seq[(String, Int, String, String, String, java.sql.Timestamp, String, Long)]) =
+        rows.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts", "op", "lsn")
+
+      val h = graft.stream.DedupMaintenance.start(table, "text", s"$dir/pairs",
+        fromVersion = table.currentVersion, minJaccard = 0.5, pollMs = 30L)
+      try {
+        CdcMerge.apply(table, df(Seq(
+          turn("c1", 1, base + " alpha"), turn("c2", 2, base + " beta"))), 0L)
+        val v1 = table.currentVersion
+        val deadline = System.currentTimeMillis() + 60000
+        while (h.processedVersion < v1 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+        assert(h.failure.isEmpty, h.failure.toString)
+        assert(h.processedVersion == v1)
+        assert(h.store.count() == 2)
+        // second batch: a third twin → cross-batch pairs appear in the log
+        CdcMerge.apply(table, df(Seq(turn("c3", 3, base + " gamma"))), 1L)
+        val v2 = table.currentVersion
+        while (h.processedVersion < v2 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+        assert(h.store.count() == 3)
+        val all = spark.read.parquet(s"$dir/pairs")
+          .select("key_a", "key_b").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSet
+        assert(all == Set(("c1#0", "c2#0"), ("c1#0", "c3#0"), ("c2#0", "c3#0")), all)
+        // incremental consumer read: only window 2's pairs
+        val w2 = graft.stream.DedupMaintenance.pairsBetween(spark, s"$dir/pairs", v1, v2)
+          .select("key_a", "key_b").collect().map(r => (r.getString(0), r.getString(1))).toSet
+        assert(w2 == Set(("c1#0", "c3#0"), ("c2#0", "c3#0")), w2)
+        // durable pin tracks consumption
+        assert(table.pins("dedup-maintenance") == v2)
+      } finally h.close()
+    } finally rmrf(dir)
+  }
+
   test("a change batch with several rows per key is refused loudly, not silently deduplicated into store corruption") {
     val dup = Seq(("k1", "first version of the text"), ("k1", "second version of the text"))
     val e = intercept[IllegalArgumentException](

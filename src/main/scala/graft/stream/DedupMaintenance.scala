@@ -84,4 +84,31 @@ object DedupMaintenance {
                    fromVersion: Long, toVersion: Long): DataFrame =
     spark.read.parquet(pairsDir)
       .filter(col("to_version") > fromVersion && col("to_version") <= toVersion)
+
+  /** Resume after a restart: the durable pin says which version the pair
+    * log fully reflects; the signature store is REBUILT from the live
+    * snapshot AS OF that version (one O(corpus) signature pass — a
+    * restart-time cost, not a per-window one; the pin guarantees the
+    * manifest is still readable) and following continues from there.
+    * Pairs for windows after the pin are re-derived exactly — replaying a
+    * window appends the same pair rows, and `pairsBetween` reads by
+    * version, so a consumer reading (pin, ∞) windows sees no gaps.
+    */
+  def resume(table: LakeTable, textColumn: String, pairsDir: String,
+             bands: Int = 8, rowsPerBand: Int = 4, minJaccard: Double = 0.7,
+             pollMs: Long = 200L, pinName: String = "dedup-maintenance"): Handle = {
+    val pinned = table.pins.getOrElse(pinName,
+      throw new IllegalStateException(
+        s"no pin '$pinName' on ${table.root} — nothing to resume; use start()"))
+    val spark = table.snapshot().sparkSession
+    val asOf = table.snapshotAt(pinned)
+      .withColumn("key", concat_ws("#", Schemas.KEY_COLS.map(col): _*))
+      .select(col("key"), col(textColumn).as("text"))
+    val store = IncrementalDedup
+      .signatureOf(asOf, "text", "key", bands, rowsPerBand)
+      .localCheckpoint(true)
+    start(table, textColumn, pairsDir, fromVersion = pinned,
+      initialStore = Some(store), bands = bands, rowsPerBand = rowsPerBand,
+      minJaccard = minJaccard, pollMs = pollMs, pinName = pinName)
+  }
 }

@@ -242,7 +242,28 @@ class IncrementalDedupSpec extends SparkSpec {
         assert(w2 == Set(("c1#0", "c3#0"), ("c2#0", "c3#0")), w2)
         // durable pin tracks consumption
         assert(table.pins("dedup-maintenance") == v2)
-      } finally h.close()
+
+        // RESTART: close, write another batch while "down", resume from
+        // the pin (store rebuilt from the pinned snapshot), catch up
+        h.close()
+        CdcMerge.apply(table, df(Seq(turn("c4", 4, base + " delta"))), 2L)
+        val v3 = table.currentVersion
+        val h2 = graft.stream.DedupMaintenance.resume(table, "text", s"$dir/pairs",
+          minJaccard = 0.5, pollMs = 30L)
+        try {
+          while (h2.processedVersion < v3 && System.currentTimeMillis() < deadline)
+            Thread.sleep(50)
+          assert(h2.failure.isEmpty, h2.failure.toString)
+          assert(h2.store.count() == 4)
+          val afterResume = graft.stream.DedupMaintenance
+            .pairsBetween(spark, s"$dir/pairs", v2, v3)
+            .select("key_a", "key_b").collect()
+            .map(r => (r.getString(0), r.getString(1))).toSet
+          assert(afterResume == Set(("c1#0", "c4#0"), ("c2#0", "c4#0"), ("c3#0", "c4#0")),
+            afterResume)
+          assert(table.pins("dedup-maintenance") == v3)
+        } finally h2.close()
+      } finally scala.util.Try(h.close()) // idempotent if already closed
     } finally rmrf(dir)
   }
 

@@ -924,5 +924,80 @@ object RelationalQueries {
           when(col("c_event_id").isNotNull, col("c_value")).otherwise(col("value")).as("value"))
         .orderBy("user_id")
     }
+
+    // ---- corpus profiling (data-quality stats a training pipeline runs
+    // before anything else). All aggregated doubles go through decimal
+    // sums (order-invariant, cross-engine exact — NOTES parity rules).
+    register("q_profile_stats", Some(
+      """SELECT l_returnflag,
+        |  count(*) AS n,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  min(l_quantity) AS min_qty,
+        |  max(l_quantity) AS max_qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) AS mean_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)) { (s, dir) =>
+      T(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        (sum(col("l_quantity").cast("decimal(18,4)")).cast("double") / count(lit(1))).as("mean_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("sum_price"))
+        .orderBy("l_returnflag")
+    }
+
+    register("q_histogram", Some(
+      """SELECT CAST(floor(l_quantity / 5) AS INTEGER) AS bucket,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)) { (s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy(floor(col("l_quantity") / 5).cast("int").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("sum_price"))
+        .orderBy("bucket")
+    }
+
+    // Pearson correlation from EXACT decimal component sums — native
+    // corr() streams doubles and is partial-order-dependent (not
+    // reproducible across engines or even runs); this form is
+    // order-invariant and bit-identical given the parity rules. The final
+    // arithmetic is double with the SAME parenthesization both sides.
+    // Inputs enter as EXACT scaled integers (value·100 — both columns have
+    // <= 2 decimals), so component sums are integer-exact in DECIMAL(38,0)
+    // on both engines (a decimal×decimal product overflows DuckDB's
+    // multiply width). Correlation is scale-invariant, so the scaling
+    // needs no undo — both engines compute the identical doubles from the
+    // identical integer sums.
+    register("q_corr_profile", Some(
+      """WITH comp AS (
+        |  SELECT l_returnflag,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(CAST(round(l_quantity * 100) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_quantity * 100) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+        |    CAST(sum(CAST(CAST(round(l_quantity * 100) AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  ((n * sxy) - (sx * sy)) / (sqrt((n * sxx) - (sx * sx)) * sqrt((n * syy) - (sy * sy))) AS corr_qty_price
+        |FROM comp ORDER BY l_returnflag""".stripMargin)) { (s, dir) =>
+      val xi = round(col("l_quantity") * 100).cast("long")
+      val yi = round(col("l_extendedprice") * 100).cast("long")
+      def isum(c: Column) = sum(c.cast("decimal(38,0)")).cast("double")
+      val comp = T(s, dir, "lineitem").groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        isum(xi).as("sx"),
+        isum(yi).as("sy"),
+        isum(xi * xi).as("sxx"),
+        isum(yi * yi).as("syy"),
+        isum(xi * yi).as("sxy"))
+      comp.select(col("l_returnflag"), col("n"),
+        (((col("n") * col("sxy")) - (col("sx") * col("sy"))) /
+          (sqrt((col("n") * col("sxx")) - (col("sx") * col("sx"))) *
+           sqrt((col("n") * col("syy")) - (col("sy") * col("sy"))))).as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    }
   }
 }

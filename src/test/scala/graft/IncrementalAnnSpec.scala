@@ -52,6 +52,47 @@ class IncrementalAnnSpec extends SparkSpec {
     assert(top.size == 3)
   }
 
+  test("property: random upsert/delete streams keep the store equal to batch assignment of the surviving corpus") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val seedCorpus = (0 until 32).map(i => (f"s$i%02d", vec(i % 4, i)))
+    val index = IncrementalAnn.train(corpusDf(seedCorpus), "emb", "doc_id",
+      nlist = 4, nprobe = 2, trainSample = 64)
+    val upGen = for {
+      key <- Gen.chooseNum(0, 11).map(i => f"k$i%02d")
+      cl <- Gen.chooseNum(0, 3)
+      j <- Gen.chooseNum(0, 99)
+    } yield (key, vec(cl, j))
+    val batchGen = for {
+      ups <- Gen.chooseNum(0, 5).flatMap(n => Gen.listOfN(n, upGen))
+      dels <- Gen.chooseNum(0, 2).flatMap(n =>
+        Gen.listOfN(n, Gen.chooseNum(0, 11).map(i => f"k$i%02d")))
+    } yield (ups.groupBy(_._1).map(_._2.head).toSeq, dels.distinct)
+
+    (0 until 4).foreach { caseId =>
+      val stream = Gen.listOfN(4, batchGen)
+        .pureApply(Gen.Parameters.default, Seed(2000L + caseId))
+      var corpus = Map.empty[String, Array[Float]]
+      var store = IncrementalAnn.emptyStore(spark)
+      stream.foreach { case (ups, dels) =>
+        val upserts = ups.filterNot { case (k, _) => dels.contains(k) }
+        corpus = corpus -- dels ++ upserts
+        store = IncrementalAnn.remove(store, dels.toDF("doc_id"), "doc_id")
+        if (upserts.nonEmpty)
+          store = IncrementalAnn.refresh(index, store, corpusDf(upserts), "emb", "doc_id")
+        // store == batch assignment of the surviving corpus, row for row
+        val got = store.select("id", "cell").collect()
+          .map(r => r.getString(0) -> r.getInt(1)).toMap
+        val want =
+          if (corpus.isEmpty) Map.empty[String, Int]
+          else IncrementalAnn.refresh(index, IncrementalAnn.emptyStore(spark),
+            corpusDf(corpus.toSeq), "emb", "doc_id")
+            .select("id", "cell").collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+        assert(got == want, s"case $caseId diverged: ${got.size} vs ${want.size}")
+      }
+    }
+  }
+
   test("updates re-assign, deletes drop; imbalance flags drift and retrain restores balance") {
     val balanced = (0 until 40).map(i => (f"d$i%03d", vec(i % 4, i)))
     val index = IncrementalAnn.train(corpusDf(balanced), "emb", "doc_id",

@@ -79,11 +79,16 @@ final class LakeTable private (val root: Path, spark: SparkSession) {
         .parquet(fs.map(f => root.resolve(f.path).toString): _*), target)
     }.reduce(_ unionByName _)
 
-  /** Per-key max-LSN winner (the merge-on-read window). */
+  /** Per-key max-LSN winner (the merge-on-read window). Tie-break on an
+    * equal-LSN tie prefers the non-delete, mirroring the write-side
+    * dedup's (lsn desc, op desc): the engine contract is unique LSNs per
+    * key, but a violation must still resolve DETERMINISTICALLY (and the
+    * same way here, in the maintenance consumers, and across replays).
+    */
   private def maxLsnResolve(df: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(Schemas.KEY_COLS.map(col): _*)
-      .orderBy(col(Schemas.LSN_COL).desc)
+      .orderBy(col(Schemas.LSN_COL).desc, col(Schemas.DELETED_COL).asc)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }

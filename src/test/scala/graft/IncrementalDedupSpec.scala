@@ -222,15 +222,20 @@ class IncrementalDedupSpec extends SparkSpec {
         CdcMerge.apply(table, df(Seq(
           turn("c1", 1, base + " alpha"), turn("c2", 2, base + " beta"))), 0L)
         val v1 = table.currentVersion
-        val deadline = System.currentTimeMillis() + 60000
-        while (h.processedVersion < v1 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+        // fresh deadline per wait phase: the shared host swings 2-3x, and
+        // one budget across phases makes the LAST wait the flaky one
+        def awaitTrue(cond: => Boolean, ms: Long = 60000): Unit = {
+          val deadline = System.currentTimeMillis() + ms
+          while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(50)
+        }
+        awaitTrue(h.processedVersion >= v1)
         assert(h.failure.isEmpty, h.failure.toString)
         assert(h.processedVersion == v1)
         assert(h.store.count() == 2)
         // second batch: a third twin → cross-batch pairs appear in the log
         CdcMerge.apply(table, df(Seq(turn("c3", 3, base + " gamma"))), 1L)
         val v2 = table.currentVersion
-        while (h.processedVersion < v2 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+        awaitTrue(h.processedVersion >= v2)
         assert(h.store.count() == 3)
         val all = spark.read.parquet(s"$dir/pairs")
           .select("key_a", "key_b").collect()
@@ -251,8 +256,7 @@ class IncrementalDedupSpec extends SparkSpec {
         val h2 = graft.stream.DedupMaintenance.resume(table, "text", s"$dir/pairs",
           minJaccard = 0.5, pollMs = 30L)
         try {
-          while (h2.processedVersion < v3 && System.currentTimeMillis() < deadline)
-            Thread.sleep(50)
+          awaitTrue(h2.processedVersion >= v3)
           assert(h2.failure.isEmpty, h2.failure.toString)
           assert(h2.store.count() == 4)
           val afterResume = graft.stream.DedupMaintenance

@@ -334,7 +334,7 @@ object CdcMerge {
       FileEntry(rel, bucket, rows, maxLsn, schemaId, kind, epoch, minKey, maxKey)
   }
 
-  private[merge] def deleteRecursively(p: java.nio.file.Path): Unit =
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit =
     if (Files.exists(p))
       Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
 

@@ -166,6 +166,27 @@ object IncrementalAnn {
       .select(col("query_id"), col("id").as("corpus_id"), col("cosine"), col("rank"))
   }
 
+  /** Persist a trained quantizer as one JSON doc (centroids + nprobe);
+    * [[loadIndex]] restores it bit-exactly — the index survives restarts
+    * and can be shared across jobs without retraining.
+    */
+  def saveIndex(index: IvfIndex, path: String): Unit = {
+    val doc = org.json4s.jackson.Serialization.write(
+      Map("nprobe" -> index.nprobe,
+        "centroids" -> index.centroids.map(_.toList).toList))(
+      org.json4s.DefaultFormats)
+    graft.lake.Manifest.writeAtomic(java.nio.file.Paths.get(path), doc)
+  }
+
+  def loadIndex(path: String): IvfIndex = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    val json = org.json4s.jackson.JsonMethods.parse(
+      new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))))
+    IvfIndex(
+      (json \ "centroids").extract[List[List[Double]]].map(_.toArray).toArray,
+      (json \ "nprobe").extract[Int])
+  }
+
   /** Retrain signal: largest cell's share of the store over the fair
     * share (1 = perfectly balanced, nlist = everything in one cell). A
     * metadata aggregation over (cell, count) — never reads vectors.

@@ -93,6 +93,39 @@ class IncrementalAnnSpec extends SparkSpec {
     }
   }
 
+  test("index and store persistence: JSON quantizer round-trips bit-exactly; parquet store resumes without retrain/reassign") {
+    val corpus = (0 until 40).map(i => (f"p$i%02d", vec(i % 4, i)))
+    val index = IncrementalAnn.train(corpusDf(corpus), "emb", "doc_id",
+      nlist = 4, nprobe = 2, trainSample = 64)
+    val dir = tmpDir("annpersist")
+    try {
+      IncrementalAnn.saveIndex(index, s"$dir/index.json")
+      val loaded = IncrementalAnn.loadIndex(s"$dir/index.json")
+      assert(loaded.nprobe == index.nprobe)
+      assert(loaded.centroids.map(_.toSeq).toSeq == index.centroids.map(_.toSeq).toSeq)
+      val store = IncrementalAnn.refresh(index, IncrementalAnn.emptyStore(spark),
+        corpusDf(corpus), "emb", "doc_id")
+      graft.ops.IncrementalDedup.saveStore(store, s"$dir/store")
+      val restored = graft.ops.IncrementalDedup.loadStore(spark, s"$dir/store")
+      assert(restored.count() == 40)
+      // a refresh against the RESTORED store with the RELOADED index
+      // behaves exactly like the live pair
+      val next = IncrementalAnn.refresh(loaded, restored,
+        corpusDf(Seq(("pnew", vec(2, 777)))), "emb", "doc_id")
+      assert(next.count() == 41)
+      val q = corpusDf(Seq(("q", vec(2, 888))))
+      val live = IncrementalAnn.search(index,
+        IncrementalAnn.refresh(index, store, corpusDf(Seq(("pnew", vec(2, 777)))), "emb", "doc_id"),
+        q, "emb", "doc_id", 3).collect().map(r => (r.getString(1), r.getInt(3))).toSet
+      val fromDisk = IncrementalAnn.search(loaded, next, q, "emb", "doc_id", 3)
+        .collect().map(r => (r.getString(1), r.getInt(3))).toSet
+      assert(live == fromDisk)
+      // saveStore over an existing dir replaces it atomically-enough
+      graft.ops.IncrementalDedup.saveStore(next, s"$dir/store")
+      assert(graft.ops.IncrementalDedup.loadStore(spark, s"$dir/store").count() == 41)
+    } finally rmrf(dir)
+  }
+
   test("updates re-assign, deletes drop; imbalance flags drift and retrain restores balance") {
     val balanced = (0 until 40).map(i => (f"d$i%03d", vec(i % 4, i)))
     val index = IncrementalAnn.train(corpusDf(balanced), "emb", "doc_id",

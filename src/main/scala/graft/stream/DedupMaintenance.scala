@@ -39,16 +39,27 @@ object DedupMaintenance {
     * `to_version=N` partition per consumed window). `fromVersion`: last
     * version already reflected in `initialStore` (0 + empty store for a
     * fresh start; `table.pins(pinName)` + a rebuilt store to resume).
+    *
+    * `storeCheckpointDir`: when set, the store is persisted there every
+    * `checkpointEvery` windows (parquet + a `.version` marker naming the
+    * version it reflects) — [[resume]] then reloads it instead of paying
+    * the O(corpus) snapshot rebuild. The marker is written AFTER the
+    * store: a crash between the two leaves a store newer than its
+    * marker, so resume replays slightly more changelog (at-least-once,
+    * consistent with the pair-log contract), never less.
     */
   def start(table: LakeTable, textColumn: String, pairsDir: String,
             fromVersion: Long = 0L,
             initialStore: Option[DataFrame] = None,
             bands: Int = 8, rowsPerBand: Int = 4, minJaccard: Double = 0.7,
-            pollMs: Long = 200L, pinName: String = "dedup-maintenance"): Handle = {
+            pollMs: Long = 200L, pinName: String = "dedup-maintenance",
+            storeCheckpointDir: Option[String] = None,
+            checkpointEvery: Int = 8): Handle = {
     val spark = table.snapshot().sparkSession
     val storeRef = new java.util.concurrent.atomic.AtomicReference[DataFrame](
       initialStore.getOrElse(IncrementalDedup.emptyStore(spark)))
     val processedRef = new AtomicLong(fromVersion)
+    val windowsSinceCkpt = new AtomicLong(0L)
     val follower = ChangelogFollower.follow(table, fromVersion, pollMs,
       pinName = Some(pinName)) { (changes, toVersion) =>
       // resolve latest-per-key INSIDE the window (a window can span
@@ -81,6 +92,14 @@ object DedupMaintenance {
       }
       storeRef.set(store)
       processedRef.set(toVersion)
+      storeCheckpointDir.foreach { dir =>
+        if (windowsSinceCkpt.incrementAndGet() >= checkpointEvery) {
+          IncrementalDedup.saveStore(store, dir)
+          graft.lake.Manifest.writeAtomic(
+            java.nio.file.Paths.get(dir + ".version"), toVersion.toString)
+          windowsSinceCkpt.set(0L)
+        }
+      }
     }
     new Handle(follower, storeRef, processedRef)
   }
@@ -127,19 +146,40 @@ object DedupMaintenance {
     */
   def resume(table: LakeTable, textColumn: String, pairsDir: String,
              bands: Int = 8, rowsPerBand: Int = 4, minJaccard: Double = 0.7,
-             pollMs: Long = 200L, pinName: String = "dedup-maintenance"): Handle = {
+             pollMs: Long = 200L, pinName: String = "dedup-maintenance",
+             storeCheckpointDir: Option[String] = None,
+             checkpointEvery: Int = 8): Handle = {
     val pinned = table.pins.getOrElse(pinName,
       throw new IllegalStateException(
         s"no pin '$pinName' on ${table.root} — nothing to resume; use start()"))
     val spark = table.snapshot().sparkSession
-    val asOf = table.snapshotAt(pinned)
-      .withColumn("key", concat_ws("#", Schemas.KEY_COLS.map(col): _*))
-      .select(col("key"), col(textColumn).as("text"))
-    val store = IncrementalDedup
-      .signatureOf(asOf, "text", "key", bands, rowsPerBand)
-      .localCheckpoint(true)
-    start(table, textColumn, pairsDir, fromVersion = pinned,
+    // a persisted store checkpoint beats the O(corpus) snapshot rebuild:
+    // load it and replay the changelog from ITS version (<= the pin's;
+    // replayed windows re-append exact duplicate pairs — the documented
+    // at-least-once contract, collapsed by pairsBetween's dedupe)
+    val fromCkpt = storeCheckpointDir.flatMap { dir =>
+      val marker = java.nio.file.Paths.get(dir + ".version")
+      if (java.nio.file.Files.exists(marker) &&
+          java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir))) {
+        val v = new String(java.nio.file.Files.readAllBytes(marker)).trim.toLong
+        // the checkpoint's version must still be a readable manifest (an
+        // old checkpoint below the retention horizon cannot anchor a
+        // changelog replay) — otherwise fall back to the snapshot rebuild
+        if (scala.util.Try(table.manifestAt(v)).isSuccess)
+          Some((IncrementalDedup.loadStore(spark, dir).localCheckpoint(true), v))
+        else None
+      } else None
+    }
+    val (store, fromVersion) = fromCkpt.getOrElse {
+      val asOf = table.snapshotAt(pinned)
+        .withColumn("key", concat_ws("#", Schemas.KEY_COLS.map(col): _*))
+        .select(col("key"), col(textColumn).as("text"))
+      (IncrementalDedup.signatureOf(asOf, "text", "key", bands, rowsPerBand)
+        .localCheckpoint(true), pinned)
+    }
+    start(table, textColumn, pairsDir, fromVersion = fromVersion,
       initialStore = Some(store), bands = bands, rowsPerBand = rowsPerBand,
-      minJaccard = minJaccard, pollMs = pollMs, pinName = pinName)
+      minJaccard = minJaccard, pollMs = pollMs, pinName = pinName,
+      storeCheckpointDir = storeCheckpointDir, checkpointEvery = checkpointEvery)
   }
 }

@@ -267,6 +267,38 @@ class IncrementalDedupSpec extends SparkSpec {
             afterResume)
           assert(table.pins("dedup-maintenance") == v3)
         } finally h2.close()
+
+        // SECOND RESTART via a STORE CHECKPOINT (no snapshot rebuild):
+        // run with checkpointEvery=1 so the next window persists the
+        // store, then resume from the persisted checkpoint
+        val h3 = graft.stream.DedupMaintenance.resume(table, "text", s"$dir/pairs",
+          minJaccard = 0.5, pollMs = 30L,
+          storeCheckpointDir = Some(s"$dir/storeckpt"), checkpointEvery = 1)
+        try {
+          CdcMerge.apply(table, df(Seq(turn("c5", 5, base + " epsilon"))), 3L)
+          val v4 = table.currentVersion
+          awaitTrue(h3.processedVersion >= v4)
+          awaitTrue(java.nio.file.Files.exists(
+            java.nio.file.Paths.get(s"$dir/storeckpt.version")))
+        } finally h3.close()
+        val marker = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$dir/storeckpt.version"))).trim.toLong
+        assert(marker == table.currentVersion)
+        CdcMerge.apply(table, df(Seq(turn("c6", 6, base + " zeta"))), 4L)
+        val v5 = table.currentVersion
+        val h4 = graft.stream.DedupMaintenance.resume(table, "text", s"$dir/pairs",
+          minJaccard = 0.5, pollMs = 30L,
+          storeCheckpointDir = Some(s"$dir/storeckpt"), checkpointEvery = 1)
+        try {
+          awaitTrue(h4.processedVersion >= v5)
+          assert(h4.failure.isEmpty, h4.failure.toString)
+          assert(h4.store.count() == 6)
+          val w5 = graft.stream.DedupMaintenance
+            .pairsBetween(spark, s"$dir/pairs", marker, v5)
+            .select("key_a", "key_b").collect()
+            .map(r => (r.getString(0), r.getString(1))).toSet
+          assert(w5.contains(("c1#0", "c6#0")), w5)
+        } finally h4.close()
       } finally scala.util.Try(h.close()) // idempotent if already closed
     } finally rmrf(dir)
   }

@@ -178,6 +178,16 @@ object IncrementalAnn {
     graft.lake.Manifest.writeAtomic(java.nio.file.Paths.get(path), doc)
   }
 
+  /** Persist / reload an assignment store — same mechanism as the dedup
+    * store ([[graft.lake.StoreIO]]), exposed here so ANN callers stay in
+    * this module.
+    */
+  def saveStore(store: DataFrame, dir: String): Unit =
+    graft.lake.StoreIO.save(store, dir)
+
+  def loadStore(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.lake.StoreIO.load(spark, dir)
+
   def loadIndex(path: String): IvfIndex = {
     implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
     val json = org.json4s.jackson.JsonMethods.parse(

@@ -127,26 +127,17 @@ object IncrementalDedup {
       Seq("key"), "left_anti")
       .localCheckpoint(true)
 
-  /** Persist the store as parquet (atomic: temp dir + rename) — the
-    * restart path that avoids [[graft.stream.DedupMaintenance.resume]]'s
-    * O(corpus) signature rebuild: checkpoint the store every K windows
-    * alongside the version it reflects, reload with [[loadStore]].
+  /** Persist / reload the store ([[graft.lake.StoreIO]] — crash-swept
+    * directory swap): the restart path that avoids
+    * [[graft.stream.DedupMaintenance.resume]]'s O(corpus) signature
+    * rebuild. Checkpoint alongside the version AND LSH parameters it
+    * reflects (the maintenance marker records them).
     */
-  def saveStore(store: DataFrame, dir: String): Unit = {
-    val tmp = dir + ".tmp-" + java.util.UUID.randomUUID().toString.take(8)
-    store.write.mode("overwrite").parquet(tmp)
-    val target = java.nio.file.Paths.get(dir)
-    // replace atomically-enough for a single writer: move old away, move
-    // new in, delete old (a crash leaves either old or new, never a mix)
-    val old = java.nio.file.Paths.get(dir + ".old-" + java.util.UUID.randomUUID().toString.take(8))
-    if (java.nio.file.Files.exists(target)) java.nio.file.Files.move(target, old)
-    java.nio.file.Files.move(java.nio.file.Paths.get(tmp), target)
-    if (java.nio.file.Files.exists(old))
-      graft.merge.CdcMerge.deleteRecursively(old)
-  }
+  def saveStore(store: DataFrame, dir: String): Unit =
+    graft.lake.StoreIO.save(store, dir)
 
   def loadStore(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir)
+    graft.lake.StoreIO.load(spark, dir)
 
   /** A change batch must carry ONE row per key (latest wins upstream — a
     * raw CDC batch with several LSNs per key has not been resolved yet).

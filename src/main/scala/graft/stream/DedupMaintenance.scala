@@ -35,18 +35,44 @@ object DedupMaintenance {
 
   private type AtomicLong = java.util.concurrent.atomic.AtomicLong
 
+  /** Store-checkpoint marker: the version the persisted store reflects
+    * PLUS the LSH parameters it was built with — resuming with different
+    * parameters against a stored signature set would silently miss every
+    * cross-generation candidate, so a mismatch falls back to the rebuild.
+    */
+  final case class CkptMarker(version: Long, bands: Int, rowsPerBand: Int,
+                              shingleN: Int)
+  private implicit val markerFormats: org.json4s.Formats = org.json4s.DefaultFormats
+
+  private def writeMarker(dir: String, m: CkptMarker): Unit =
+    graft.lake.Manifest.writeAtomic(java.nio.file.Paths.get(dir + ".version"),
+      org.json4s.jackson.Serialization.write(m))
+
+  private def readMarker(dir: String): Option[CkptMarker] = {
+    val p = java.nio.file.Paths.get(dir + ".version")
+    if (!java.nio.file.Files.exists(p)) None
+    else scala.util.Try { // torn/garbled marker → no checkpoint, not a crash
+      org.json4s.jackson.Serialization.read[CkptMarker](
+        new String(java.nio.file.Files.readAllBytes(p)))
+    }.toOption
+  }
+
   /** Start maintenance. `pairsDir`: parquet pair log root (one
     * `to_version=N` partition per consumed window). `fromVersion`: last
     * version already reflected in `initialStore` (0 + empty store for a
     * fresh start; `table.pins(pinName)` + a rebuilt store to resume).
     *
     * `storeCheckpointDir`: when set, the store is persisted there every
-    * `checkpointEvery` windows (parquet + a `.version` marker naming the
-    * version it reflects) — [[resume]] then reloads it instead of paying
-    * the O(corpus) snapshot rebuild. The marker is written AFTER the
-    * store: a crash between the two leaves a store newer than its
-    * marker, so resume replays slightly more changelog (at-least-once,
-    * consistent with the pair-log contract), never less.
+    * `checkpointEvery` windows (parquet + a typed `.version` marker
+    * naming the version AND LSH parameters it reflects) — [[resume]]
+    * then reloads it instead of paying the O(corpus) snapshot rebuild.
+    * The marker is written AFTER the store: a crash between the two
+    * leaves a store newer than its marker, so resume replays slightly
+    * more changelog (at-least-once, consistent with the pair-log
+    * contract), never less. With checkpointing on, the durable pin is
+    * held at the LAST CHECKPOINT's version, not the last window's —
+    * vacuum must retain the whole (checkpoint, current] replay window,
+    * which is exactly what resume will re-read.
     */
   def start(table: LakeTable, textColumn: String, pairsDir: String,
             fromVersion: Long = 0L,
@@ -60,8 +86,13 @@ object DedupMaintenance {
       initialStore.getOrElse(IncrementalDedup.emptyStore(spark)))
     val processedRef = new AtomicLong(fromVersion)
     val windowsSinceCkpt = new AtomicLong(0L)
+    // checkpointing ON → the pin anchors at the last CHECKPOINT (managed
+    // here, advanced only when a checkpoint lands) so vacuum keeps the
+    // full replay window; OFF → the follower advances it per window
+    val followerPin = if (storeCheckpointDir.isEmpty) Some(pinName) else None
+    if (storeCheckpointDir.nonEmpty) table.pin(pinName, fromVersion)
     val follower = ChangelogFollower.follow(table, fromVersion, pollMs,
-      pinName = Some(pinName)) { (changes, toVersion) =>
+      pinName = followerPin) { (changes, toVersion) =>
       // resolve latest-per-key INSIDE the window (a window can span
       // several epochs of the same key). Tie-break mirrors the merge's
       // (lsn desc, op desc): on an equal-LSN tie the non-delete wins —
@@ -95,8 +126,8 @@ object DedupMaintenance {
       storeCheckpointDir.foreach { dir =>
         if (windowsSinceCkpt.incrementAndGet() >= checkpointEvery) {
           IncrementalDedup.saveStore(store, dir)
-          graft.lake.Manifest.writeAtomic(
-            java.nio.file.Paths.get(dir + ".version"), toVersion.toString)
+          writeMarker(dir, CkptMarker(toVersion, bands, rowsPerBand, shingleN = 3))
+          table.pin(pinName, toVersion) // retention now protects (toVersion, ∞)
           windowsSinceCkpt.set(0L)
         }
       }
@@ -158,17 +189,17 @@ object DedupMaintenance {
     // replayed windows re-append exact duplicate pairs — the documented
     // at-least-once contract, collapsed by pairsBetween's dedupe)
     val fromCkpt = storeCheckpointDir.flatMap { dir =>
-      val marker = java.nio.file.Paths.get(dir + ".version")
-      if (java.nio.file.Files.exists(marker) &&
-          java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir))) {
-        val v = new String(java.nio.file.Files.readAllBytes(marker)).trim.toLong
-        // the checkpoint's version must still be a readable manifest (an
-        // old checkpoint below the retention horizon cannot anchor a
-        // changelog replay) — otherwise fall back to the snapshot rebuild
-        if (scala.util.Try(table.manifestAt(v)).isSuccess)
-          Some((IncrementalDedup.loadStore(spark, dir).localCheckpoint(true), v))
+      readMarker(dir).flatMap { m =>
+        // the checkpoint must (a) match this run's LSH parameters — a
+        // store signed under different slicing silently misses every
+        // cross-generation candidate — and (b) still anchor a readable
+        // manifest; otherwise fall back to the snapshot rebuild
+        val paramsOk = m.bands == bands && m.rowsPerBand == rowsPerBand && m.shingleN == 3
+        if (paramsOk && scala.util.Try(table.manifestAt(m.version)).isSuccess)
+          graft.lake.StoreIO.loadOpt(spark, dir)
+            .map(df => (df.localCheckpoint(true), m.version))
         else None
-      } else None
+      }
     }
     val (store, fromVersion) = fromCkpt.getOrElse {
       val asOf = table.snapshotAt(pinned)

@@ -105,8 +105,8 @@ class IncrementalAnnSpec extends SparkSpec {
       assert(loaded.centroids.map(_.toSeq).toSeq == index.centroids.map(_.toSeq).toSeq)
       val store = IncrementalAnn.refresh(index, IncrementalAnn.emptyStore(spark),
         corpusDf(corpus), "emb", "doc_id")
-      graft.ops.IncrementalDedup.saveStore(store, s"$dir/store")
-      val restored = graft.ops.IncrementalDedup.loadStore(spark, s"$dir/store")
+      IncrementalAnn.saveStore(store, s"$dir/store")
+      val restored = IncrementalAnn.loadStore(spark, s"$dir/store")
       assert(restored.count() == 40)
       // a refresh against the RESTORED store with the RELOADED index
       // behaves exactly like the live pair
@@ -121,8 +121,8 @@ class IncrementalAnnSpec extends SparkSpec {
         .collect().map(r => (r.getString(1), r.getInt(3))).toSet
       assert(live == fromDisk)
       // saveStore over an existing dir replaces it atomically-enough
-      graft.ops.IncrementalDedup.saveStore(next, s"$dir/store")
-      assert(graft.ops.IncrementalDedup.loadStore(spark, s"$dir/store").count() == 41)
+      IncrementalAnn.saveStore(next, s"$dir/store")
+      assert(IncrementalAnn.loadStore(spark, s"$dir/store").count() == 41)
     } finally rmrf(dir)
   }
 

@@ -281,9 +281,12 @@ class IncrementalDedupSpec extends SparkSpec {
           awaitTrue(java.nio.file.Files.exists(
             java.nio.file.Paths.get(s"$dir/storeckpt.version")))
         } finally h3.close()
-        val marker = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get(s"$dir/storeckpt.version"))).trim.toLong
+        val markerJson = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$dir/storeckpt.version")))
+        val marker = """"version":(\d+)""".r.findFirstMatchIn(markerJson).get.group(1).toLong
         assert(marker == table.currentVersion)
+        // with checkpointing on, the durable pin anchors at the checkpoint
+        assert(table.pins("dedup-maintenance") == marker)
         CdcMerge.apply(table, df(Seq(turn("c6", 6, base + " zeta"))), 4L)
         val v5 = table.currentVersion
         val h4 = graft.stream.DedupMaintenance.resume(table, "text", s"$dir/pairs",

@@ -306,6 +306,39 @@ class IncrementalDedupSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("StoreIO crash paths: stranded .old generation is readable, stale siblings are swept on the next save") {
+    val dir = tmpDir("storeio")
+    try {
+      val a = Seq(("k1", 1), ("k2", 2)).toDF("key", "v")
+      val b = Seq(("k1", 1), ("k2", 2), ("k3", 3)).toDF("key", "v")
+      graft.lake.StoreIO.save(a, s"$dir/store")
+      assert(graft.lake.StoreIO.load(spark, s"$dir/store").count() == 2)
+      // simulate a crash BETWEEN the two moves: target moved away to
+      // .old-, replacement never landed
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(s"$dir/store"),
+        java.nio.file.Paths.get(s"$dir/store.old-deadbeef"))
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/store")))
+      assert(graft.lake.StoreIO.load(spark, s"$dir/store").count() == 2) // stranded gen readable
+      // a leftover tmp dir from a crashed write
+      java.nio.file.Files.createDirectories(
+        java.nio.file.Paths.get(s"$dir/store.tmp-cafe0000"))
+      // next save sweeps both leftovers and installs the new generation
+      graft.lake.StoreIO.save(b, s"$dir/store")
+      assert(graft.lake.StoreIO.load(spark, s"$dir/store").count() == 3)
+      val leftovers = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      try {
+        val names = leftovers.iterator()
+        var bad = List.empty[String]
+        while (names.hasNext) {
+          val n = names.next().getFileName.toString
+          if (n.contains(".old-") || n.contains(".tmp-")) bad ::= n
+        }
+        assert(bad.isEmpty, s"crash leftovers not swept: $bad")
+      } finally leftovers.close()
+    } finally rmrf(dir)
+  }
+
   test("a change batch with several rows per key is refused loudly, not silently deduplicated into store corruption") {
     val dup = Seq(("k1", "first version of the text"), ("k1", "second version of the text"))
     val e = intercept[IllegalArgumentException](

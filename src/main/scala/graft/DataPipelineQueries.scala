@@ -366,6 +366,26 @@ object DataPipelineQueries {
         .orderBy("doc_id")
     }
 
+    // corpus vocabulary profile: token document-frequency + total counts —
+    // the "what's in this corpus" first look of a training-data pipeline.
+    // Deterministic top-k: (count desc, token asc); empty tokens from
+    // leading/trailing whitespace are filtered identically on both sides.
+    register("q_token_freq", Some(
+      """SELECT token, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+        |FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |      FROM documents)
+        |WHERE token <> ''
+        |GROUP BY token
+        |ORDER BY n DESC, token LIMIT 50""".stripMargin)) { (s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(50)
+    }
+
     register("q_quality_score", Some(
       """SELECT doc_id,
         |  0.5 * (CAST(len(regexp_extract_all(text, '\bthe\b'))

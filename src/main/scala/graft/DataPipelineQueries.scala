@@ -386,6 +386,33 @@ object DataPipelineQueries {
         .limit(50)
     }
 
+    // embedding hygiene stats: per-label counts + mean L2 norm. The
+    // row-wise norm is IEEE double over the array's FIXED element order
+    // (identical both engines); the cross-row mean goes through the
+    // decimal-sum parity rule after rounding each norm to 6 digits (the
+    // round collapses any last-ulp risk before aggregation).
+    register("q_embedding_stats", Some(
+      """SELECT label, count(*) AS n,
+        |  max(len(embedding)) AS dims,
+        |  CAST(sum(CAST(round(sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_norm,
+        |  CAST(sum(CAST(round(CAST(embedding[1] AS DOUBLE), 6) AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_first
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)) { (s, dir) =>
+      val sq = aggregate(transform(col("embedding"),
+        x => x.cast("double") * x.cast("double")), lit(0.0), (acc, v) => acc + v)
+      T(s, dir, "embeddings")
+        .select(col("label"),
+          size(col("embedding")).cast("long").as("len_e"), // DuckDB len() is BIGINT
+          round(sqrt(sq), 6).cast("decimal(18,6)").as("norm_d"),
+          round(element_at(col("embedding"), 1).cast("double"), 6)
+            .cast("decimal(18,6)").as("first_d"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          max(col("len_e")).as("dims"),
+          (sum(col("norm_d")).cast("double") / count(lit(1))).as("mean_norm"),
+          (sum(col("first_d")).cast("double") / count(lit(1))).as("mean_first"))
+        .orderBy("label")
+    }
+
     register("q_quality_score", Some(
       """SELECT doc_id,
         |  0.5 * (CAST(len(regexp_extract_all(text, '\bthe\b'))

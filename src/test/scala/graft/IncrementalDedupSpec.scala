@@ -306,6 +306,18 @@ class IncrementalDedupSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("estimatedJaccard is the exact matching-component fraction") {
+    val df = Seq(
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 9L), 0.5),   // 2/4 match
+      (Seq(1L, 2L, 3L, 4L), Seq(1L, 2L, 3L, 4L), 1.0),   // identical
+      (Seq(1L, 2L, 3L, 4L), Seq(5L, 6L, 7L, 8L), 0.0))   // disjoint
+      .toDF("a", "b", "expect")
+    val got = df.select(
+      IncrementalDedup.estimatedJaccard(col("a"), col("b"), 4).as("est"),
+      col("expect")).collect()
+    got.foreach(r => assert(r.getDouble(0) == r.getDouble(1), r.toString))
+  }
+
   test("StoreIO crash paths: stranded .old generation is readable, stale siblings are swept on the next save") {
     val dir = tmpDir("storeio")
     try {

@@ -145,6 +145,17 @@ class MergeSqlSpec extends SparkSpec {
       val ts = intercept[Exception](s2.sql(
         "SELECT * FROM lake_sel TIMESTAMP AS OF '2024-01-01'").collect())
       assert(ts.getMessage.contains("VERSION AS OF"), ts.getMessage)
+      // non-numeric version → loud shape error, not a parse fall-through
+      val badV = intercept[Exception](s2.sql(
+        "SELECT * FROM lake_sel VERSION AS OF 'abc'").collect())
+      assert(badV.getMessage.contains("numeric manifest"), badV.getMessage)
+      // INSERT INTO a lake table must NOT be silently resolved into a
+      // snapshot READ by the select rule — it fails as an unsupported
+      // write through Spark's own path
+      val ins = intercept[Exception](s2.sql(
+        "INSERT INTO lake_sel VALUES ('x', 0, 'user', 't', NULL, TIMESTAMP '2024-01-01 00:00:00')").collect())
+      assert(!ins.getMessage.toLowerCase.contains("version as of")) // not our read path
+      assert(s2.sql("SELECT count(*) FROM lake_sel").collect()(0).getLong(0) == live) // nothing written
       // MERGE INTO still owns its target when both rules are active
       WalGen.events(s2, cfg, 0, 100).toDF().createOrReplaceTempView("chg")
       val m = s2.sql(

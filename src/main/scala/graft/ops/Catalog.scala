@@ -10,10 +10,13 @@ import graft.lake.LakeTable
   * `lib/catalog/owid/catalog/catalogs.py:112-407`). Entries are either
   * plain parquet files/dirs or LakeTables (directory with `_current`).
   */
-final class Catalog(spark: SparkSession, root: String) {
-
+object Catalog {
   final case class Entry(channel: String, namespace: String, table: String, path: String,
                          isLake: Boolean)
+}
+
+final class Catalog(spark: SparkSession, root: String) {
+  import Catalog.Entry
 
   /** Scan `root/channel/namespace/table` three-level layout; a one- or
     * two-level tree degrades gracefully (empty channel/namespace).

@@ -174,7 +174,17 @@ object PublishedCatalog {
     }
     val frames = want.map(ch => spark.read.parquet(
       indexDir(root).resolve(s"channel-$ch-$version.parquet").toString))
-    require(frames.nonEmpty, "published catalog has no channels")
-    new Reader(spark, root, version, frames.reduce(_ unionByName _))
+    // a published-but-empty catalog (zero tables) reads as an empty index,
+    // not an error — find() then simply matches nothing
+    val index =
+      if (frames.nonEmpty) frames.reduce(_ unionByName _)
+      else {
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(StructField("channel", StringType), StructField("namespace", StringType),
+            StructField("table", StringType), StructField("path", StringType),
+            StructField("is_lake", BooleanType))))
+      }
+    new Reader(spark, root, version, index)
   }
 }

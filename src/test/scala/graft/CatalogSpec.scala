@@ -67,4 +67,15 @@ class CatalogSpec extends SparkSpec {
       assert(reader.index.count() == 2)
     } finally rmrf(dir)
   }
+
+  test("publishing an empty catalog yields an empty index, not an error") {
+    val dir = tmpDir("emptycat")
+    try {
+      new Catalog(spark, dir).publish(version = 1L)
+      val r = graft.ops.PublishedCatalog.open(spark, dir)
+      assert(r.index.count() == 0)
+      assert(r.find(table = "anything").count() == 0)
+      intercept[IllegalArgumentException](r.findOne(table = "anything"))
+    } finally rmrf(dir)
+  }
 }

@@ -306,6 +306,32 @@ class IncrementalDedupSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("empty-batch refresh and empty-corpus search are content no-ops") {
+    val docs = Seq(("d1", "some text here"), ("d2", "other text there"))
+    val (store, _) = IncrementalDedup.refresh(IncrementalDedup.emptyStore(spark),
+      docs.toDF("doc_id", "text"), "text", "doc_id")
+    // empty change batch: store content unchanged, no pairs
+    val (s2, pairs) = IncrementalDedup.refresh(store,
+      Seq.empty[(String, String)].toDF("doc_id", "text"), "text", "doc_id")
+    assert(s2.count() == 2 && pairs.count() == 0)
+    // remove of nothing: unchanged
+    assert(IncrementalDedup.remove(s2, Seq.empty[String].toDF("doc_id"), "doc_id")
+      .count() == 2)
+    // ANN: search over an empty store returns no rows; k > corpus is fine
+    val idx = graft.ops.IncrementalAnn.IvfIndex(
+      Array(Array.fill(8)(1.0), Array.fill(8)(-1.0)), nprobe = 2)
+    val q = Seq(("q", Seq.fill(8)(1.0f))).toDF("doc_id", "emb")
+      .select(col("doc_id"), col("emb").cast("array<float>").as("emb"))
+    assert(graft.ops.IncrementalAnn.search(idx,
+      graft.ops.IncrementalAnn.emptyStore(spark), q, "emb", "doc_id", 5).count() == 0)
+    val one = graft.ops.IncrementalAnn.refresh(idx,
+      graft.ops.IncrementalAnn.emptyStore(spark),
+      Seq(("c1", Seq.fill(8)(1.0f))).toDF("doc_id", "emb")
+        .select(col("doc_id"), col("emb").cast("array<float>").as("emb")),
+      "emb", "doc_id")
+    assert(graft.ops.IncrementalAnn.search(idx, one, q, "emb", "doc_id", 5).count() == 1)
+  }
+
   test("estimatedJaccard is the exact matching-component fraction") {
     val df = Seq(
       (Seq(1L, 2L, 3L, 4L), Seq(1L, 9L, 3L, 9L), 0.5),   // 2/4 match

@@ -306,6 +306,47 @@ class IncrementalDedupSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("DedupMaintenance survives mid-stream schema evolution: added column flows through the changelog, dedup unaffected") {
+    import graft.lake.LakeTable
+    import graft.merge.CdcMerge
+    import graft.model.Schemas
+    val dir = tmpDir("evodedup")
+    try {
+      val table = LakeTable.create(spark, s"$dir/t", Schemas.transcript, numBuckets = 2)
+      val base = "a reply that will appear in two conversations almost verbatim tonight"
+      val h = graft.stream.DedupMaintenance.start(table, "text", s"$dir/pairs",
+        fromVersion = table.currentVersion, minJaccard = 0.5, pollMs = 30L)
+      try {
+        def awaitTrue(cond: => Boolean, ms: Long = 60000): Unit = {
+          val deadline = System.currentTimeMillis() + ms
+          while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(50)
+        }
+        // batch 1: original schema
+        CdcMerge.apply(table, Seq(
+          ("c1", 0, "assistant", base + " one", null.asInstanceOf[String],
+            new java.sql.Timestamp(1L), "U", 1L))
+          .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts", "op", "lsn"), 0L)
+        awaitTrue(h.processedVersion >= table.currentVersion)
+        // batch 2: EVOLVED schema (added metadata column) — the table
+        // evolves, the changelog aligns, the text-keyed dedup continues
+        CdcMerge.apply(table, Seq(
+          ("c2", 0, "assistant", base + " two", null.asInstanceOf[String],
+            new java.sql.Timestamp(2L), "mdl-x", "U", 2L))
+          .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts", "model", "op", "lsn"), 1L)
+        val v2 = table.currentVersion
+        awaitTrue(h.processedVersion >= v2)
+        assert(h.failure.isEmpty, h.failure.toString)
+        assert(h.store.count() == 2)
+        val pairs = spark.read.parquet(s"$dir/pairs")
+          .select("key_a", "key_b").collect()
+          .map(r => (r.getString(0), r.getString(1))).toSet
+        assert(pairs == Set(("c1#0", "c2#0")), pairs)
+        // the evolved column is live in the table
+        assert(table.snapshot().columns.contains("model"))
+      } finally h.close()
+    } finally rmrf(dir)
+  }
+
   test("empty-batch refresh and empty-corpus search are content no-ops") {
     val docs = Seq(("d1", "some text here"), ("d2", "other text there"))
     val (store, _) = IncrementalDedup.refresh(IncrementalDedup.emptyStore(spark),

@@ -84,11 +84,22 @@ final class LakeTable private (val root: Path, spark: SparkSession) {
     * dedup's (lsn desc, op desc): the engine contract is unique LSNs per
     * key, but a violation must still resolve DETERMINISTICALLY (and the
     * same way here, in the maintenance consumers, and across replays).
+    *
+    * Only the delete/non-delete leg of the write-side (lsn, op) order is
+    * mirrored here: `op` is consumed by the write-side dedup and does NOT
+    * survive into persisted delta files (only `_deleted` does), so an
+    * 'I'-vs-'U' tie at one (key, lsn) — two NON-delete rows with different
+    * payloads, split across commits by an LSN-duplicating source — cannot
+    * be ordered by op at read time. The CoW path (which dedups before the
+    * rewrite) would pick 'U'; MOR resolve may pick either payload, but it
+    * picks the SAME one everywhere: the residual tie is broken by a hash
+    * of the full payload, so MOR reads, replays, and the maintenance
+    * consumers (which share [[LakeTable.resolveOrder]]) all agree.
     */
   private def maxLsnResolve(df: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(Schemas.KEY_COLS.map(col): _*)
-      .orderBy(col(Schemas.LSN_COL).desc, col(Schemas.DELETED_COL).asc)
+      .orderBy(resolveOrder(df): _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
@@ -351,10 +362,21 @@ final class LakeTable private (val root: Path, spark: SparkSession) {
       else filesOf(math.max(0L, cur - changelogRetentionVersions + 1).toInt to cur.toInt)
         .filter(_.kind == FileEntry.DELTA).map(_.path)
     // pinned consumers: the pinned snapshot's full file set, plus every
-    // later delta (their unread changelog suffix)
-    val keepPinned = pins.values.toSeq.distinct.flatMap { v =>
-      filesOf(v.toInt to v.toInt).map(_.path) ++
-        filesOf(math.min(v + 1, cur).toInt to cur.toInt)
+    // later delta (their unread changelog suffix). STRICT manifest reads:
+    // the numeric-retention filesOf above tolerates metadata-vacuumed
+    // manifests (Try), but a pin is a loud-failure promise — silently
+    // skipping an unreadable pinned manifest would delete the very
+    // snapshot the pin protects. (vacuumMetadata's horizon never passes a
+    // pin, so every manifest in [pin, cur] is supposed to be readable.)
+    val keepPinned = pins.toSeq.flatMap { case (name, v) =>
+      def strictFiles(vers: Range.Inclusive): Seq[FileEntry] = vers.flatMap { vv =>
+        try manifestAt(vv.toLong).files
+        catch { case e: Throwable => throw new IllegalStateException(
+          s"vacuum: manifest $vv required by pin '$name' (at version $v) is unreadable — " +
+          "refusing to delete data files; repair or unpin first", e) }
+      }
+      strictFiles(v.toInt to v.toInt).map(_.path) ++
+        strictFiles(math.min(v + 1, cur).toInt to cur.toInt)
           .filter(_.kind == FileEntry.DELTA).map(_.path)
     }
     val keep = (keepAll ++ keepDeltas ++ keepPinned).toSet
@@ -417,6 +439,17 @@ final class LakeTable private (val root: Path, spark: SparkSession) {
 }
 
 object LakeTable {
+
+  /** The canonical per-key resolve ordering, shared by MOR resolve and
+    * every changelog-consuming maintenance window: (lsn desc, non-delete
+    * first, payload-hash desc). The third key only matters on
+    * contract-violating duplicate-LSN input — identical duplicate
+    * deliveries hash equal, so normal replays are unaffected — but it
+    * turns an arbitrary `row_number` pick into a deterministic one.
+    */
+  def resolveOrder(df: DataFrame): Seq[org.apache.spark.sql.Column] =
+    Seq(col(Schemas.LSN_COL).desc, col(Schemas.DELETED_COL).asc,
+      xxhash64(df.columns.sorted.map(col).toSeq: _*).desc)
 
   /** One JVM-wide monitor per canonical table root — commit and metadata
     * vacuum serialize on it regardless of how many LakeTable instances

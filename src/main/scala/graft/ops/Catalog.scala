@@ -69,10 +69,16 @@ final class Catalog(spark: SparkSession, root: String) {
     if (e.isLake) LakeTable.load(spark, e.path).snapshot()
     else TableIO.readParquet(spark, e.path)._1
 
-  /** Publish this catalog's index (see [[PublishedCatalog]]). */
-  def publish(version: Long = System.currentTimeMillis()): Long =
+  /** Publish this catalog's index (see [[PublishedCatalog]]). The default
+    * version is allocated via [[PublishedCatalog.freshVersion]] — never a
+    * bare wall clock, which two same-millisecond publishes would share
+    * (and then overwrite each other's frames under a held token).
+    */
+  def publish(version: Long = -1L): Long = {
+    val v = if (version >= 0) version else PublishedCatalog.freshVersion(root)
     PublishedCatalog.publish(spark, root, entries.map(e =>
-      (e.channel, e.namespace, e.table, e.path, e.isLake)), version)
+      (e.channel, e.namespace, e.table, e.path, e.isLake)), v)
+  }
 }
 
 /** Published, frame-indexed catalog — the remote-catalog semantics of the
@@ -106,8 +112,49 @@ object PublishedCatalog {
 
   private def indexDir(root: String): Path = Paths.get(root, "_index")
 
+  /** Versions with any on-disk trace (a channel frame or the current
+    * token) — the set [[publish]] refuses to reuse. Frame names are
+    * `channel-<name>-<version>.parquet`; the version is the trailing
+    * numeric segment (channel names themselves may contain '-').
+    */
+  private[ops] def publishedVersions(root: String): Set[Long] = {
+    val dir = indexDir(root)
+    val frameRe = "channel-.*-(\\d+)\\.parquet".r
+    val fromFrames: Set[Long] =
+      if (!Files.isDirectory(dir)) Set.empty
+      else {
+        val s = Files.list(dir)
+        try s.iterator().asScala.flatMap(p => p.getFileName.toString match {
+          case frameRe(v) => Some(v.toLong)
+          case _ => None
+        }).toSet finally s.close()
+      }
+    val fromToken = scala.util.Try {
+      org.json4s.jackson.Serialization.read[CatalogToken](
+        new String(Files.readAllBytes(dir.resolve("catalog.json")))).version
+    }.toOption
+    fromFrames ++ fromToken
+  }
+
+  /** A version guaranteed unused: wall-clock now, bumped past anything
+    * already published (covers two publishes in one millisecond and
+    * callers replaying an old explicit version).
+    */
+  def freshVersion(root: String): Long = {
+    val used = publishedVersions(root)
+    val now = System.currentTimeMillis()
+    if (used.isEmpty) now else math.max(now, used.max + 1)
+  }
+
   /** Write the channel-sharded index frames + swap the consistency token.
     * Returns the published version.
+    *
+    * A version is IMMUTABLE once published: a reader holding a token
+    * points at that version's frames, so re-publishing the same version
+    * would overwrite frames in place under the reader. Publishing a
+    * version for which any frame (or the current token) already exists
+    * fails loudly — pick a fresh version (see [[freshVersion]], which
+    * also covers the same-millisecond default-version race).
     */
   def publish(spark: SparkSession, root: String,
               entries: Seq[(String, String, String, String, Boolean)],
@@ -115,6 +162,9 @@ object PublishedCatalog {
     import spark.implicits._
     val dir = indexDir(root)
     Files.createDirectories(dir)
+    require(!publishedVersions(root).contains(version),
+      s"catalog version $version is already published at $root — versioned " +
+      "frames are immutable; publish under a fresh version")
     val channels = entries.map(_._1).distinct.sorted
     channels.foreach { ch =>
       val rows = entries.filter(_._1 == ch)

@@ -24,13 +24,39 @@ object DedupMaintenance {
   final class Handle private[DedupMaintenance] (
       follower: ChangelogFollower.Handle,
       storeRef: java.util.concurrent.atomic.AtomicReference[DataFrame],
-      processedRef: java.util.concurrent.atomic.AtomicLong) extends AutoCloseable {
+      processedRef: java.util.concurrent.atomic.AtomicLong,
+      liveKey: String) extends AutoCloseable {
     /** The current signature store view (checkpointed; safe to query). */
     def store: DataFrame = storeRef.get()
     /** Last fully processed table version. */
     def processedVersion: Long = processedRef.get()
     def failure: Option[Throwable] = follower.failure
-    override def close(): Unit = follower.close()
+    private[DedupMaintenance] def isLive: Boolean = follower.isAlive
+    override def close(): Unit =
+      // deregister ONLY if the follower thread provably died — a close()
+      // that throws with the thread still alive must keep blocking resume()
+      try follower.close() finally DedupMaintenance.live.synchronized {
+        if (!follower.isAlive && DedupMaintenance.live.get(liveKey).contains(this))
+          DedupMaintenance.live.remove(liveKey)
+      }
+  }
+
+  /** One live maintenance loop per (table root, pin): a second start/resume
+    * while the previous follower thread is alive would interleave windows
+    * into one pair log and move one pin in both directions. start/resume
+    * refuse while the previous loop's thread lives (close() first).
+    */
+  private val live = scala.collection.mutable.Map.empty[String, Handle]
+
+  private def registerLive(table: LakeTable, pinName: String,
+                           mk: String => Handle): Handle = live.synchronized {
+    val key = table.root.toAbsolutePath.normalize.toString + "#" + pinName
+    live.get(key).foreach(prev => require(!prev.isLive,
+      s"a maintenance loop for pin '$pinName' on ${table.root} is still live — " +
+      "close() it before starting/resuming another"))
+    val h = mk(key)
+    live(key) = h
+    h
   }
 
   private type AtomicLong = java.util.concurrent.atomic.AtomicLong
@@ -91,16 +117,16 @@ object DedupMaintenance {
     // full replay window; OFF → the follower advances it per window
     val followerPin = if (storeCheckpointDir.isEmpty) Some(pinName) else None
     if (storeCheckpointDir.nonEmpty) table.pin(pinName, fromVersion)
+    registerLive(table, pinName, liveKey => {
     val follower = ChangelogFollower.follow(table, fromVersion, pollMs,
       pinName = followerPin) { (changes, toVersion) =>
       // resolve latest-per-key INSIDE the window (a window can span
-      // several epochs of the same key). Tie-break mirrors the merge's
-      // (lsn desc, op desc): on an equal-LSN tie the non-delete wins —
-      // deterministic picks even if a misbehaving upstream mints the same
-      // LSN twice for one key (the engine contract is unique LSNs).
+      // several epochs of the same key). The shared LakeTable.resolveOrder
+      // keeps this pick identical to MOR resolve even on contract-violating
+      // duplicate-LSN input (non-delete first, then payload-hash).
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(Schemas.KEY_COLS.map(col): _*)
-        .orderBy(col(Schemas.LSN_COL).desc, col(Schemas.DELETED_COL).asc)
+        .orderBy(LakeTable.resolveOrder(changes): _*)
       val latest = changes.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1).drop("__rn")
         .withColumn("key", concat_ws("#", Schemas.KEY_COLS.map(col): _*))
@@ -132,16 +158,21 @@ object DedupMaintenance {
         }
       }
     }
-    new Handle(follower, storeRef, processedRef)
+    new Handle(follower, storeRef, processedRef, liveKey)
+    })
   }
 
   /** Read the pair log for windows in (fromVersion, toVersion] — the
     * incremental-consumer read path (partition-pruned by to_version).
     * An unwritten log (fresh table, or tombstone-only windows so far)
     * reads as empty, not as a missing-path error. `dedupe` (default on)
-    * collapses the duplicate rows a crash-replay can append (see the
-    * delivery-contract note on [[resume]]) — duplicates are EXACT copies
-    * modulo to_version, so the drop is lossless.
+    * collapses per-pair duplicates BY LATEST to_version: crash-replay
+    * copies are exact duplicates and collapse losslessly, while a
+    * legitimate re-emission after a document UPDATE (same pair, new
+    * est_jaccard, later to_version) resolves to the NEWEST pair — the
+    * "consumer holds latest pairs per key" contract of
+    * [[graft.ops.IncrementalDedup]]; an arbitrary dropDuplicates pick
+    * would nondeterministically hand back the stale similarity.
     */
   def pairsBetween(spark: org.apache.spark.sql.SparkSession, pairsDir: String,
                    fromVersion: Long, toVersion: Long,
@@ -156,7 +187,14 @@ object DedupMaintenance {
           org.apache.spark.sql.types.StructField("to_version", org.apache.spark.sql.types.LongType))))
     val raw = spark.read.parquet(pairsDir)
       .filter(col("to_version") > fromVersion && col("to_version") <= toVersion)
-    if (dedupe) raw.dropDuplicates("key_a", "key_b") else raw
+    if (dedupe)
+      raw.groupBy("key_a", "key_b")
+        .agg(max_by(struct(col("est_jaccard"), col("to_version")),
+          col("to_version")).as("__p"))
+        .select(col("key_a"), col("key_b"),
+          col("__p.est_jaccard").as("est_jaccard"),
+          col("__p.to_version").as("to_version"))
+    else raw
   }
 
   /** Resume after a restart: the durable pin says which version the pair

@@ -37,12 +37,34 @@ object ChangelogFollower {
       err: java.util.concurrent.atomic.AtomicReference[Throwable]) extends AutoCloseable {
     def failure: Option[Throwable] = Option(err.get())
     def isAlive: Boolean = t.isAlive
+    /** Stop the loop and WAIT until the consumer thread is provably dead.
+      * A callback outliving the first timed join (easy at scale — it
+      * shingles, joins the store, writes parquet) is interrupted and
+      * joined again; if it STILL will not die, close() throws rather than
+      * return with a live consumer — a caller that then resumed the same
+      * pin would otherwise run two loops appending to one pair log and
+      * moving one pin in both directions.
+      */
     override def close(): Unit = {
-      stop.set(true); t.join(10000)
+      stop.set(true)
+      t.join(10000)
+      if (t.isAlive) {
+        t.interrupt()
+        t.join(30000)
+        if (t.isAlive) throw new IllegalStateException(
+          "changelog follower thread still alive after interrupt — close() " +
+          "refuses to return with a live consumer; do not resume this pin")
+      }
       failure.foreach(e => throw new IllegalStateException(
         "changelog follower died before close()", e))
     }
   }
+
+  private def isInterruption(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16).exists {
+      t => t.isInstanceOf[InterruptedException] ||
+        t.isInstanceOf[java.nio.channels.ClosedByInterruptException]
+    }
 
   /** Start following; returns a handle whose `close()` stops the loop.
     * `fromVersion`: first version already seen (callbacks start after it).
@@ -82,7 +104,10 @@ object ChangelogFollower {
           } else Thread.sleep(pollMs)
         }
       } catch {
-        case _: InterruptedException if stop.get() => // clean shutdown
+        // a close()-requested interrupt is a clean shutdown even when the
+        // interpreter/Spark wrapped the InterruptedException in its own
+        // exception type — walk the cause chain before calling it a death
+        case e: Throwable if stop.get() && isInterruption(e) => ()
         case e: Throwable => err.set(e); onError(e)
       }
     }, s"graft-changelog-follower")

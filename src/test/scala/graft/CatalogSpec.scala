@@ -68,6 +68,28 @@ class CatalogSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("published versions are immutable: re-publishing a version is refused; the default version never collides") {
+    val dir = tmpDir("pubimm")
+    try {
+      val plain = Seq((1, "x")).toDF("id", "v")
+      TableIO.writeParquet(plain, s"$dir/garden/demo/plain.parquet", graft.ops.TableMeta("plain"))
+      val cat = new Catalog(spark, dir)
+      cat.publish(version = 5L)
+      val reader = graft.ops.PublishedCatalog.open(spark, dir)
+      // an explicit re-publish of version 5 would overwrite the frames the
+      // held token points at — refused loudly
+      val e = intercept[IllegalArgumentException](cat.publish(version = 5L))
+      assert(e.getMessage.contains("already published"), e.getMessage)
+      assert(reader.index.count() == 1) // held token unharmed
+      // back-to-back default publishes (same-millisecond race in the old
+      // currentTimeMillis default) get DISTINCT monotone versions
+      val va = cat.publish()
+      val vb = cat.publish()
+      assert(va != 5L && vb > va, s"va=$va vb=$vb")
+      assert(graft.ops.PublishedCatalog.open(spark, dir).version == vb)
+    } finally rmrf(dir)
+  }
+
   test("publishing an empty catalog yields an empty index, not an error") {
     val dir = tmpDir("emptycat")
     try {

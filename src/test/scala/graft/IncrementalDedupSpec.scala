@@ -347,6 +347,47 @@ class IncrementalDedupSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("pairsBetween resolves an update re-emission to the NEWEST pair, not an arbitrary one") {
+    val dir = tmpDir("pairlatest")
+    try {
+      // window 3 emits (a, b) at 0.9; window 7 re-emits the same pair at
+      // 0.6 after a document update. The consumer contract is latest
+      // pairs per key — dedupe must hand back the 0.6/v7 row, never the
+      // stale one, and must still collapse exact crash-replay duplicates.
+      Seq(("a", "b", 0.9, 3L), ("a", "c", 0.8, 3L))
+        .toDF("key_a", "key_b", "est_jaccard", "to_version")
+        .write.partitionBy("to_version").mode("append").parquet(s"$dir/pairs")
+      Seq(("a", "b", 0.6, 7L), ("a", "b", 0.6, 7L)) // incl. a replay duplicate
+        .toDF("key_a", "key_b", "est_jaccard", "to_version")
+        .write.partitionBy("to_version").mode("append").parquet(s"$dir/pairs")
+      val got = graft.stream.DedupMaintenance.pairsBetween(spark, s"$dir/pairs", 0L, 10L)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+          r.getAs[Number](3).longValue)).toSet
+      assert(got == Set(("a", "b", 0.6, 7L), ("a", "c", 0.8, 3L)), got)
+    } finally rmrf(dir)
+  }
+
+  test("a second maintenance loop on a live pin is refused; a closed one can be restarted") {
+    import graft.lake.LakeTable
+    import graft.model.Schemas
+    val dir = tmpDir("dedupdouble")
+    try {
+      val table = LakeTable.create(spark, s"$dir/t", Schemas.transcript, numBuckets = 2)
+      val h = graft.stream.DedupMaintenance.start(table, "text", s"$dir/pairs",
+        fromVersion = table.currentVersion, pollMs = 30L)
+      try {
+        val e = intercept[IllegalArgumentException](
+          graft.stream.DedupMaintenance.start(table, "text", s"$dir/pairs",
+            fromVersion = table.currentVersion, pollMs = 30L))
+        assert(e.getMessage.contains("still live"), e.getMessage)
+      } finally h.close()
+      // after a clean close the pin is free again
+      val h2 = graft.stream.DedupMaintenance.start(table, "text", s"$dir/pairs",
+        fromVersion = table.currentVersion, pollMs = 30L)
+      h2.close()
+    } finally rmrf(dir)
+  }
+
   test("empty-batch refresh and empty-corpus search are content no-ops") {
     val docs = Seq(("d1", "some text here"), ("d2", "other text there"))
     val (store, _) = IncrementalDedup.refresh(IncrementalDedup.emptyStore(spark),

@@ -107,6 +107,35 @@ class TimeTravelSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("vacuum fails loudly when a pinned version's manifest is unreadable — never silently deletes the pinned snapshot") {
+    val dir = tmpDir("ttpl")
+    val cfg = WalGen.Config(numEvents = 2000, numConvs = 20)
+    try {
+      val table = LakeTable.create(spark, s"$dir/t", Schemas.transcript, numBuckets = 2)
+      val versionAfter = (0 until 3).map { b =>
+        CdcMerge.apply(table, WalGen.events(spark, cfg, b * 600L, (b + 1) * 600L).toDF(), b.toLong)
+        table.currentVersion
+      }
+      val pinned = versionAfter(0)
+      table.pin("consumer", pinned)
+      // simulate external damage: the pinned version's top manifest doc is
+      // torn away (a mis-scoped cleanup job, a torn copy). Vacuum resolving
+      // the pin's file set must now REFUSE rather than treat the pinned
+      // snapshot as unreferenced and delete its files.
+      val doc = java.nio.file.Paths.get(f"$dir/t/_manifests/manifest-$pinned%010d.json")
+      val stash = java.nio.file.Paths.get(s"$dir/stash.json")
+      java.nio.file.Files.move(doc, stash)
+      val e = intercept[IllegalStateException] {
+        table.vacuum(keepVersions = 1, graceMs = 0L)
+      }
+      assert(e.getMessage.contains("pin 'consumer'"), e.getMessage)
+      // no data file was deleted by the refused vacuum: restore the
+      // manifest and the pinned snapshot reads completely
+      java.nio.file.Files.move(stash, doc)
+      assert(table.snapshotAt(pinned).count() > 0)
+    } finally rmrf(dir)
+  }
+
   test("follower with pinName advances its durable pin past consumed windows") {
     val dir = tmpDir("ttf")
     val cfg = WalGen.Config(numEvents = 2000, numConvs = 20)

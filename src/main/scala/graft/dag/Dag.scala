@@ -80,6 +80,86 @@ final case class Dag(deps: Map[String, Set[String]]) {
     val keep = traverse(withDown)
     Dag(keep.map(n => n -> (deps.getOrElse(n, Set.empty) & keep)).toMap)
   }
+
+  /** Auto-generate a `grapher://` twin for every `data://grapher/...`
+    * step, each depending on its data step — the reference's dynamic
+    * grapher-step rule (`etl/command.py:618-625` `_grapher_steps`;
+    * `private` extends the match to `data-private://grapher/`).
+    */
+  def withGrapherTwins(includePrivate: Boolean = false): Dag = {
+    val matchRe = if (includePrivate) "^(data|data-private)://grapher/".r
+                  else "^data://grapher/".r
+    val schemeRe = "^(data|data-private)://".r // only the scheme is rewritten
+    val twins = deps.keys.collect {
+      case s if matchRe.findPrefixOf(s).isDefined =>
+        schemeRe.replaceFirstIn(s, "grapher://") -> Set(s)
+    }.toMap
+    Dag(deps ++ twins)
+  }
+}
+
+object Dag {
+
+  /** Load a DAG from YAML with recursive `include:` resolution — the
+    * reference's dag format (`etl/steps/__init__.py:152-191` `load_dag`/
+    * `_load_dag`/`_parse_dag_yaml`, `dag/main.yml`):
+    *
+    * {{{
+    *   steps:
+    *     data://garden/demo/table:
+    *       - data://meadow/demo/raw
+    *     data://meadow/demo/raw:
+    *   include:
+    *     - dag/extra.yml
+    * }}}
+    *
+    * Include paths resolve against `baseDir` (the reference resolves
+    * against its repo root); a step defined in two files is a LOUD
+    * duplicate, naming the file — silently letting the later definition
+    * win would drop dependency edges.
+    */
+  def fromYaml(file: String, baseDir: Option[String] = None): Dag = {
+    val base = baseDir.getOrElse(
+      Option(java.nio.file.Paths.get(file).toAbsolutePath.getParent)
+        .map(_.toString).getOrElse("."))
+    Dag(loadYamlDag(java.nio.file.Paths.get(file), java.nio.file.Paths.get(base), Map.empty))
+  }
+
+  private def loadYamlDag(file: java.nio.file.Path, base: java.nio.file.Path,
+                          prev: Map[String, Set[String]]): Map[String, Set[String]] = {
+    import scala.jdk.CollectionConverters._
+    require(java.nio.file.Files.exists(file), s"DAG file not found: $file")
+    val yaml = new org.yaml.snakeyaml.Yaml(new org.yaml.snakeyaml.constructor.SafeConstructor(
+      new org.yaml.snakeyaml.LoaderOptions()))
+    val doc = Option(yaml.load[java.util.Map[String, Object]](
+      java.nio.file.Files.newBufferedReader(file)))
+      .getOrElse(java.util.Collections.emptyMap[String, Object]())
+    val steps: Map[String, Set[String]] = Option(doc.get("steps")) match {
+      case Some(m: java.util.Map[_, _]) => m.asScala.map { case (k, v) =>
+        val ds: Set[String] = v match {
+          case null => Set.empty
+          case l: java.util.List[_] => l.asScala.map(_.toString).toSet
+          case other => throw new IllegalArgumentException(
+            s"DAG $file: step '$k' has non-list dependencies: $other")
+        }
+        k.toString -> ds
+      }.toMap
+      case None => Map.empty
+      case Some(other) => throw new IllegalArgumentException(
+        s"DAG $file: 'steps' must be a mapping, got: $other")
+    }
+    val dup = prev.keySet & steps.keySet
+    require(dup.isEmpty,
+      s"duplicate steps detected in DAG $file: ${dup.toSeq.sorted.mkString(", ")}")
+    var acc = steps ++ prev
+    Option(doc.get("include")).foreach {
+      case l: java.util.List[_] =>
+        l.asScala.foreach(inc => acc = loadYamlDag(base.resolve(inc.toString), base, acc))
+      case other => throw new IllegalArgumentException(
+        s"DAG $file: 'include' must be a list of file paths, got: $other")
+    }
+    acc
+  }
 }
 
 /** Incremental runner with Merkle checksums. `codeVersion(step)` plays the

@@ -17,7 +17,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // snapshot / snapshotAt (graft.sql.SelectSql)
     e.injectResolutionRule(session => graft.sql.GraftSelectRule(session))
     // OPTIMIZE / VACUUM maintenance statements (graft.sql.MaintenanceSql)
-    e.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
+    e.injectParser((session, delegate) => new graft.sql.GraftSqlParser(session, delegate))
     e.injectFunction((
       new FunctionIdentifier("vector_dot"),
       new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),

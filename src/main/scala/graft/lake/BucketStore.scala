@@ -1,0 +1,352 @@
+package graft.lake
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{BooleanType, IntegerType, LongType, StructField, StructType}
+
+/** A bucket-partitioned, append-only lake store for MAINTENANCE STATE —
+  * the storage backend that graduates the incremental dedup/ANN stores
+  * out of Spark block-manager memory (round-3 scale gap: a corpus-sized
+  * signature store cannot live as a checkpointed DataFrame view, and a
+  * per-refresh carry-rewrite is O(corpus) I/O).
+  *
+  * LSM-shaped lifecycle on top of the repo's manifest machinery
+  * ([[Manifest]]: content-addressed split segments, atomic `_current`
+  * pointer, CAS commits):
+  *
+  *  - **append** writes a change batch (upserts + `_deleted` tombstones)
+  *    as DELTA files — O(batch) rows, NO carry-rewrite of old state;
+  *  - **read** resolves latest-per-key via a `max_by` hash aggregation
+  *    (map-side partial combine) across base+delta files, and PRUNES to
+  *    the partitions a caller's probe touches: base files are laid out
+  *    one-partition-per-file-group by `pid = pmod(xxhash64(partCols),
+  *    numPids)` and selected through the manifest, so a banded LSH probe
+  *    (or an IVF cell probe) reads O(touched partitions), not O(store);
+  *  - **compact** folds the delta tail into per-pid base files — only
+  *    pids the deltas touch are rewritten (O(touched)), tombstones are
+  *    dropped, and when partitions outgrow `maxRowsPerPid` the partition
+  *    space SPLITS (numPids doubles, full rewrite, amortized like any
+  *    LSM level promotion) so per-partition read cost stays bounded as
+  *    the store grows — that is what keeps a constant-size refresh FLAT
+  *    while the corpus grows 10×.
+  *
+  * The manifest's `lastSourceEpoch` field carries the WATERMARK: the
+  * source-table version this store reflects. append() commits rows and
+  * watermark atomically, so a resuming maintenance loop reads the
+  * watermark from the store itself — no snapshot rebuild, no side-channel
+  * marker files.
+  *
+  * Reference analogue: owid-etl's per-variable checksum short-circuit
+  * skipping untouched objects (`etl/grapher_import.py:287-289`), applied
+  * to index maintenance state.
+  */
+final class BucketStore private (val root: Path, spark: SparkSession,
+                                 val partCols: Seq[String], val keyCols: Seq[String]) {
+  import BucketStore._
+
+  private def manifestDir: Path = root.resolve("_manifests")
+  private def dataDir: Path = root.resolve("data")
+  private def currentPtr: Path = root.resolve("_current")
+
+  def currentVersion: Long = new String(Files.readAllBytes(currentPtr)).trim.toLong
+  def manifest: Manifest = Manifest.readSplit(manifestDir, currentVersion)
+  def numPids: Int = manifest.numBuckets
+
+  /** Source-table version the committed store reflects (-1 = fresh). */
+  def watermark: Long = manifest.lastSourceEpoch
+
+  def userSchema: StructType = StructType.fromDDL(manifest.schemas.head.ddl)
+  private def physSchema: StructType = StructType(userSchema.fields.toSeq :+
+    StructField(DELETED_COL, BooleanType, nullable = false) :+
+    StructField(VER_COL, LongType, nullable = false))
+
+  /** Partition id of a row — deterministic from partCols, recomputable at
+    * read time, never stored in the data files.
+    */
+  def pidExpr(nPids: Int): Column =
+    pmod(xxhash64(partCols.map(col): _*), lit(nPids.toLong)).cast(IntegerType)
+
+  /** Driver-side pid set for a SMALL probe frame (a batch's touched
+    * (band,bucket) pairs, a query set's IVF cells): distinct pids are
+    * collected, never the part values themselves — the result is bounded
+    * by numPids ints regardless of probe size.
+    */
+  def pidsOf(probe: DataFrame): Set[Int] = {
+    val n = numPids
+    probe.select(pidExpr(n).as("__pid")).distinct()
+      .collect().map(_.getInt(0)).toSet
+  }
+
+  /** Append a change batch: rows carry the user columns plus a `_deleted`
+    * boolean (true = tombstone for that key; payload columns may be null).
+    * O(batch) write as DELTA files; the `watermark` commits atomically
+    * with the rows. Caller contract (same as the in-memory stores): at
+    * most one LIVE row per resolve key per append — violations would tie
+    * in the resolve and corrupt state nondeterministically, so refuse
+    * upstream (see IncrementalDedup.requireUniqueKeys).
+    */
+  def append(batch: DataFrame, watermark: Long): Unit = pathLock(root).synchronized {
+    val m = manifest
+    val ver = m.version + 1
+    // tombstones must carry the SAME partCols values as the rows they
+    // shadow (enforced structurally: partCols ⊆ keyCols, so a tombstone
+    // addressing a key necessarily routes to that key's partition)
+    val del = if (batch.columns.contains(DELETED_COL))
+      coalesce(col(DELETED_COL), lit(false)) else lit(false)
+    val cols = userSchema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toSeq :+
+      del.as(DELETED_COL) :+
+      lit(ver).as(VER_COL)
+    val staging = root.resolve("_staging-" + java.util.UUID.randomUUID().toString.take(8))
+    batch.select(cols: _*).write.parquet(staging.toString)
+    val adopted = adoptDir(staging, pid = -1, kind = FileEntry.DELTA, ver = ver)
+    commit(m.copy(version = ver, lastEpoch = ver, files = m.files ++ adopted,
+      lastSourceEpoch = watermark), expectedParent = m.version)
+  }
+
+  /** Read the resolved live rows — all partitions, or only `touched` pids
+    * (delta files are always read: they are unpartitioned by design, and
+    * their volume is bounded by the compaction cadence, not the store).
+    * With no delta tail the base files are already resolved and
+    * tombstone-free, so the read is a straight scan — no shuffle.
+    */
+  def read(touched: Option[Set[Int]] = None): DataFrame = {
+    val m = manifest
+    val files = m.files.filter(f =>
+      f.kind == FileEntry.DELTA || touched.forall(_.contains(f.bucket)))
+    val userCols = userSchema.fieldNames.map(col).toSeq
+    if (files.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        userSchema)
+    val raw = spark.read.schema(physSchema)
+      .parquet(files.map(f => root.resolve(f.path).toString): _*)
+    if (files.forall(_.kind == FileEntry.BASE)) raw.select(userCols: _*)
+    else resolve(raw).select(userCols: _*)
+  }
+
+  /** Latest-per-key winner: highest commit version wins; within one
+    * append a live row beats its own same-key tombstone (an update whose
+    * new row lands in the same partition as the tombstone it replaces).
+    * Hash aggregation, not a window — partial combine on the map side.
+    */
+  private def resolve(df: DataFrame): DataFrame = {
+    val all = struct(df.columns.map(col).toSeq: _*)
+    val ord = struct(col(VER_COL), when(col(DELETED_COL), lit(0)).otherwise(lit(1)))
+    df.groupBy(keyCols.map(col): _*)
+      .agg(max_by(all, ord).as("__r"))
+      .select(col("__r.*"))
+      .filter(!col(DELETED_COL))
+  }
+
+  /** Fold the delta tail into per-pid base files. Only pids with delta
+    * rows are rewritten (plus, on SPLIT, everything once): O(touched
+    * partitions), untouched base files are carried by reference.
+    * Tombstones are dropped (the compaction covers every file that could
+    * hold the rows they shadow). Returns the number of pids rewritten.
+    */
+  def compact(maxRowsPerPid: Long = 1L << 19): Int = pathLock(root).synchronized {
+    val m = manifest
+    val deltas = m.files.filter(_.kind == FileEntry.DELTA)
+    // split decision from manifest row counts (over-counts shadowed rows —
+    // conservative in the right direction)
+    val estRows = m.files.map(_.rows).sum
+    val needPids = math.max(m.numBuckets,
+      Integer.highestOneBit(math.max(1, (estRows / math.max(1L, maxRowsPerPid)).toInt)) * 2)
+    val splitting = needPids > m.numBuckets
+    if (deltas.isEmpty && !splitting) return 0
+    val nPids = if (splitting) needPids else m.numBuckets
+    val raw = spark.read.schema(physSchema)
+      .parquet(m.files.map(f => root.resolve(f.path).toString): _*)
+    val (touchedPids, inputFiles, carried) =
+      if (splitting) {
+        (null: Set[Int], m.files, Seq.empty[FileEntry]) // full rewrite under the new pid fn
+      } else {
+        val t = spark.read.schema(physSchema)
+          .parquet(deltas.map(f => root.resolve(f.path).toString): _*)
+          .select(pidExpr(nPids).as("__pid")).distinct().collect().map(_.getInt(0)).toSet
+        val (in, keep) = m.files.partition(f => f.kind == FileEntry.DELTA || t.contains(f.bucket))
+        (t, in, keep)
+      }
+    val input = if (splitting) raw else spark.read.schema(physSchema)
+      .parquet(inputFiles.map(f => root.resolve(f.path).toString): _*)
+    val ver = m.version + 1
+    val resolved = resolve(input) // tombstones dropped
+      .withColumn(VER_COL, lit(ver)) // rebased: one generation per base file set
+      .withColumn("__pid", pidExpr(nPids))
+    val staging = root.resolve("_staging-" + java.util.UUID.randomUUID().toString.take(8))
+    val writers = math.max(1, math.min(64,
+      if (splitting) nPids else touchedPids.size))
+    resolved.repartition(writers, col("__pid"))
+      .write.partitionBy("__pid").parquet(staging.toString)
+    val adopted = adoptPartitioned(staging, ver)
+    commit(m.copy(version = ver, lastEpoch = ver, numBuckets = nPids,
+      files = carried ++ adopted), expectedParent = m.version)
+    if (splitting) nPids else touchedPids.size
+  }
+
+  /** Delete data files referenced by none of the last `keepVersions`
+    * manifests, and GC old manifest docs/segments. Bounds the store's
+    * footprint to the retention window (no readers time-travel this
+    * store; 2 versions cover an in-flight read against the previous
+    * manifest).
+    */
+  def vacuum(keepVersions: Int = 2, graceMs: Long = 300000L): Int =
+    pathLock(root).synchronized {
+      val cur = currentVersion
+      val keep = (math.max(0L, cur - keepVersions + 1) to cur)
+        .flatMap(v => scala.util.Try(Manifest.readSplit(manifestDir, v)).toOption)
+        .flatMap(_.files.map(_.path)).toSet
+      if (!Files.exists(dataDir)) return 0
+      val adoptedAfter = System.currentTimeMillis() - graceMs
+      var removed = 0
+      Files.walk(dataDir).iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .foreach { p =>
+          val rel = root.relativize(p).toString
+          if (!keep.contains(rel) &&
+              Files.getLastModifiedTime(p).toMillis < adoptedAfter) {
+            Files.delete(p); removed += 1
+          }
+        }
+      // manifest horizon
+      val manifestRe = "manifest-(\\d{10})\\.json".r
+      val horizon = math.max(0L, cur - keepVersions + 1)
+      val names = { val s = Files.list(manifestDir); try s.iterator().asScala.toSeq finally s.close() }
+      val keptVersions = scala.collection.mutable.ArrayBuffer.empty[Long]
+      names.foreach(p => p.getFileName.toString match {
+        case manifestRe(v) =>
+          if (v.toLong < horizon) Files.delete(p) else keptVersions += v.toLong
+        case _ =>
+      })
+      val referenced = keptVersions
+        .flatMap(v => scala.util.Try(Manifest.readDoc(manifestDir, v)).toOption)
+        .flatMap(_.segments.map(_.seg)).toSet
+      names.filter(p => Files.exists(p)).foreach { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("seg-") && !referenced.contains(n)) Files.delete(p)
+      }
+      removed
+    }
+
+  // ---- internals ---------------------------------------------------
+
+  private def commit(m2: Manifest, expectedParent: Long): Unit = {
+    require(currentVersion == expectedParent,
+      s"concurrent store commit: current=$currentVersion expected=$expectedParent")
+    Manifest.writeSplit(manifestDir, m2)
+    Manifest.writeAtomic(currentPtr, m2.version.toString)
+  }
+
+  private def hadoopConf = spark.sessionState.newHadoopConf()
+
+  private def rowCount(p: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(p.toUri), hadoopConf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+
+  /** Adopt a flat staging dir's parquet files as `kind` entries at `pid`. */
+  private def adoptDir(staging: Path, pid: Int, kind: String, ver: Long): Seq[FileEntry] = {
+    val files = listParquet(staging)
+    val sub = if (pid < 0) "delta" else s"pid=$pid"
+    val dir = dataDir.resolve(sub)
+    Files.createDirectories(dir)
+    val out = files.map { p =>
+      val rows = rowCount(p)
+      val name = s"$kind-v$ver-${p.getFileName.toString}"
+      Files.move(p, dir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+      FileEntry(s"data/$sub/$name", pid, rows, ver, 0, kind, ver)
+    }
+    deleteRecursively(staging)
+    out
+  }
+
+  /** Adopt a `partitionBy("__pid")` staging layout: one base entry per
+    * written file, pid parsed from its partition directory.
+    */
+  private def adoptPartitioned(staging: Path, ver: Long): Seq[FileEntry] = {
+    val pidRe = "__pid=(\\d+)".r
+    val out = Files.walk(staging).iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
+      .toSeq.flatMap { p =>
+        p.getParent.getFileName.toString match {
+          case pidRe(pid) =>
+            val dir = dataDir.resolve(s"pid=$pid")
+            Files.createDirectories(dir)
+            val rows = rowCount(p)
+            val name = s"${FileEntry.BASE}-v$ver-${p.getFileName.toString}"
+            Files.move(p, dir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
+            Some(FileEntry(s"data/pid=$pid/$name", pid.toInt, rows, ver, 0, FileEntry.BASE, ver))
+          case _ => None
+        }
+      }
+    deleteRecursively(staging)
+    out
+  }
+
+  private def listParquet(dir: Path): Seq[Path] = {
+    val s = Files.walk(dir)
+    try s.iterator().asScala
+      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet")).toSeq
+    finally s.close()
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    graft.merge.CdcMerge.deleteRecursively(p)
+}
+
+object BucketStore {
+  /** Internal bookkeeping columns in every store data file. */
+  val DELETED_COL = "_deleted"
+  val VER_COL = "_sver"
+
+  private[lake] def pathLock(root: Path): Object = LakeTable.pathLock(root)
+
+  private final case class StoreConfig(partCols: List[String], keyCols: List[String])
+  private implicit val fmts: org.json4s.Formats =
+    org.json4s.jackson.Serialization.formats(org.json4s.NoTypeHints)
+
+  /** Create a store. `schema` = the user row schema (no bookkeeping
+    * columns); `partCols` ⊆ schema drive partition pruning (the probe
+    * key); `keyCols` ⊆ schema are the resolve identity (latest wins).
+    */
+  def create(spark: SparkSession, dir: String, schema: StructType,
+             partCols: Seq[String], keyCols: Seq[String],
+             numPids: Int = 64): BucketStore = {
+    val root = Paths.get(dir)
+    require(!Files.exists(root.resolve("_current")), s"store already exists at $dir")
+    require(partCols.nonEmpty && keyCols.nonEmpty)
+    (partCols ++ keyCols).foreach(c => require(schema.fieldNames.contains(c),
+      s"'$c' is not a schema column"))
+    // a tombstone addresses a key; its partition must be derivable from
+    // that key alone, or the tombstone could land in a different pid than
+    // the row it shadows and never fold over it at compaction
+    require(partCols.forall(keyCols.contains),
+      s"partCols (${partCols.mkString(",")}) must be a subset of keyCols " +
+      s"(${keyCols.mkString(",")}) so tombstones route to their target's partition")
+    Files.createDirectories(root.resolve("_manifests"))
+    Files.createDirectories(root.resolve("data"))
+    Manifest.writeAtomic(root.resolve("_store.json"),
+      org.json4s.jackson.Serialization.write(StoreConfig(partCols.toList, keyCols.toList)))
+    val m = Manifest.empty(numPids, schema.toDDL)
+    Manifest.writeSplit(root.resolve("_manifests"), m)
+    Manifest.writeAtomic(root.resolve("_current"), "0")
+    new BucketStore(root, spark, partCols, keyCols)
+  }
+
+  def load(spark: SparkSession, dir: String): BucketStore = {
+    val root = Paths.get(dir)
+    require(Files.exists(root.resolve("_current")), s"no bucket store at $dir")
+    val cfg = org.json4s.jackson.Serialization.read[StoreConfig](
+      new String(Files.readAllBytes(root.resolve("_store.json"))))
+    new BucketStore(root, spark, cfg.partCols, cfg.keyCols)
+  }
+
+  def createOrLoad(spark: SparkSession, dir: String, schema: StructType,
+                   partCols: Seq[String], keyCols: Seq[String],
+                   numPids: Int = 64): BucketStore =
+    if (Files.exists(Paths.get(dir).resolve("_current"))) load(spark, dir)
+    else create(spark, dir, schema, partCols, keyCols, numPids)
+}

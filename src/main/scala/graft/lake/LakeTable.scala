@@ -159,6 +159,46 @@ final class LakeTable private (val root: Path, spark: SparkSession) {
       .select(userSchema(m).fieldNames.map(col).toSeq: _*)
   }
 
+  /** Resolve a wall-clock timestamp to the GREATEST version committed at
+    * or before it — the driver-side lookup behind SQL `TIMESTAMP AS OF`.
+    * Commit times come from the manifest's lineage ([[CommitInfo]]
+    * `committedAtMs`); for timestamps older than the capped in-manifest
+    * lineage window, older manifests are walked (each carries its own
+    * commit time as its last lineage entry) until the metadata-vacuum
+    * horizon, past which the lookup fails LOUDLY rather than silently
+    * picking a commit the caller did not mean.
+    */
+  def versionAtTimestamp(tsMillis: Long): Long = {
+    val lin = manifest.lineage
+    val elig = lin.filter(_.committedAtMs <= tsMillis)
+    val resolved: Option[Long] =
+      if (elig.nonEmpty) Some(elig.map(_.version).max)
+      else {
+        val oldestKnown = lin.map(_.version).minOption.getOrElse(currentVersion + 1)
+        var cand: Option[Long] = None
+        var v = oldestKnown - 1
+        while (v >= 1 && cand.isEmpty) {
+          val mv = scala.util.Try(manifestAt(v)).getOrElse(
+            throw new IllegalStateException(
+              s"TIMESTAMP AS OF: version $v's manifest is past the metadata-vacuum " +
+              "horizon — the timestamp precedes retained history"))
+          if (mv.lineage.lastOption.exists(_.committedAtMs <= tsMillis)) cand = Some(v)
+          v -= 1
+        }
+        cand
+      }
+    resolved match {
+      case Some(v) =>
+        if (scala.util.Try(manifestAt(v)).isFailure) throw new IllegalStateException(
+          s"TIMESTAMP AS OF resolves to version $v, whose manifest is past the " +
+          "metadata-vacuum horizon — raise vacuumMetadata keepVersions or use a later timestamp")
+        v
+      case None => throw new IllegalArgumentException(
+        s"no commit at or before timestamp $tsMillis ms — the timestamp precedes " +
+        "the table's first commit (or its retained history)")
+    }
+  }
+
   /** Incremental changelog read: the change rows (including tombstones as
     * `_deleted = true`) committed in manifest versions (fromVersion,
     * toVersion] — i.e. the DELTA files those commits added. Compaction

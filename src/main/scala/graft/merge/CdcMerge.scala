@@ -89,7 +89,8 @@ object CdcMerge {
 
   def apply(table: LakeTable, batch: DataFrame, epoch: Long,
             saltBuckets: Int = 8, mode: Mode = MergeOnRead,
-            streamId: String = "default"): Stats = {
+            streamId: String = "default",
+            preCommit: () => Unit = () => ()): Stats = {
     val t0 = System.nanoTime()
     val spark = batch.sparkSession
     val m = table.manifest
@@ -214,9 +215,13 @@ object CdcMerge {
     // between our manifest read and commit. A merge-on-read delta append is
     // always rebase-safe (it only ADDS files); the rebase re-reads the
     // current manifest, re-derives the carried file list, and retries.
-    // Copy-on-write rewrote bucket contents from a snapshot — a concurrent
-    // commit invalidates that snapshot, so CoW does not retry (it is the
-    // single-committer mode).
+    // Copy-on-write rewrote its buckets' contents from a snapshot — the
+    // rebase is sound iff the concurrent commit touched NONE of those
+    // buckets (a compactor folding OTHER buckets): our rewritten buckets'
+    // inputs are then byte-identical under the new manifest, so we carry
+    // its other-bucket files and retry. Any change WITHIN a rewritten
+    // bucket invalidates the snapshot → loud single-committer abort.
+    preCommit() // test seam: inject a concurrent commit into the window
     var base = m
     var attempt = 0
     while (true) {
@@ -224,8 +229,14 @@ object CdcMerge {
         if (base eq m) carried
         else mode match {
           case MergeOnRead => base.files
-          case CopyOnWrite => throw new IllegalStateException(
-            "concurrent commit during copy-on-write merge — CoW requires a single committer")
+          case CopyOnWrite =>
+            val beforeMine = m.files.filter(f => affected.contains(f.bucket)).map(_.path).toSet
+            val nowMine = base.files.filter(f => affected.contains(f.bucket)).map(_.path).toSet
+            if (beforeMine == nowMine) base.files.filterNot(f => affected.contains(f.bucket))
+            else throw new IllegalStateException(
+              "concurrent commit touched copy-on-write bucket(s) " +
+              s"${affected.toSeq.sorted.mkString(",")} — the rewrite's snapshot is stale; " +
+              "CoW requires a single committer for overlapping buckets")
         }
       require(base.schemas == m.schemas && base.currentSchemaId == m.currentSchemaId,
         "concurrent schema change during merge")

@@ -183,7 +183,8 @@ object PublishedCatalog {
     * channels (the reference defaults to its channel subset the same way).
     */
   final class Reader private[PublishedCatalog] (spark: SparkSession, root: String,
-                                               val version: Long, val index: DataFrame) {
+                                               val version: Long, val index: DataFrame,
+                                               val channels: Seq[String]) {
     import org.apache.spark.sql.functions.{col, lower}
 
     /** Frame search — substring on table, exact on namespace/channel, like
@@ -235,6 +236,6 @@ object PublishedCatalog {
             StructField("table", StringType), StructField("path", StringType),
             StructField("is_lake", BooleanType))))
       }
-    new Reader(spark, root, version, index)
+    new Reader(spark, root, version, index, want)
   }
 }

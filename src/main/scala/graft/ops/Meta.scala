@@ -31,13 +31,22 @@ final case class ProcEntry(
     comment: Option[String] = None
 )
 
+/** `varType`/`sortOrder` mirror the reference's logical variable types
+  * (`meta.py:25` `VARIABLE_TYPE` incl. "ordinal", `meta.py:262` `sort`):
+  * an ordinal variable carries its category order as DATA-independent
+  * metadata, so melt/pivot/concat round-trips keep the axis order intact
+  * (Spark has no categorical dtype; the order lives here instead of in a
+  * pandas CategoricalDtype).
+  */
 final case class VariableMeta(
     title: Option[String] = None,
     unit: Option[String] = None,
     shortUnit: Option[String] = None,
     description: Option[String] = None,
     origins: List[String] = Nil,
-    processing: List[ProcEntry] = Nil
+    processing: List[ProcEntry] = Nil,
+    varType: Option[String] = None,
+    sortOrder: List[String] = Nil
 ) {
   /** How downstream entries should name this variable as a parent: the
     * last entry's target, else the variable's own column name.
@@ -83,7 +92,11 @@ object VariableMeta {
     shortUnit = if (a.shortUnit == b.shortUnit) a.shortUnit else None,
     description = if (a.description == b.description) a.description else None,
     origins = (a.origins ++ b.origins).distinct,
-    processing = (a.processing ++ b.processing).distinct
+    processing = (a.processing ++ b.processing).distinct,
+    // logical type + category order: kept iff the sides agree — two
+    // ordinals with DIFFERENT orders must not silently pick one axis
+    varType = if (a.varType == b.varType) a.varType else None,
+    sortOrder = if (a.sortOrder == b.sortOrder) a.sortOrder else Nil
   )
 
   /** Combine two variables' metadata AND record the combining operation as
@@ -147,6 +160,25 @@ object MetaOps {
         withVarMeta(outDf, column, m.logOp(column, op, List(m.parentRef(column)), comment))
       case None => outDf
     }
+
+  /** Sort rows by a column's ORDINAL category order (from its
+    * `sortOrder` metadata, reference `meta.py:262` + the grapher's
+    * ordinal-axis inference `etl/grapher_model.py:1360`): known labels in
+    * declared order, unknown labels after them alphabetically, nulls
+    * last. Fails loudly when the column carries no ordinal order — a
+    * silent lexicographic fallback would LOOK sorted and be wrong.
+    */
+  def sortOrdinal(df: DataFrame, colName: String, extraSort: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val order = varMeta(df, colName).map(_.sortOrder).getOrElse(Nil)
+    require(order.nonEmpty,
+      s"column '$colName' carries no ordinal sortOrder metadata — attach a " +
+      "VariableMeta(varType=Some(\"ordinal\"), sortOrder=...) first")
+    val pos = array_position(typedLit(order), col(colName))
+    val rank = when(col(colName).isNull, lit(Long.MaxValue))
+      .when(pos > 0, pos).otherwise(lit(order.size + 1L))
+    df.orderBy((rank +: col(colName) +: extraSort.map(col)): _*)
+  }
 
   /** Lift a plain DataFrame transform into a metadata-keeping one: metadata
     * of columns that survive (same name) is re-attached after `f`. Mirrors

@@ -33,7 +33,15 @@ object ReshapeOps {
             values: Seq[String] = Nil): DataFrame = {
     val g = df.groupBy(index.map(col): _*)
     val p = if (values.nonEmpty) g.pivot(column, values) else g.pivot(column)
-    p.agg(first(col(value)))
+    val wide = p.agg(first(col(value)))
+    // the value column's metadata (incl. an ordinal's varType/sortOrder)
+    // travels to every generated column — melt→pivot round-trips keep the
+    // axis order intact (reference: pivot keeps variable metadata)
+    MetaOps.varMeta(df, value) match {
+      case None => wide
+      case Some(m) => wide.columns.filterNot(index.contains)
+        .foldLeft(wide)((acc, c) => MetaOps.withVarMeta(acc, c, m))
+    }
   }
 
   /** Max generated column name length (the reference trims grapher
@@ -74,19 +82,73 @@ object ReshapeOps {
   // The reference expands each fan-out slice's variable metadata per
   // dimension combination (`etl/grapher_helpers.py:146-264`): fields with
   // `<<dim>>` placeholders are template-substituted; a plain title gets
-  // the default "Title - Age: 10-18 - Sex: male" composition. Jinja
-  // control blocks (`<% %>`) are out of scope and REJECTED loudly — a raw
-  // template leaking into published metadata is worse than an error.
+  // the default "Title - Age: 10-18 - Sex: male" composition. Of jinja,
+  // the bounded `<% if dim == "v" %>…<% else %>…<% endif %>` subset is
+  // evaluated ([[evalControlBlocks]]); anything beyond it is REJECTED
+  // loudly — a raw template leaking into published metadata is worse
+  // than an error.
 
   private val PlaceholderRe = "<<\\s*([A-Za-z0-9_]+)\\s*>>".r
+  private val IfRe =
+    "<%\\s*if\\s+([A-Za-z0-9_]+)\\s*(==|!=)\\s*(?:\"([^\"]*)\"|'([^']*)')\\s*%>".r
+  private val ElseRe = "<%\\s*else\\s*%>".r
+  private val EndifRe = "<%\\s*endif\\s*%>".r
 
   def usesTemplate(s: String): Boolean = s.contains("<<") || s.contains("<%")
 
-  /** Substitute `<<dim>>` placeholders; unknown placeholders fail loudly. */
+  /** Evaluate the BOUNDED conditional subset
+    * `<% if dim == "value" %>…[<% else %>…]<% endif %>` (also `!=`;
+    * sequential blocks allowed) — the conditionals of the reference's
+    * `_expand_jinja` (`etl/grapher_helpers.py:194-232`) without shipping
+    * a template engine. Everything else — loops, nesting, filters, an
+    * unknown dimension — is rejected LOUDLY: a raw control tag leaking
+    * into published metadata is worse than an error.
+    */
+  private[ops] def evalControlBlocks(text: String, dims: Map[String, String]): String = {
+    val sb = new StringBuilder
+    var rest = text
+    while (rest.contains("<%")) {
+      val at = rest.indexOf("<%")
+      sb.append(rest.substring(0, at))
+      val tail = rest.substring(at)
+      val m = IfRe.findPrefixMatchOf(tail).getOrElse(throw new IllegalArgumentException(
+        "unsupported template control block (supported subset: " +
+        "<% if dim == \"value\" %>…<% else %>…<% endif %>): " +
+        s"'${tail.take(48)}' in template '$text'"))
+      val dim = m.group(1)
+      val value = Option(m.group(3)).getOrElse(m.group(4))
+      val have = dims.getOrElse(dim, throw new IllegalArgumentException(
+        s"unknown dimension '$dim' in template condition '${m.matched}'; " +
+        s"have: ${dims.keys.toSeq.sorted.mkString(", ")}"))
+      val afterIf = tail.substring(m.end)
+      val endif = EndifRe.findFirstMatchIn(afterIf).getOrElse(
+        throw new IllegalArgumentException(s"missing <% endif %> in template '$text'"))
+      val inner = afterIf.substring(0, endif.start)
+      if (IfRe.findFirstIn(inner).isDefined) throw new IllegalArgumentException(
+        s"nested <% if %> blocks are not supported: '$text'")
+      val (thenB, elseB) = ElseRe.findFirstMatchIn(inner) match {
+        case Some(e) => (inner.substring(0, e.start), inner.substring(e.end))
+        case None => (inner, "")
+      }
+      val cond = if (m.group(2) == "==") have == value else have != value
+      sb.append(if (cond) thenB else elseB)
+      rest = afterIf.substring(endif.end)
+    }
+    sb.append(rest)
+    val out = sb.toString
+    // a tag smuggled inside a branch body bypasses the scan above — it
+    // must still never reach published metadata
+    require(!out.contains("<%"),
+      s"unsupported template control block survived expansion: '$out'")
+    out
+  }
+
+  /** Expand a template: bounded `<% if %>` conditionals first, then
+    * `<<dim>>` substitution; unknown placeholders fail loudly.
+    */
   def expandTemplate(text: String, dims: Map[String, String]): String = {
-    require(!text.contains("<%"),
-      s"template control blocks (<% %>) are not supported: $text")
-    PlaceholderRe.replaceAllIn(text, m => {
+    val resolved = evalControlBlocks(text, dims)
+    PlaceholderRe.replaceAllIn(resolved, m => {
       val k = m.group(1)
       java.util.regex.Matcher.quoteReplacement(dims.getOrElse(k,
         throw new IllegalArgumentException(

@@ -63,7 +63,20 @@ object TableOps {
     val m = typedLit(mapping)
     val mapped = element_at(m, col(column))
     val out = if (keepUnmapped) coalesce(mapped, col(column)) else mapped
-    MetaOps.relog(df, df.withColumn(column, out), column, "map_values")
+    val relogged = MetaOps.relog(df, df.withColumn(column, out), column, "map_values")
+    // rename_categories semantics for an ORDINAL column: the category
+    // order is label metadata, so renaming the labels must rename the
+    // order too (reference: pandas rename_categories keeps the
+    // CategoricalDtype order under the new names)
+    MetaOps.varMeta(df, column).filter(_.sortOrder.nonEmpty) match {
+      case Some(meta) =>
+        val renamed = meta.sortOrder.map(l =>
+          mapping.getOrElse(l, if (keepUnmapped) l else null))
+          .filter(_ != null).distinct
+        val cur = MetaOps.varMeta(relogged, column).getOrElse(meta)
+        MetaOps.withVarMeta(relogged, column, cur.copy(sortOrder = renamed))
+      case None => relogged
+    }
   }
 
   /** Fill nulls of `column` in `df` from the same column of `other`
@@ -162,10 +175,18 @@ object TableOps {
   // ---------- §2.6 / §2.7 sorts & set ops ----------
 
   /** Union-by-name with missing columns allowed, like metadata-combining
-    * concat axis=0 (`tables.py:1404-1475`).
+    * concat axis=0 (`tables.py:1404-1475`): per-column VariableMeta is
+    * COMBINED across inputs (unit/title/type/sortOrder kept iff all
+    * agree, origins unioned) — unionByName alone would silently keep
+    * only the first table's metadata.
     */
-  def concat(tables: Seq[DataFrame]): DataFrame =
-    tables.reduce(_.unionByName(_, allowMissingColumns = true))
+  def concat(tables: Seq[DataFrame]): DataFrame = {
+    val out = tables.reduce(_.unionByName(_, allowMissingColumns = true))
+    val metas = tables.flatMap(t => t.schema.fields.flatMap(f =>
+      VariableMeta.fromSpark(f.metadata).map(f.name -> _)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).reduce(VariableMeta.combineFields)).toMap
+    metas.foldLeft(out) { case (d, (c, m)) => MetaOps.withVarMeta(d, c, m) }
+  }
 
   /** Column-wise stitch on keys; duplicate value columns are an error
     * (concat axis=1, `tables.py:1448-1458`).

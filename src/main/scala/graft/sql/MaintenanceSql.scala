@@ -32,7 +32,7 @@ import graft.merge.Compactor
   * rather than falling through to Spark and producing a confusing
   * parse error against the wrong grammar.
   */
-class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends ParserInterface {
 
   private val optimizeRe =
     """(?is)\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_.]*)\s*;?\s*""".r
@@ -64,7 +64,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     def firstWord = body.takeWhile(!_.isWhitespace).toUpperCase
     firstWord match {
       case "OPTIMIZE" => body match {
-        case optimizeRe(name) => LakeCatalog.lookup(name) match {
+        case optimizeRe(name) => LakeCatalog.lookup(session, name) match {
           case Some(dir) => GraftOptimizeCommand(dir)
           case None => throw new IllegalArgumentException(
             s"OPTIMIZE: '$name' is not a registered lake table")
@@ -73,7 +73,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           throw new IllegalArgumentException("expected: OPTIMIZE <lake table name>")
       }
       case "VACUUM" => body match {
-        case vacuumRe(name, retain) => LakeCatalog.lookup(name) match {
+        case vacuumRe(name, retain) => LakeCatalog.lookup(session, name) match {
           case Some(dir) =>
             GraftVacuumCommand(dir, Option(retain).map(_.toInt).getOrElse(2))
           case None => throw new IllegalArgumentException(

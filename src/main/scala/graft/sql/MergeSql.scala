@@ -30,10 +30,98 @@ import graft.merge.CdcMerge
 object LakeCatalog {
   private val reg = TrieMap.empty[String, String]
 
-  /** Register `name` as a SQL-addressable lake table rooted at `dir`. */
+  /** Session conf key naming a catalog ROOT whose PUBLISHED index
+    * ([[graft.ops.PublishedCatalog]]) persists SQL registrations: every
+    * session configured with the same root — including one in another
+    * process — resolves the same names, matching the reference's shared
+    * remote catalog (`RemoteCatalog.find → load`,
+    * `lib/catalog/owid/catalog/catalogs.py:249-407`). Without it,
+    * registrations stay process-local (the round-3 behavior).
+    */
+  val ROOT_CONF = "spark.graft.catalog.root"
+  private val SQL_CHANNEL = "sql"
+
+  // per-root resolver cache, invalidated by the published token's version
+  private val cache = TrieMap.empty[String, (Long, Map[String, String])]
+  private val publishLock = new Object
+
+  /** Register `name` as a SQL-addressable lake table rooted at `dir`
+    * (process-local registry). */
   def register(name: String, dir: String): Unit = reg.put(name.toLowerCase, dir)
   def unregister(name: String): Unit = reg.remove(name.toLowerCase)
   def lookup(name: String): Option[String] = reg.get(name.toLowerCase)
+
+  private def rootOf(session: SparkSession): Option[String] =
+    session.conf.getOption(ROOT_CONF).filter(_.nonEmpty)
+
+  /** Register durably when the session configures [[ROOT_CONF]]: the name
+    * lands in the published catalog index under channel "sql" (one fresh
+    * immutable version per registration — see PublishedCatalog's token
+    * swap), visible to every session sharing the root. Falls back to the
+    * process-local registry otherwise.
+    */
+  def register(session: SparkSession, name: String, dir: String): Unit =
+    rootOf(session) match {
+      case Some(root) => publishDelta(session, root,
+        add = Some(name.toLowerCase -> dir), remove = None)
+      case None => register(name, dir)
+    }
+
+  def unregister(session: SparkSession, name: String): Unit = {
+    unregister(name)
+    rootOf(session).foreach(root =>
+      publishDelta(session, root, add = None, remove = Some(name.toLowerCase)))
+  }
+
+  /** Resolve a name: the process-local registry first (an explicit local
+    * register wins), then the session's published catalog if configured.
+    */
+  def lookup(session: SparkSession, name: String): Option[String] =
+    lookup(name).orElse(rootOf(session).flatMap(root =>
+      publishedNames(session, root).get(name.toLowerCase)))
+
+  /** Read-modify-publish of the root's full index with the "sql" channel
+    * updated — other channels' entries are carried so a catalog that also
+    * publishes data channels is never truncated by a SQL registration.
+    * Serialized in-process; cross-process concurrent publishes are
+    * last-writer-wins on the token (same contract as any publish).
+    */
+  private def publishDelta(session: SparkSession, root: String,
+                           add: Option[(String, String)],
+                           remove: Option[String]): Unit = publishLock.synchronized {
+    val existing: Seq[(String, String, String, String, Boolean)] =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(root, "_index", "catalog.json")))
+        graft.ops.PublishedCatalog.open(session, root).index
+          .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+            r.getString(3), r.getBoolean(4))).toSeq
+      else Nil
+    val dropped = existing.filterNot { case (ch, _, t, _, _) =>
+      ch == SQL_CHANNEL && (add.exists(_._1 == t) || remove.contains(t)) }
+    val entries = dropped ++ add.map { case (n, d) => (SQL_CHANNEL, "", n, d, true) }
+    graft.ops.PublishedCatalog.publish(session, root, entries,
+      graft.ops.PublishedCatalog.freshVersion(root))
+    cache.remove(rootKey(root))
+  }
+
+  private def rootKey(root: String): String =
+    java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString
+
+  private def publishedNames(session: SparkSession, root: String): Map[String, String] = {
+    val tokenPath = java.nio.file.Paths.get(root, "_index", "catalog.json")
+    if (!java.nio.file.Files.exists(tokenPath)) return Map.empty
+    val reader = graft.ops.PublishedCatalog.open(session, root)
+    val key = rootKey(root)
+    cache.get(key) match {
+      case Some((v, m)) if v == reader.version => m
+      case _ =>
+        val m =
+          if (!reader.channels.contains(SQL_CHANNEL)) Map.empty[String, String]
+          else reader.find(channel = SQL_CHANNEL).select("table", "path")
+            .collect().map(r => r.getString(0).toLowerCase -> r.getString(1)).toMap
+        cache.put(key, (reader.version, m))
+        m
+    }
+  }
 }
 
 /** Analyzer rule: MERGE INTO <registered lake table> → [[GraftMergeIntoCommand]].
@@ -126,10 +214,10 @@ case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
     case m: MergeIntoTable =>
       targetRelation(m.targetTable) match {
         case Some(u) if m.sourceTable.resolved &&
-            LakeCatalog.lookup(u.multipartIdentifier.mkString(".")).isDefined =>
+            LakeCatalog.lookup(session, u.multipartIdentifier.mkString(".")).isDefined =>
           val name = u.multipartIdentifier.mkString(".")
           validate(m, name)
-          GraftMergeIntoCommand(LakeCatalog.lookup(name).get, m.sourceTable)
+          GraftMergeIntoCommand(LakeCatalog.lookup(session, name).get, m.sourceTable)
         case _ => m
       }
   }

@@ -24,9 +24,11 @@ import graft.lake.LakeTable
   * the MERGE target and inside the source subquery in the SAME statement
   * is therefore not readable from the source side; split the statement.
   *
-  * `TIMESTAMP AS OF` is rejected loudly: manifest versions are the lake's
-  * time axis; mapping wall-clock to versions would silently pick a commit
-  * the user didn't mean.
+  * `TIMESTAMP AS OF <ts>` resolves through the commit wall-clock recorded
+  * in manifest lineage ([[LakeTable.versionAtTimestamp]]): the GREATEST
+  * version committed at or before the timestamp, failing loudly for
+  * timestamps past the metadata-vacuum horizon or before the first
+  * commit — never a silent nearest-pick.
   */
 case class GraftSelectRule(session: SparkSession) extends Rule[LogicalPlan] {
 
@@ -63,17 +65,43 @@ case class GraftSelectRule(session: SparkSession) extends Rule[LogicalPlan] {
     }.toSet
     plan.resolveOperatorsUp {
       case tt @ RelationTimeTravel(u: UnresolvedRelation, ts, ver)
-          if LakeCatalog.lookup(nameOf(u)).isDefined =>
-        if (ts.nonEmpty) throw new IllegalArgumentException(
-          s"lake table '${nameOf(u)}': TIMESTAMP AS OF is not supported — " +
-          "manifest versions are the time axis; use VERSION AS OF <version>")
-        val v = ver.get.toLongOption.getOrElse(throw new IllegalArgumentException(
-          s"lake table '${nameOf(u)}': VERSION AS OF expects a numeric manifest " +
-          s"version (got '${ver.get}')"))
-        snapshotPlan(LakeCatalog.lookup(nameOf(u)).get, Some(v))
+          if LakeCatalog.lookup(session, nameOf(u)).isDefined =>
+        val dir = LakeCatalog.lookup(session, nameOf(u)).get
+        val v = (ts, ver) match {
+          case (Some(tsExpr), _) =>
+            LakeTable.load(session, dir).versionAtTimestamp(evalTsMillis(nameOf(u), tsExpr))
+          case (None, Some(verStr)) => verStr.toLongOption.getOrElse(
+            throw new IllegalArgumentException(
+              s"lake table '${nameOf(u)}': VERSION AS OF expects a numeric manifest " +
+              s"version (got '$verStr')"))
+          case _ => throw new IllegalArgumentException(
+            s"lake table '${nameOf(u)}': time travel needs VERSION AS OF or TIMESTAMP AS OF")
+        }
+        snapshotPlan(dir, Some(v))
       case u: UnresolvedRelation
-          if !dmlTargets.contains(u) && LakeCatalog.lookup(nameOf(u)).isDefined =>
-        snapshotPlan(LakeCatalog.lookup(nameOf(u)).get, None)
+          if !dmlTargets.contains(u) && LakeCatalog.lookup(session, nameOf(u)).isDefined =>
+        snapshotPlan(LakeCatalog.lookup(session, nameOf(u)).get, None)
     }
+  }
+
+  /** Evaluate the parsed TIMESTAMP AS OF operand (a literal or foldable
+    * expression) to epoch millis in the session time zone; anything that
+    * does not evaluate to a timestamp fails loudly by name.
+    */
+  private def evalTsMillis(name: String, e: org.apache.spark.sql.catalyst.expressions.Expression): Long = {
+    import org.apache.spark.sql.catalyst.expressions.Cast
+    import org.apache.spark.sql.types.TimestampType
+    val zone = session.sessionState.conf.sessionLocalTimeZone
+    val micros = try {
+      val r = Cast(e, TimestampType, Some(zone)).eval(null)
+      if (r == null) throw new IllegalArgumentException(s"'${e.sql}' is not a timestamp")
+      r.asInstanceOf[Long]
+    } catch {
+      case ia: IllegalArgumentException => throw ia
+      case other: Exception => throw new IllegalArgumentException(
+        s"lake table '$name': TIMESTAMP AS OF operand '${e.sql}' did not evaluate " +
+        "to a timestamp", other)
+    }
+    Math.floorDiv(micros, 1000L)
   }
 }

@@ -31,14 +31,8 @@ object DedupMaintenance {
     /** Last fully processed table version. */
     def processedVersion: Long = processedRef.get()
     def failure: Option[Throwable] = follower.failure
-    private[DedupMaintenance] def isLive: Boolean = follower.isAlive
     override def close(): Unit =
-      // deregister ONLY if the follower thread provably died — a close()
-      // that throws with the thread still alive must keep blocking resume()
-      try follower.close() finally DedupMaintenance.live.synchronized {
-        if (!follower.isAlive && DedupMaintenance.live.get(liveKey).contains(this))
-          DedupMaintenance.live.remove(liveKey)
-      }
+      try follower.close() finally DedupMaintenance.releaseLive(liveKey)
   }
 
   /** One live maintenance loop per (table root, pin): a second start/resume
@@ -46,17 +40,25 @@ object DedupMaintenance {
     * into one pair log and move one pin in both directions. start/resume
     * refuse while the previous loop's thread lives (close() first).
     */
-  private val live = scala.collection.mutable.Map.empty[String, Handle]
+  private val live = scala.collection.mutable.Map.empty[String, () => Boolean]
 
-  private def registerLive(table: LakeTable, pinName: String,
-                           mk: String => Handle): Handle = live.synchronized {
+  private def registerLive[H](table: LakeTable, pinName: String,
+                              mk: String => (H, () => Boolean)): H = live.synchronized {
     val key = table.root.toAbsolutePath.normalize.toString + "#" + pinName
-    live.get(key).foreach(prev => require(!prev.isLive,
+    live.get(key).foreach(alive => require(!alive(),
       s"a maintenance loop for pin '$pinName' on ${table.root} is still live — " +
       "close() it before starting/resuming another"))
-    val h = mk(key)
-    live(key) = h
+    val (h, probe) = mk(key)
+    live(key) = probe
     h
+  }
+
+  /** Deregister ONLY if the registered loop provably died — a close() that
+    * threw with its thread still alive must keep blocking resume(), and a
+    * stale handle's late close() must not evict a newer live registration.
+    */
+  private def releaseLive(key: String): Unit = live.synchronized {
+    live.get(key).foreach(alive => if (!alive()) live.remove(key))
   }
 
   private type AtomicLong = java.util.concurrent.atomic.AtomicLong
@@ -158,7 +160,7 @@ object DedupMaintenance {
         }
       }
     }
-    new Handle(follower, storeRef, processedRef, liveKey)
+    (new Handle(follower, storeRef, processedRef, liveKey), () => follower.isAlive)
     })
   }
 
@@ -195,6 +197,90 @@ object DedupMaintenance {
           col("__p.est_jaccard").as("est_jaccard"),
           col("__p.to_version").as("to_version"))
     else raw
+  }
+
+  // ---- lake-backed mode -------------------------------------------
+  // The round-4 store backend: signatures live in a bucket-partitioned
+  // [[graft.ops.LakeDedupStore]] on disk — refreshes APPEND O(batch)
+  // rows (no carry-rewrite), the banded probe prunes to touched
+  // partitions, and the store itself carries the resume watermark, so a
+  // restart needs neither an O(corpus) snapshot rebuild nor side-channel
+  // checkpoint markers. This is the mode that survives a corpus that
+  // does not fit executor storage memory.
+
+  final class LakeHandle private[DedupMaintenance] (
+      follower: ChangelogFollower.Handle,
+      val store: graft.ops.LakeDedupStore,
+      processedRef: AtomicLong,
+      liveKey: String) extends AutoCloseable {
+    /** Last fully committed table version (== store watermark). */
+    def processedVersion: Long = processedRef.get()
+    def failure: Option[Throwable] = follower.failure
+    override def close(): Unit =
+      try follower.close() finally DedupMaintenance.releaseLive(liveKey)
+  }
+
+  /** Start (or RESUME — the store's own watermark decides) lake-backed
+    * maintenance. A fresh store bootstraps from the live snapshot at the
+    * current version (the one O(corpus) pass, paid once per store, never
+    * per restart). Per window: pairs are planned against pre-append
+    * state, durably logged, THEN the stores commit with the window's
+    * version as watermark — a crash at any point replays from the
+    * watermark with idempotent appends and log duplicates that
+    * [[pairsBetween]]'s latest-wins dedupe collapses (at-least-once,
+    * never gaps). Every `compactEvery` windows the store folds its delta
+    * tail and splits outgrown partitions.
+    */
+  def startLake(table: LakeTable, textColumn: String, pairsDir: String,
+                storeDir: String, bands: Int = 8, rowsPerBand: Int = 4,
+                minJaccard: Double = 0.7, pollMs: Long = 200L,
+                pinName: String = "dedup-maintenance",
+                numPids: Int = 64, compactEvery: Int = 8,
+                maxRowsPerPid: Long = 1L << 19): LakeHandle = {
+    val spark = table.snapshot().sparkSession
+    val store = graft.ops.LakeDedupStore.createOrLoad(spark, storeDir,
+      bands, rowsPerBand, numPids = numPids)
+    var from = store.watermark
+    if (from < 0) {
+      val v = table.currentVersion
+      val ups = table.snapshotAt(v)
+        .withColumn("key", concat_ws("#", Schemas.KEY_COLS.map(col): _*))
+        .select(col("key"), col(textColumn).as("text"))
+      val plan = store.planRefresh(ups,
+        ups.select("key").limit(0), minJaccard)
+      plan.pairs.withColumn("to_version", lit(v))
+        .write.mode("append").partitionBy("to_version").parquet(pairsDir)
+      plan.commit(v)
+      from = v
+    }
+    table.pin(pinName, from)
+    registerLive(table, pinName, liveKey => {
+      val processedRef = new AtomicLong(from)
+      val windows = new AtomicLong(0L)
+      val follower = ChangelogFollower.follow(table, from, pollMs,
+        pinName = Some(pinName)) { (changes, toVersion) =>
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(Schemas.KEY_COLS.map(col): _*)
+          .orderBy(LakeTable.resolveOrder(changes): _*)
+        val latest = changes.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+          .withColumn("key", concat_ws("#", Schemas.KEY_COLS.map(col): _*))
+          .localCheckpoint(true)
+        val deleted = latest.filter(col(Schemas.DELETED_COL)).select("key")
+        val upserts = latest.filter(!col(Schemas.DELETED_COL))
+          .select(col("key"), col(textColumn).as("text"))
+        val plan = store.planRefresh(upserts, deleted, minJaccard)
+        plan.pairs.withColumn("to_version", lit(toVersion))
+          .write.mode("append").partitionBy("to_version").parquet(pairsDir)
+        plan.commit(toVersion) // watermark = toVersion, atomic with the rows
+        processedRef.set(toVersion)
+        if (windows.incrementAndGet() >= compactEvery) {
+          store.maintain(maxRowsPerPid)
+          windows.set(0L)
+        }
+      }
+      (new LakeHandle(follower, store, processedRef, liveKey), () => follower.isAlive)
+    })
   }
 
   /** Resume after a restart: the durable pin says which version the pair

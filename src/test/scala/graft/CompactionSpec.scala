@@ -137,6 +137,52 @@ class CompactionSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("CoW rebase: a concurrent compaction on DISJOINT buckets retries and commits; an overlapping one aborts loudly") {
+    import spark.implicits._
+    val dir = tmpDir("cowreb")
+    try {
+      val table = LakeTable.create(spark, s"$dir/t", Schemas.transcript, numBuckets = 2)
+      // conv ids steered to known buckets
+      val ids = (0 until 40).map(i => s"conv$i")
+      val b0 = ids.filter(table.bucketOf(_, 2) == 0)
+      val b1 = ids.filter(table.bucketOf(_, 2) == 1)
+      assert(b0.nonEmpty && b1.nonEmpty)
+      def batch(convs: Seq[String], lsnBase: Long) = convs.zipWithIndex.map { case (c, i) =>
+        (c, 0, "assistant", s"text of $c", null.asInstanceOf[String],
+          new java.sql.Timestamp(1L), "U", lsnBase + i)
+      }.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts", "op", "lsn")
+      // MOR deltas in BOTH buckets so a compactor has something to fold
+      CdcMerge.apply(table, batch(b0 ++ b1, 0), 0L)
+      val rows = table.snapshot().count()
+
+      // DISJOINT: CoW rewrites only bucket 1; mid-window a compactor folds
+      // bucket 0 → the CoW commit rebases over it and SUCCEEDS
+      val s1 = CdcMerge.apply(table, batch(b1, 1000), 1L, mode = CdcMerge.CopyOnWrite,
+        preCommit = () => { Compactor.compact(table, Set(0)) })
+      assert(s1.applied)
+      assert(table.snapshot().count() == rows) // no rows lost to the rebase
+      // bucket 0's compacted base survived the CoW commit
+      assert(table.manifest.files.filter(_.bucket == 0).forall(_.kind == FileEntry.BASE))
+      // the CoW-updated texts landed
+      assert(table.snapshot().filter(col("conv_id") === b1.head).select("text")
+        .collect()(0).getString(0) == s"text of ${b1.head}")
+
+      // OVERLAPPING: a concurrent compaction of the SAME bucket the CoW
+      // rewrite targets → stale snapshot → loud abort, table intact
+      val before = table.contentChecksum()
+      val e = intercept[IllegalStateException] {
+        CdcMerge.apply(table, batch(b1, 2000), 2L, mode = CdcMerge.CopyOnWrite,
+          preCommit = () => {
+            // re-dirty bucket 1 then fold it so its file set changes
+            CdcMerge.apply(table, batch(b1.take(1), 1500), 10L, streamId = "side")
+            Compactor.compact(table, Set(1))
+          })
+      }
+      assert(e.getMessage.contains("single committer"), e.getMessage)
+      assert(table.snapshot().count() == rows)
+    } finally rmrf(dir)
+  }
+
   test("streaming with async compaction converges to the oracle") {
     val dir = tmpDir("cc3")
     val cfg = WalGen.Config(numEvents = 20000, numConvs = 150, maxTurns = 25)

@@ -53,6 +53,75 @@ class DagSpec extends AnyFunSuite {
     assert(runner.selectDirty().isEmpty)
   }
 
+  test("YAML DAG loading: recursive include resolution, loud duplicates, grapher auto-twins, dependency-first compile order") {
+    val dir = java.nio.file.Files.createTempDirectory("dagyaml")
+    def write(rel: String, content: String): Unit = {
+      val p = dir.resolve(rel)
+      java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, content.getBytes("UTF-8"))
+    }
+    try {
+      write("main.yml",
+        """steps:
+          |  data://garden/demo/table:
+          |    - data://meadow/demo/raw
+          |    - snapshot://demo/raw.csv
+          |  data://meadow/demo/raw:
+          |    - snapshot://demo/raw.csv
+          |include:
+          |  - sub/extra.yml
+          |""".stripMargin)
+      write("sub/extra.yml",
+        """steps:
+          |  data://grapher/demo/chart_input:
+          |    - data://garden/demo/table
+          |include:
+          |  - sub/leaf.yml
+          |""".stripMargin)
+      write("sub/leaf.yml",
+        """steps:
+          |  data://garden/demo/other:
+          |""".stripMargin)
+      val dag = Dag.fromYaml(dir.resolve("main.yml").toString)
+      assert(dag.deps.keySet == Set(
+        "data://garden/demo/table", "data://meadow/demo/raw",
+        "data://grapher/demo/chart_input", "data://garden/demo/other"))
+      assert(dag.deps("data://grapher/demo/chart_input") == Set("data://garden/demo/table"))
+      assert(dag.deps("data://garden/demo/other").isEmpty)
+      // compile order: every step after all its dependencies (the
+      // reference's to_dependency_order contract)
+      val order = dag.topoSort
+      for ((step, ds) <- dag.deps; d <- ds)
+        assert(order.indexOf(d) < order.indexOf(step), s"$d must precede $step")
+      // auto-twin rule: data://grapher/... gains a grapher:// step whose
+      // only dependency is the data step; scheme-only rewrite
+      val twinned = dag.withGrapherTwins()
+      assert(twinned.deps("grapher://grapher/demo/chart_input") ==
+        Set("data://grapher/demo/chart_input"))
+      assert(!twinned.deps.contains("grapher://garden/demo/table"))
+      // a duplicate step across files is LOUD, naming the file
+      write("dup.yml",
+        """steps:
+          |  data://meadow/demo/raw:
+          |include:
+          |  - main.yml
+          |""".stripMargin)
+      val e = intercept[IllegalArgumentException](
+        Dag.fromYaml(dir.resolve("dup.yml").toString))
+      assert(e.getMessage.contains("duplicate steps") &&
+        e.getMessage.contains("data://meadow/demo/raw"), e.getMessage)
+      // a missing include is loud too
+      write("badinc.yml", "include:\n  - nope/missing.yml\n")
+      assert(intercept[IllegalArgumentException](
+        Dag.fromYaml(dir.resolve("badinc.yml").toString))
+        .getMessage.contains("not found"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("parallel run respects dependency order") {
     val order = java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
     val runner = new IncrementalRunner(dag, _ => "v1", mutable.Map.empty)

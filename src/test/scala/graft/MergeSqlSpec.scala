@@ -107,7 +107,7 @@ class MergeSqlSpec extends SparkSpec {
     }
   }
 
-  test("SELECT over a registered lake table: live snapshot, VERSION AS OF time travel, loud TIMESTAMP AS OF") {
+  test("SELECT over a registered lake table: live snapshot, VERSION AS OF and TIMESTAMP AS OF time travel") {
     val dir = tmpDir("selectsql")
     spark.sparkContext
     SparkSession.clearActiveSession()
@@ -122,6 +122,7 @@ class MergeSqlSpec extends SparkSpec {
       graft.merge.CdcMerge.apply(table, WalGen.events(s2, cfg, 0, 2000).toDF(), 0L)
       val v1 = table.currentVersion
       val rowsV1 = table.snapshot().count()
+      Thread.sleep(10) // distinct commit wall-clocks for the TIMESTAMP AS OF case
       graft.merge.CdcMerge.apply(table, WalGen.events(s2, cfg, 2000, 4000).toDF(), 1L)
 
       // live snapshot through plain SQL — aggregation + filter on top
@@ -141,10 +142,24 @@ class MergeSqlSpec extends SparkSpec {
            |JOIN (SELECT conv_id, turn_idx FROM lake_sel VERSION AS OF $v1) old
            |USING (conv_id, turn_idx)""".stripMargin).collect()(0).getLong(0)
       assert(joined > 0 && joined <= atV1)
-      // TIMESTAMP AS OF → loud rejection, not a silent wrong-commit read
-      val ts = intercept[Exception](s2.sql(
+      // TIMESTAMP AS OF resolves through commit wall-clock: an instant
+      // between the two commits reproduces v1, "now" reads the live
+      // state, and a timestamp before the first commit is LOUD — never a
+      // silent nearest-pick
+      val lin = table.manifest.lineage
+      val tV2 = lin.find(_.version == v1 + 1).get.committedAtMs
+      assert(tV2 > lin.find(_.version == v1).get.committedAtMs)
+      val atTs = s2.sql(
+        s"SELECT count(*) AS n FROM lake_sel TIMESTAMP AS OF timestamp_millis(${tV2 - 1})")
+        .collect()(0).getLong(0)
+      assert(atTs == rowsV1, s"atTs=$atTs rowsV1=$rowsV1")
+      val nowTs = s2.sql(
+        s"SELECT count(*) AS n FROM lake_sel TIMESTAMP AS OF timestamp_millis(${System.currentTimeMillis()})")
+        .collect()(0).getLong(0)
+      assert(nowTs == live)
+      val early = intercept[Exception](s2.sql(
         "SELECT * FROM lake_sel TIMESTAMP AS OF '2024-01-01'").collect())
-      assert(ts.getMessage.contains("VERSION AS OF"), ts.getMessage)
+      assert(early.getMessage.contains("precedes"), early.getMessage)
       // non-numeric version → loud shape error, not a parse fall-through
       val badV = intercept[Exception](s2.sql(
         "SELECT * FROM lake_sel VERSION AS OF 'abc'").collect())
@@ -240,6 +255,63 @@ class MergeSqlSpec extends SparkSpec {
       assert(aliasedOk.schema.fieldNames.contains("applied"))
     } finally {
       LakeCatalog.unregister("lake_maint")
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+      rmrf(dir)
+    }
+  }
+
+  test("shared SQL catalog: a registration published by one session resolves in a SECOND session via the published index") {
+    val dir = tmpDir("sharedcat")
+    spark.sparkContext
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val catRoot = s"$dir/catalog"
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.functions.GraftExtensions)
+        .config(LakeCatalog.ROOT_CONF, catRoot)
+        .getOrCreate()
+      val cfg = WalGen.Config(numEvents = 2000, numConvs = 20)
+      val table = LakeTable.create(s2, s"$dir/t", Schemas.transcript, numBuckets = 2)
+      graft.merge.CdcMerge.apply(table, WalGen.events(s2, cfg, 0, 2000).toDF(), 0L)
+      // durable registration: lands in the published index, NOT the
+      // process-local map
+      LakeCatalog.register(s2, "shared_convs", s"$dir/t")
+      assert(LakeCatalog.lookup("shared_convs").isEmpty, "must not be a local registration")
+
+      // a SECOND session — fresh extensions instance (rules + parser),
+      // same catalog root — resolves SELECT, time travel, MERGE, and
+      // maintenance SQL on the published name
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      val s3 = SparkSession.builder()
+        .withExtensions(new graft.functions.GraftExtensions)
+        .config(LakeCatalog.ROOT_CONF, catRoot)
+        .getOrCreate()
+      val live = table.snapshot().count()
+      assert(s3.sql("SELECT count(*) FROM shared_convs").collect()(0).getLong(0) == live)
+      WalGen.events(s3, cfg, 0, 100).toDF().createOrReplaceTempView("chg")
+      val m = s3.sql(
+        """MERGE INTO shared_convs USING chg
+          |ON shared_convs.conv_id = chg.conv_id AND shared_convs.turn_idx = chg.turn_idx
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()(0)
+      assert(m.schema.fieldNames.contains("applied"))
+      assert(s3.sql("OPTIMIZE shared_convs").collect()(0)
+        .schema.fieldNames.contains("buckets_compacted"))
+      // a session WITHOUT the catalog root does NOT see the name
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      val s4 = SparkSession.builder()
+        .withExtensions(new graft.functions.GraftExtensions)
+        .config(LakeCatalog.ROOT_CONF, "")
+        .getOrCreate()
+      intercept[Exception](s4.sql("SELECT count(*) FROM shared_convs").collect())
+      // durable unregister from the OTHER session removes the name for all
+      LakeCatalog.unregister(s3, "shared_convs")
+      intercept[Exception](s3.sql("SELECT count(*) FROM shared_convs").collect())
+    } finally {
       SparkSession.setActiveSession(spark)
       SparkSession.setDefaultSession(spark)
       rmrf(dir)

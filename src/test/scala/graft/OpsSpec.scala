@@ -279,4 +279,74 @@ class OpsSpec extends SparkSpec {
     // each entry chains: parent is the column's previous identity
     assert(mFF.processing.last.parents == List("v"))
   }
+
+  test("ordinal metadata (varType + sortOrder) round-trips melt→pivot; sortOrdinal and rename_categories honor it") {
+    val ord = VariableMeta(title = Some("Cases"), unit = Some("people"),
+      varType = Some("ordinal"), sortOrder = List("low", "mid", "high"))
+    var wide0 = Seq(("fr", 1.0, 2.0), ("de", 3.0, 4.0)).toDF("country", "low", "high")
+    wide0 = MetaOps.withVarMeta(wide0, "low", ord)
+    wide0 = MetaOps.withVarMeta(wide0, "high", ord)
+    // melt: the value column carries the combined metadata — order intact
+    val long = ReshapeOps.melt(wide0, Seq("country"), Seq("low", "high"), "band", "value")
+    val lm = MetaOps.varMeta(long, "value").get
+    assert(lm.varType.contains("ordinal") && lm.sortOrder == List("low", "mid", "high"))
+    // pivot back: every generated column carries it — full round-trip
+    val wide1 = ReshapeOps.pivot(long, Seq("country"), "band", "value", Seq("low", "high"))
+    val wm = MetaOps.varMeta(wide1, "low").get
+    assert(wm.varType.contains("ordinal") && wm.sortOrder == List("low", "mid", "high"))
+
+    // sortOrdinal: declared order, then unknown labels, then nulls —
+    // never lexicographic ("high" < "low" < "mid" would LOOK sorted)
+    var cat = Seq(("mid", 1), ("high", 2), ("low", 3), ("unknown", 4),
+      (null.asInstanceOf[String], 5)).toDF("band", "v")
+    cat = MetaOps.withVarMeta(cat, "band", ord)
+    val sorted = MetaOps.sortOrdinal(cat, "band").select("band").collect().map(_.getString(0))
+    assert(sorted.toSeq == Seq("low", "mid", "high", "unknown", null), sorted.mkString(","))
+    intercept[IllegalArgumentException](
+      MetaOps.sortOrdinal(Seq(("x", 1)).toDF("band", "v"), "band"))
+
+    // rename_categories: mapValues renames labels AND the category order
+    val renamed = TableOps.mapValues(cat, "band", Map("low" -> "L", "mid" -> "M", "high" -> "H"))
+    assert(MetaOps.varMeta(renamed, "band").get.sortOrder == List("L", "M", "H"))
+    assert(MetaOps.sortOrdinal(renamed, "band").select("band").collect().map(_.getString(0)).take(3)
+      .toSeq == Seq("L", "M", "H"))
+
+    // concat: agreeing orders kept; CONFLICTING orders dropped, not picked
+    val sameOrder = TableOps.concat(Seq(cat, cat))
+    assert(MetaOps.varMeta(sameOrder, "band").get.sortOrder == List("low", "mid", "high"))
+    var cat2 = Seq(("a", 1)).toDF("band", "v")
+    cat2 = MetaOps.withVarMeta(cat2, "band", ord.copy(sortOrder = List("high", "mid", "low")))
+    assert(MetaOps.varMeta(TableOps.concat(Seq(cat, cat2)), "band").get.sortOrder.isEmpty)
+  }
+
+  test("bounded jinja conditionals in dimension metadata expansion; beyond the subset is loud") {
+    val m = VariableMeta(title = Some("<<age>> deaths"),
+      description = Some("Deaths<% if sex == \"male\" %> among men<% else %> among others<% endif %> aged <<age>>"))
+    val male = ReshapeOps.expandDimensionMeta(m, "deaths__sex_male__age_10",
+      Seq("sex" -> "male", "age" -> "10"))
+    assert(male.description.contains("Deaths among men aged 10"), male.description)
+    val female = ReshapeOps.expandDimensionMeta(m, "deaths__sex_female__age_12",
+      Seq("sex" -> "female", "age" -> "12"))
+    assert(female.description.contains("Deaths among others aged 12"), female.description)
+    // != and no-else forms; sequential blocks
+    assert(ReshapeOps.expandTemplate("<% if sex != 'male' %>not male<% endif %>",
+      Map("sex" -> "female")) == "not male")
+    assert(ReshapeOps.expandTemplate(
+      "<% if a == 'x' %>X<% endif %>-<% if b == 'y' %>Y<% else %>Z<% endif %>",
+      Map("a" -> "x", "b" -> "n")) == "X-Z")
+    // loud: loops, nesting, unknown dimension, tag smuggled in a branch
+    assert(intercept[IllegalArgumentException](ReshapeOps.expandTemplate(
+      "<% for x in xs %>hm<% endfor %>", Map("x" -> "1")))
+      .getMessage.contains("unsupported template control block"))
+    assert(intercept[IllegalArgumentException](ReshapeOps.expandTemplate(
+      "<% if a == 'b' %><% if c == 'd' %>x<% endif %><% endif %>",
+      Map("a" -> "b", "c" -> "d")))
+      .getMessage.contains("nested"))
+    assert(intercept[IllegalArgumentException](ReshapeOps.expandTemplate(
+      "<% if sex == 'male' %>x<% endif %>", Map("age" -> "1")))
+      .getMessage.contains("unknown dimension"))
+    assert(intercept[IllegalArgumentException](ReshapeOps.expandTemplate(
+      "<% if a == 'b' %>keep <% endfor %> this<% endif %>", Map("a" -> "b")))
+      .getMessage.contains("survived expansion"))
+  }
 }

@@ -51,7 +51,23 @@ final class BucketStore private (val root: Path, spark: SparkSession,
   private def currentPtr: Path = root.resolve("_current")
 
   def currentVersion: Long = new String(Files.readAllBytes(currentPtr)).trim.toLong
-  def manifest: Manifest = Manifest.readSplit(manifestDir, currentVersion)
+
+  // Per-version memo: one refresh touches the manifest several times
+  // (pidsOf, pruned read, append's read-check) and manifests are
+  // immutable per version — re-parsing per call would put O(files)
+  // driver JSON work on every probe. Invalidated by the version moving
+  // (another process's commit included).
+  @volatile private var manifestMemo: (Long, Manifest) = null
+  def manifest: Manifest = {
+    val v = currentVersion
+    val memo = manifestMemo
+    if (memo != null && memo._1 == v) memo._2
+    else {
+      val m = Manifest.readSplit(manifestDir, v)
+      manifestMemo = (v, m)
+      m
+    }
+  }
   def numPids: Int = manifest.numBuckets
 
   /** Source-table version the committed store reflects (-1 = fresh). */
@@ -234,8 +250,12 @@ final class BucketStore private (val root: Path, spark: SparkSession,
   private def commit(m2: Manifest, expectedParent: Long): Unit = {
     require(currentVersion == expectedParent,
       s"concurrent store commit: current=$currentVersion expected=$expectedParent")
-    Manifest.writeSplit(manifestDir, m2)
+    // inline manifests: at store pid counts (hundreds-thousands), one doc
+    // beats per-bucket segments by orders of magnitude on both commit and
+    // load (see Manifest.writeInline)
+    Manifest.writeInline(manifestDir, m2)
     Manifest.writeAtomic(currentPtr, m2.version.toString)
+    manifestMemo = (m2.version, m2)
   }
 
   private def hadoopConf = spark.sessionState.newHadoopConf()
@@ -331,7 +351,7 @@ object BucketStore {
     Manifest.writeAtomic(root.resolve("_store.json"),
       org.json4s.jackson.Serialization.write(StoreConfig(partCols.toList, keyCols.toList)))
     val m = Manifest.empty(numPids, schema.toDDL)
-    Manifest.writeSplit(root.resolve("_manifests"), m)
+    Manifest.writeInline(root.resolve("_manifests"), m)
     Manifest.writeAtomic(root.resolve("_current"), "0")
     new BucketStore(root, spark, partCols, keyCols)
   }

@@ -151,6 +151,27 @@ object Manifest {
     p
   }
 
+  /** Write manifest `m` as ONE inline doc (v1 shape: full file list in
+    * the top doc, no segments). Right for stores whose partition count is
+    * high relative to per-commit change (a BucketStore at 4096 pids would
+    * pay 4096 segment digests per commit and 4096 tiny file reads per
+    * load under the split form; one ~100s-of-KB doc is strictly cheaper
+    * until file counts reach the many-tens-of-thousands, where a
+    * segment-GROUPED form — not per-bucket — would be the next step).
+    * Readable by [[readSplit]] like any v1 doc.
+    */
+  def writeInline(dir: Path, m: Manifest): Path = {
+    val doc = ManifestDoc(
+      formatVersion = 1, version = m.version, lastEpoch = m.lastEpoch,
+      numBuckets = m.numBuckets, currentSchemaId = m.currentSchemaId,
+      schemas = m.schemas, files = m.files, segments = Nil,
+      totalRows = m.totalRows, maxLsn = m.maxLsn, lineage = m.lineage,
+      streamId = m.streamId, lastSourceEpoch = m.lastSourceEpoch)
+    val p = dir.resolve(f"manifest-${m.version}%010d.json")
+    writeAtomic(p, Serialization.write(doc))
+    p
+  }
+
   /** Top doc only (no segment loads) — metadata-level operations. */
   private[lake] def readDoc(dir: Path, version: Long): ManifestDoc =
     Serialization.read[ManifestDoc](

@@ -42,8 +42,8 @@ object DedupMaintenance {
     */
   private val live = scala.collection.mutable.Map.empty[String, () => Boolean]
 
-  private def registerLive[H](table: LakeTable, pinName: String,
-                              mk: String => (H, () => Boolean)): H = live.synchronized {
+  private[stream] def registerLive[H](table: LakeTable, pinName: String,
+                                      mk: String => (H, () => Boolean)): H = live.synchronized {
     val key = table.root.toAbsolutePath.normalize.toString + "#" + pinName
     live.get(key).foreach(alive => require(!alive(),
       s"a maintenance loop for pin '$pinName' on ${table.root} is still live — " +
@@ -57,7 +57,7 @@ object DedupMaintenance {
     * threw with its thread still alive must keep blocking resume(), and a
     * stale handle's late close() must not evict a newer live registration.
     */
-  private def releaseLive(key: String): Unit = live.synchronized {
+  private[stream] def releaseLive(key: String): Unit = live.synchronized {
     live.get(key).foreach(alive => if (!alive()) live.remove(key))
   }
 

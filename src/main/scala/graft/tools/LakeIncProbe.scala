@@ -50,19 +50,26 @@ object LakeIncProbe {
       .select(col("doc_id").cast("string").as("key"), col("text"))
       .localCheckpoint(true)
 
-    /** Deterministic ×mult corpus: replica keys + a distinguishing token
-      * so replicas are near-but-not-exact (no quadratic exact-dup blowup).
+    /** Deterministic ×mult corpus, ScaleUp's replica rule: every token is
+      * SUFFIXED with the replica id, so shingle sets are DISJOINT across
+      * replicas (a trailing-tag replica would form mult-sized near-dup
+      * cliques — quadratic candidate volume that no real corpus has)
+      * while each replica keeps the source corpus's natural within-slice
+      * similarity structure.
       */
     def corpus(mult: Int): DataFrame =
       docs.crossJoin(spark.range(mult).select(col("id").cast("int").as("rep")))
         .select(concat_ws("#", col("key"), col("rep")).as("key"),
-          concat(col("text"), lit(" replica token r"), col("rep")).as("text"))
+          regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("$1_r"), col("rep"))).as("text"))
 
-    // the constant probe batch: fresh keys, texts drawn from the corpus
-    // family (so the probe actually hits populated buckets)
+    // the constant probe batch: fresh keys, near-dup twins of replica 1's
+    // slice (one planted collision family per probe doc — bounded
+    // candidates, like a real batch; present in both store sizes)
     val batch = docs.orderBy(xxhash64(col("key"))).limit(batchDocs)
       .select(concat(lit("probe#"), col("key")).as("key"),
-        concat(col("text"), lit(" probe tag")).as("text"))
+        concat(regexp_replace(col("text"), lit("(\\S+)"), lit("$1_r1")),
+          lit(" probetoken")).as("text"))
       .localCheckpoint(true)
 
     def buildLake(dir: String, mult: Int): (LakeDedupStore, Double, Long) = {

@@ -86,4 +86,86 @@ class LakeAnnStoreSpec extends SparkSpec {
       assert(normalize(re.search(qs, "vec", "id", k = 2)) == wantSearch)
     } finally rmrf(dir)
   }
+
+  test("AnnMaintenance follows the live table: bootstrap, null-embedding removal, watermark resume, undertrained retrain") {
+    import graft.lake.LakeTable
+    import graft.merge.CdcMerge
+    import graft.model.Schemas
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("annmaint")
+    try {
+      val schema = StructType(Schemas.transcript.fields.toSeq :+
+        StructField("emb", ArrayType(FloatType)))
+      val table = LakeTable.create(spark, s"$dir/t", schema, numBuckets = 2)
+      def row(conv: String, lsn: Long, emb: Seq[Float], op: String = "U") =
+        (conv, 0, "assistant", s"text $conv", null.asInstanceOf[String],
+          new java.sql.Timestamp(1700000000000L + lsn), emb, op, lsn)
+      def df(rows: Seq[(String, Int, String, String, String, java.sql.Timestamp, Seq[Float], String, Long)]) =
+        rows.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts", "emb", "op", "lsn")
+          .select(col("conv_id"), col("turn_idx"), col("role"), col("text"), col("tool"),
+            col("ts"), col("emb").cast(ArrayType(FloatType)).as("emb"), col("op"), col("lsn"))
+      def awaitTrue(cond: => Boolean, ms: Long = 60000): Unit = {
+        val deadline = System.currentTimeMillis() + ms
+        while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      }
+
+      // pre-existing rows (4 embedded around two poles + 1 unembedded):
+      // bootstrap trains a real 2-cell quantizer and indexes 4 vectors
+      CdcMerge.apply(table, df(Seq(
+        row("a1", 1, vec(0, 1)), row("a2", 2, vec(0, 2)),
+        row("b1", 3, vec(1, 1)), row("b2", 4, vec(1, 2)),
+        row("n1", 5, null))), 0L)
+      val h = graft.stream.AnnMaintenance.startLake(table, "emb", s"$dir/store",
+        nlist = 2, nprobe = 2, pollMs = 30L, numPids = 8, compactEvery = 100)
+      try {
+        assert(h.store.watermark == table.currentVersion)
+        assert(h.store.snapshot().count() == 4) // unembedded row not indexed
+        // live window: update a1 across poles, delete b2, null-out a2,
+        // add a fresh vector
+        CdcMerge.apply(table, df(Seq(
+          row("a1", 10, vec(1, 5)),
+          row("b2", 11, null.asInstanceOf[Seq[Float]], op = "D"),
+          row("a2", 12, null),
+          row("c1", 13, vec(0, 7)))), 1L)
+        val v2 = table.currentVersion
+        awaitTrue(h.processedVersion >= v2)
+        assert(h.failure.isEmpty, h.failure.toString)
+        val ids = h.store.snapshot().collect().map(_.getString(0)).toSet
+        assert(ids == Set("a1#0", "b1#0", "c1#0"), ids) // b2 deleted, a2 un-embedded
+        // search: a pole-0 query finds c1 (the only pole-0 vector left)
+        val q = toVecDf(Seq("q" -> vec(0, 9)))
+        val top = h.store.search(q, "vec", "id", k = 1).collect()(0)
+        assert(top.getString(1) == "c1#0", top.toString)
+      } finally h.close()
+
+      // restart while "down": resume purely from the store watermark
+      CdcMerge.apply(table, df(Seq(row("c2", 20, vec(0, 8)))), 2L)
+      val v3 = table.currentVersion
+      val h2 = graft.stream.AnnMaintenance.startLake(table, "emb", s"$dir/store",
+        nlist = 2, nprobe = 2, pollMs = 30L, numPids = 8)
+      try {
+        awaitTrue(h2.processedVersion >= v3)
+        assert(h2.failure.isEmpty, h2.failure.toString)
+        assert(h2.store.snapshot().count() == 4)
+      } finally h2.close()
+
+      // UNDERTRAINED path: a table whose initial corpus is too small for
+      // nlist gets the trivial 1-cell index; once the corpus grows, the
+      // maintenance cycle retrains to the real quantizer
+      val t2 = LakeTable.create(spark, s"$dir/t2", schema, numBuckets = 2)
+      CdcMerge.apply(t2, df(Seq(row("x1", 1, vec(0, 1)))), 0L)
+      val h3 = graft.stream.AnnMaintenance.startLake(t2, "emb", s"$dir/store2",
+        nlist = 2, nprobe = 2, pollMs = 30L, numPids = 8, compactEvery = 1)
+      try {
+        assert(h3.store.index.nlist == 1) // bootstrap fell back to trivial
+        CdcMerge.apply(t2, df(Seq(
+          row("x2", 10, vec(1, 1)), row("x3", 11, vec(1, 2)),
+          row("x4", 12, vec(0, 2)))), 1L)
+        awaitTrue(h3.retrains >= 1)
+        assert(h3.failure.isEmpty, h3.failure.toString)
+        assert(h3.store.index.nlist == 2)
+        assert(h3.store.snapshot().count() == 4)
+      } finally h3.close()
+    } finally rmrf(dir)
+  }
 }

@@ -239,6 +239,43 @@ class LakeDedupStoreSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("sustained windows: periodic compaction keeps the store's file count and delta tail bounded, content stays exact") {
+    val dir = tmpDir("lakesustain")
+    try {
+      val store = LakeDedupStore.create(spark, s"$dir/s", bands, rowsPerBand, numPids = 16)
+      val base = "sustained stream of answers about partition pruning and shuffle behavior in spark"
+      var corpus = Map.empty[String, String]
+      var pairState = Set.empty[(String, String)]
+      var maxFiles = 0
+      // 12 windows: rolling upserts (some keys revisited → updates +
+      // tombstone traffic), compaction every 4 windows — the lake-mode
+      // maintenance cadence in miniature
+      (1 to 12).foreach { wmi =>
+        val ups = Seq(
+          s"k${wmi % 7}" -> s"$base tag$wmi",
+          s"fresh$wmi" -> s"$base fresh$wmi")
+        val dels = if (wmi % 5 == 0) Seq(s"fresh${wmi - 2}") else Nil
+        corpus = corpus -- dels ++ ups
+        val changed = ups.map(_._1).toSet ++ dels
+        pairState = pairState.filterNot { case (a, b) => changed(a) || changed(b) }
+        pairState ++= pairSet(store.refresh(
+          ups.toDF("key", "text"), dels.toDF("key"), wmi.toLong, minJ))
+        if (wmi % 4 == 0) store.maintain(maxRowsPerPid = 1L << 19, vacuumGraceMs = 0L)
+        maxFiles = math.max(maxFiles,
+          store.bandStore.manifest.files.size + store.keyIndex.manifest.files.size)
+      }
+      // delta tail bounded by the compaction cadence, never by stream age
+      val deltaTail = store.bandStore.manifest.files.count(_.kind == graft.lake.FileEntry.DELTA)
+      assert(deltaTail <= 16, s"delta tail grew past the cadence bound: $deltaTail")
+      assert(maxFiles < 150, s"file count grew unbounded: $maxFiles")
+      store.maintain(vacuumGraceMs = 0L)
+      assert(store.bandStore.manifest.files.forall(_.kind == graft.lake.FileEntry.BASE))
+      // content and pair state still EXACT after 12 windows + 4 compactions
+      assert(store.snapshot().count() == corpus.size)
+      assert(pairState == fullRecompute(corpus))
+    } finally rmrf(dir)
+  }
+
   test("BucketStore append is O(batch): delta files only, base files untouched; empty append advances only the watermark") {
     import org.apache.spark.sql.types._
     val dir = tmpDir("bstoreob")

@@ -94,7 +94,10 @@ final case class Dag(deps: Map[String, Set[String]]) {
       case s if matchRe.findPrefixOf(s).isDefined =>
         schemeRe.replaceFirstIn(s, "grapher://") -> Set(s)
     }.toMap
-    Dag(deps ++ twins)
+    // an EXPLICITLY defined grapher:// step keeps its declared dependency
+    // edges — overwriting it with the auto-twin would silently drop them
+    // (the exact edge-loss fromYaml's loud duplicate check guards against)
+    Dag(deps ++ twins.view.filterKeys(k => !deps.contains(k)).toMap)
   }
 }
 
@@ -122,13 +125,22 @@ object Dag {
     val base = baseDir.getOrElse(
       Option(java.nio.file.Paths.get(file).toAbsolutePath.getParent)
         .map(_.toString).getOrElse("."))
-    Dag(loadYamlDag(java.nio.file.Paths.get(file), java.nio.file.Paths.get(base), Map.empty))
+    Dag(loadYamlDag(java.nio.file.Paths.get(file), java.nio.file.Paths.get(base),
+      Map.empty, List.empty))
   }
 
   private def loadYamlDag(file: java.nio.file.Path, base: java.nio.file.Path,
-                          prev: Map[String, Set[String]]): Map[String, Set[String]] = {
+                          prev: Map[String, Set[String]],
+                          stack: List[java.nio.file.Path]): Map[String, Set[String]] = {
     import scala.jdk.CollectionConverters._
     require(java.nio.file.Files.exists(file), s"DAG file not found: $file")
+    // cycle guard on the ACTIVE include chain: two step-less index files
+    // including each other would otherwise recurse to StackOverflowError
+    // with no diagnostic (a diamond re-include NOT on the chain still
+    // falls through to the loud duplicate-step check)
+    val canon = file.toAbsolutePath.normalize
+    require(!stack.contains(canon),
+      s"include cycle detected: ${(canon :: stack).reverse.mkString(" -> ")}")
     val yaml = new org.yaml.snakeyaml.Yaml(new org.yaml.snakeyaml.constructor.SafeConstructor(
       new org.yaml.snakeyaml.LoaderOptions()))
     val doc = Option(yaml.load[java.util.Map[String, Object]](
@@ -154,7 +166,8 @@ object Dag {
     var acc = steps ++ prev
     Option(doc.get("include")).foreach {
       case l: java.util.List[_] =>
-        l.asScala.foreach(inc => acc = loadYamlDag(base.resolve(inc.toString), base, acc))
+        l.asScala.foreach(inc =>
+          acc = loadYamlDag(base.resolve(inc.toString), base, acc, canon :: stack))
       case other => throw new IllegalArgumentException(
         s"DAG $file: 'include' must be a list of file paths, got: $other")
     }

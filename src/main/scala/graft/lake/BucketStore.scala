@@ -164,27 +164,53 @@ final class BucketStore private (val root: Path, spark: SparkSession,
   def compact(maxRowsPerPid: Long = 1L << 19): Int = pathLock(root).synchronized {
     val m = manifest
     val deltas = m.files.filter(_.kind == FileEntry.DELTA)
-    // split decision from manifest row counts (over-counts shadowed rows —
-    // conservative in the right direction)
+    // PER-PARTITION size estimates (over-count shadowed rows — conservative
+    // in the right direction): base files carry their pid; delta rows'
+    // pids come from one scan that also yields the touched-pid set
+    val deltaPerPid: Map[Int, Long] =
+      if (deltas.isEmpty) Map.empty
+      else spark.read.schema(physSchema)
+        .parquet(deltas.map(f => root.resolve(f.path).toString): _*)
+        .groupBy(pidExpr(m.numBuckets).as("__pid")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val basePerPid = m.files.filter(_.kind == FileEntry.BASE)
+      .groupBy(_.bucket).view.mapValues(_.map(_.rows).sum).toMap
+    val perPid = (basePerPid.keySet ++ deltaPerPid.keySet).map(p =>
+      p -> (basePerPid.getOrElse(p, 0L) + deltaPerPid.getOrElse(p, 0L))).toMap
     val estRows = m.files.map(_.rows).sum
-    val needPids = math.max(m.numBuckets,
-      Integer.highestOneBit(math.max(1, (estRows / math.max(1L, maxRowsPerPid)).toInt)) * 2)
+    // split on EITHER signal: average occupancy (uniform growth), or an
+    // oversized partition that is actually divisible — a single hot
+    // partCols value hashes to one pid at ANY numPids, so splitting for
+    // it alone would be a futile O(store) rewrite (warned below instead)
+    val avgNeed =
+      Integer.highestOneBit(math.max(1, (estRows / math.max(1L, maxRowsPerPid)).toInt)) * 2
+    val hotPids = perPid.filter(_._2 > maxRowsPerPid).keys.toSet
+    lazy val hotDivisible = {
+      val hotFiles = m.files.filter(f =>
+        f.kind == FileEntry.DELTA || hotPids.contains(f.bucket))
+      spark.read.schema(physSchema)
+        .parquet(hotFiles.map(f => root.resolve(f.path).toString): _*)
+        .withColumn("__pid", pidExpr(m.numBuckets))
+        .filter(col("__pid").isInCollection(hotPids))
+        .groupBy("__pid")
+        .agg(approx_count_distinct(struct(partCols.map(col): _*)).as("nvals"))
+        .collect().exists(_.getLong(1) >= 2L)
+    }
+    val maxNeed = if (hotPids.nonEmpty && hotDivisible) m.numBuckets * 2 else 0
+    val needPids = Seq(m.numBuckets, avgNeed, maxNeed).max
     val splitting = needPids > m.numBuckets
     if (deltas.isEmpty && !splitting) return 0
     val nPids = if (splitting) needPids else m.numBuckets
-    val raw = spark.read.schema(physSchema)
-      .parquet(m.files.map(f => root.resolve(f.path).toString): _*)
     val (touchedPids, inputFiles, carried) =
       if (splitting) {
         (null: Set[Int], m.files, Seq.empty[FileEntry]) // full rewrite under the new pid fn
       } else {
-        val t = spark.read.schema(physSchema)
-          .parquet(deltas.map(f => root.resolve(f.path).toString): _*)
-          .select(pidExpr(nPids).as("__pid")).distinct().collect().map(_.getInt(0)).toSet
+        val t = deltaPerPid.keySet
         val (in, keep) = m.files.partition(f => f.kind == FileEntry.DELTA || t.contains(f.bucket))
         (t, in, keep)
       }
-    val input = if (splitting) raw else spark.read.schema(physSchema)
+    if (inputFiles.isEmpty) return 0
+    val input = spark.read.schema(physSchema)
       .parquet(inputFiles.map(f => root.resolve(f.path).toString): _*)
     val ver = m.version + 1
     val resolved = resolve(input) // tombstones dropped
@@ -198,6 +224,15 @@ final class BucketStore private (val root: Path, spark: SparkSession,
     val adopted = adoptPartitioned(staging, ver)
     commit(m.copy(version = ver, lastEpoch = ver, numBuckets = nPids,
       files = carried ++ adopted), expectedParent = m.version)
+    // observability: a partition still over the bound after the fold holds
+    // an indivisible hot partCols value — probes touching it pay
+    // O(hot-cluster), and no amount of splitting changes that
+    adopted.groupBy(_.bucket).view.mapValues(_.map(_.rows).sum)
+      .filter(_._2 > maxRowsPerPid).foreach { case (p, rows) =>
+        System.err.println(s"[bucket-store] WARN: partition $p at $root holds " +
+          s"$rows rows > maxRowsPerPid=$maxRowsPerPid after compaction — a single " +
+          "hot partition value is indivisible under hash partitioning")
+      }
     if (splitting) nPids else touchedPids.size
   }
 

@@ -73,11 +73,21 @@ final class Catalog(spark: SparkSession, root: String) {
     * version is allocated via [[PublishedCatalog.freshVersion]] — never a
     * bare wall clock, which two same-millisecond publishes would share
     * (and then overwrite each other's frames under a held token).
+    *
+    * SYNTHETIC channels already published on this root — entries that do
+    * not come from the directory walk, today the SQL registry's "sql"
+    * channel ([[graft.sql.LakeCatalog]]) — are CARRIED FORWARD verbatim:
+    * a re-scan of the data tree must not silently wipe registrations it
+    * could never discover from disk.
     */
   def publish(version: Long = -1L): Long = {
     val v = if (version >= 0) version else PublishedCatalog.freshVersion(root)
-    PublishedCatalog.publish(spark, root, entries.map(e =>
-      (e.channel, e.namespace, e.table, e.path, e.isLake)), v)
+    val scanned = entries.map(e => (e.channel, e.namespace, e.table, e.path, e.isLake))
+    val scannedChannels = scanned.map(_._1).toSet
+    val carried = PublishedCatalog.currentEntries(spark, root)
+      .filter(e => PublishedCatalog.SYNTHETIC_CHANNELS.contains(e._1) &&
+        !scannedChannels.contains(e._1))
+    PublishedCatalog.publish(spark, root, scanned ++ carried, v)
   }
 }
 
@@ -111,6 +121,21 @@ object PublishedCatalog {
     org.json4s.jackson.Serialization.formats(org.json4s.NoTypeHints)
 
   private def indexDir(root: String): Path = Paths.get(root, "_index")
+
+  /** Channels whose entries are minted by APIs, not by walking the data
+    * tree — a directory re-publish carries them forward instead of
+    * silently dropping them (see [[Catalog.publish]]).
+    */
+  val SYNTHETIC_CHANNELS: Set[String] = Set("sql")
+
+  /** All entries of the currently published index (empty when nothing is
+    * published) — the read side of a carry-forward re-publish.
+    */
+  def currentEntries(spark: SparkSession, root: String): Seq[(String, String, String, String, Boolean)] =
+    if (!Files.exists(indexDir(root).resolve("catalog.json"))) Nil
+    else open(spark, root).index.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getBoolean(4))).toSeq
 
   /** Versions with any on-disk trace (a channel frame or the current
     * token) — the set [[publish]] refuses to reuse. Frame names are
@@ -208,6 +233,16 @@ object PublishedCatalog {
     def load(path: String, isLake: Boolean): DataFrame =
       if (isLake) LakeTable.load(spark, path).snapshot()
       else TableIO.readParquet(spark, path)._1
+  }
+
+  /** The current token's version without touching any frame — the cheap
+    * cache-validation read (None = nothing published).
+    */
+  def currentVersion(root: String): Option[Long] = {
+    val tokenPath = indexDir(root).resolve("catalog.json")
+    if (!Files.exists(tokenPath)) None
+    else scala.util.Try(org.json4s.jackson.Serialization.read[CatalogToken](
+      new String(Files.readAllBytes(tokenPath))).version).toOption
   }
 
   /** Open the published catalog at its current consistency token. */

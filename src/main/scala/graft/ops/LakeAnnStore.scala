@@ -110,7 +110,7 @@ final class LakeAnnStore private (val spark: SparkSession, val root: String,
     * batches whose drift triggered it. Implemented as a full
     * tombstone+re-append generation folded immediately by compaction.
     */
-  def reassign(newIndex: IvfIndex): Unit = {
+  def reassign(newIndex: IvfIndex, maxRowsPerPid: Long = 1L << 19): Unit = {
     val live = snapshot().localCheckpoint(true) // (id, cell, vec) under the OLD index
     setIndex(newIndex)
     val wm = watermark
@@ -122,7 +122,9 @@ final class LakeAnnStore private (val spark: SparkSession, val root: String,
     vecStore.append(tombs.unionByName(rows), wm)
     cellIndex.append(rows.select("id", "cell")
       .withColumn(BucketStore.DELETED_COL, lit(false)), wm)
-    maintain()
+    // the caller's partition-size bound, not the default: a retrain just
+    // rewrote the whole store — the one moment a split is free
+    maintain(maxRowsPerPid)
   }
 
   def maintain(maxRowsPerPid: Long = 1L << 19, vacuumGraceMs: Long = 300000L): Unit = {

@@ -89,12 +89,7 @@ object LakeCatalog {
   private def publishDelta(session: SparkSession, root: String,
                            add: Option[(String, String)],
                            remove: Option[String]): Unit = publishLock.synchronized {
-    val existing: Seq[(String, String, String, String, Boolean)] =
-      if (java.nio.file.Files.exists(java.nio.file.Paths.get(root, "_index", "catalog.json")))
-        graft.ops.PublishedCatalog.open(session, root).index
-          .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
-            r.getString(3), r.getBoolean(4))).toSeq
-      else Nil
+    val existing = graft.ops.PublishedCatalog.currentEntries(session, root)
     val dropped = existing.filterNot { case (ch, _, t, _, _) =>
       ch == SQL_CHANNEL && (add.exists(_._1 == t) || remove.contains(t)) }
     val entries = dropped ++ add.map { case (n, d) => (SQL_CHANNEL, "", n, d, true) }
@@ -107,13 +102,16 @@ object LakeCatalog {
     java.nio.file.Paths.get(root).toAbsolutePath.normalize.toString
 
   private def publishedNames(session: SparkSession, root: String): Map[String, String] = {
-    val tokenPath = java.nio.file.Paths.get(root, "_index", "catalog.json")
-    if (!java.nio.file.Files.exists(tokenPath)) return Map.empty
-    val reader = graft.ops.PublishedCatalog.open(session, root)
+    // lookup runs for EVERY UnresolvedRelation on every analyzer pass —
+    // validate the cache with the cheap token read alone; the parquet
+    // frame reader is constructed only on an actual version change
+    val version = graft.ops.PublishedCatalog.currentVersion(root)
+    if (version.isEmpty) return Map.empty
     val key = rootKey(root)
     cache.get(key) match {
-      case Some((v, m)) if v == reader.version => m
+      case Some((v, m)) if version.contains(v) => m
       case _ =>
+        val reader = graft.ops.PublishedCatalog.open(session, root)
         val m =
           if (!reader.channels.contains(SQL_CHANNEL)) Map.empty[String, String]
           else reader.find(channel = SQL_CHANNEL).select("table", "path")

@@ -60,36 +60,38 @@ object AnnMaintenance {
       java.nio.file.Paths.get(storeDir, "index.json"))
     val store =
       if (existing) LakeAnnStore.load(spark, storeDir)
-      else {
-        // bootstrap: train the initial quantizer on the live embedded rows
-        // and assign them — the one O(corpus) pass, paid per store, not
-        // per restart. An empty (or all-null) corpus gets a trivial
-        // 1-cell index; the drift signal retrains it as vectors arrive.
-        val v = table.currentVersion
-        val live = keyed(table.snapshotAt(v))
-          .filter(col(embedColumn).isNotNull)
-          .select(col("id"), col(embedColumn).as("vec"))
-          .localCheckpoint(true)
-        val n = live.count()
-        val index =
-          if (n >= nlist) IncrementalAnn.train(live, "vec", "id", nlist, nprobe)
-          else {
-            val dims = if (n == 0) 8
-              else live.select(size(col("vec"))).head().getInt(0)
-            IncrementalAnn.IvfIndex(Array(Array.fill(dims)(1.0)), nprobe = 1)
-          }
-        val s = LakeAnnStore.create(spark, storeDir, index, numPids)
-        s.refresh(live.select(col("id"), col("vec")), live.select("id").limit(0), v)
-        s
-      }
+      else LakeAnnStore.create(spark, storeDir,
+        // placeholder 1-cell index; the bootstrap block below trains the
+        // real quantizer before any vector is assigned
+        IncrementalAnn.IvfIndex(Array(Array.fill(8)(1.0)), nprobe = 1), numPids)
+    if (store.watermark < 0) {
+      // bootstrap — runs for a FRESH store and equally for one that
+      // crashed mid-bootstrap (index.json written, cellIndex commit never
+      // landed → watermark still -1): train the quantizer on the live
+      // embedded rows and assign them, idempotent under latest-wins
+      // appends. The one O(corpus) pass, paid per store, not per restart.
+      // An empty (or all-null) corpus keeps a trivial 1-cell index; the
+      // undertrained signal below retrains it as vectors arrive.
+      val v = table.currentVersion
+      val live = keyed(table.snapshotAt(v))
+        .filter(col(embedColumn).isNotNull)
+        .select(col("id"), col(embedColumn).as("vec"))
+        .localCheckpoint(true)
+      val n = live.count()
+      if (n >= nlist) store.setIndex(IncrementalAnn.train(live, "vec", "id", nlist, nprobe))
+      else if (n > 0) store.setIndex(IncrementalAnn.IvfIndex(
+        Array(Array.fill(live.select(size(col("vec"))).head().getInt(0))(1.0)), nprobe = 1))
+      store.refresh(live.select(col("id"), col("vec")), live.select("id").limit(0), v)
+    }
     val from = store.watermark
-    table.pin(pinName, from)
     val processedRef = new AtomicLong(from)
     val retrainsRef = new AtomicLong(0L)
     val windows = new AtomicLong(0L)
     // shares the dedup loop's live registry: one maintenance loop per
-    // (table, pin), refused while the previous thread lives
+    // (table, pin), refused while the previous thread lives; the pin
+    // moves only AFTER the check (a refused start must be a pure no-op)
     DedupMaintenance.registerLive(table, pinName, liveKey => {
+    table.pin(pinName, from)
     val follower = ChangelogFollower.follow(table, from, pollMs,
       pinName = Some(pinName)) { (changes, toVersion) =>
       val w = org.apache.spark.sql.expressions.Window
@@ -116,7 +118,8 @@ object AnnMaintenance {
         if (undertrained || store.imbalance() > retrainAbove) {
           val live = store.snapshot().select("id", "vec").localCheckpoint(true)
           if (live.count() >= nlist) {
-            store.reassign(IncrementalAnn.train(live, "vec", "id", nlist, nprobe))
+            store.reassign(IncrementalAnn.train(live, "vec", "id", nlist, nprobe),
+              maxRowsPerPid)
             retrainsRef.incrementAndGet()
           }
         }

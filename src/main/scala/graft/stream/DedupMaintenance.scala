@@ -118,8 +118,11 @@ object DedupMaintenance {
     // here, advanced only when a checkpoint lands) so vacuum keeps the
     // full replay window; OFF → the follower advances it per window
     val followerPin = if (storeCheckpointDir.isEmpty) Some(pinName) else None
-    if (storeCheckpointDir.nonEmpty) table.pin(pinName, fromVersion)
     registerLive(table, pinName, liveKey => {
+    // pin only AFTER the singleton check: a REFUSED start must be a pure
+    // no-op — moving the live loop's pin first would shrink the very
+    // replay window that loop's checkpoint depends on
+    if (storeCheckpointDir.nonEmpty) table.pin(pinName, fromVersion)
     val follower = ChangelogFollower.follow(table, fromVersion, pollMs,
       pinName = followerPin) { (changes, toVersion) =>
       // resolve latest-per-key INSIDE the window (a window can span
@@ -253,8 +256,8 @@ object DedupMaintenance {
       plan.commit(v)
       from = v
     }
-    table.pin(pinName, from)
     registerLive(table, pinName, liveKey => {
+    table.pin(pinName, from) // after the singleton check: refused ⇒ no-op
       val processedRef = new AtomicLong(from)
       val windows = new AtomicLong(0L)
       val follower = ChangelogFollower.follow(table, from, pollMs,

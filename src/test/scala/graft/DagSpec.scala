@@ -115,6 +115,21 @@ class DagSpec extends AnyFunSuite {
       assert(intercept[IllegalArgumentException](
         Dag.fromYaml(dir.resolve("badinc.yml").toString))
         .getMessage.contains("not found"))
+      // an include CYCLE between step-less index files is a loud
+      // diagnostic, not a StackOverflowError
+      write("cyc_a.yml", "include:\n  - cyc_b.yml\n")
+      write("cyc_b.yml", "include:\n  - cyc_a.yml\n")
+      assert(intercept[IllegalArgumentException](
+        Dag.fromYaml(dir.resolve("cyc_a.yml").toString))
+        .getMessage.contains("include cycle"))
+      // an EXPLICITLY defined grapher:// step keeps its declared extra
+      // dependency edges — the auto-twin must not overwrite it
+      val explicit = Dag(Map(
+        "data://grapher/demo/x" -> Set.empty[String],
+        "grapher://grapher/demo/x" ->
+          Set("data://grapher/demo/x", "data://garden/extra")))
+      assert(explicit.withGrapherTwins().deps("grapher://grapher/demo/x") ==
+        Set("data://grapher/demo/x", "data://garden/extra"))
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse

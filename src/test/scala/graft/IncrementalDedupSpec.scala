@@ -367,19 +367,34 @@ class IncrementalDedupSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
-  test("a second maintenance loop on a live pin is refused; a closed one can be restarted") {
+  test("a second maintenance loop on a live pin is refused AS A PURE NO-OP (pin untouched); a closed one can be restarted") {
     import graft.lake.LakeTable
+    import graft.merge.CdcMerge
     import graft.model.Schemas
     val dir = tmpDir("dedupdouble")
     try {
       val table = LakeTable.create(spark, s"$dir/t", Schemas.transcript, numBuckets = 2)
+      val v0 = table.currentVersion
+      // checkpointing mode: the pin anchors at the last CHECKPOINT (v0
+      // here — checkpointEvery is huge), protecting the replay window
       val h = graft.stream.DedupMaintenance.start(table, "text", s"$dir/pairs",
-        fromVersion = table.currentVersion, pollMs = 30L)
+        fromVersion = v0, pollMs = 30L,
+        storeCheckpointDir = Some(s"$dir/ckpt"), checkpointEvery = 1000)
       try {
+        CdcMerge.apply(table, Seq(
+          ("c1", 0, "assistant", "some text", null.asInstanceOf[String],
+            new java.sql.Timestamp(1L), "U", 1L))
+          .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts", "op", "lsn"), 0L)
+        val v1 = table.currentVersion
         val e = intercept[IllegalArgumentException](
           graft.stream.DedupMaintenance.start(table, "text", s"$dir/pairs",
-            fromVersion = table.currentVersion, pollMs = 30L))
+            fromVersion = v1, pollMs = 30L,
+            storeCheckpointDir = Some(s"$dir/ckpt"), checkpointEvery = 1000))
         assert(e.getMessage.contains("still live"), e.getMessage)
+        // the REFUSED call must not have advanced the live loop's pin —
+        // that would shrink the replay window its checkpoint depends on
+        assert(table.pins("dedup-maintenance") == v0,
+          s"refused start moved the pin to ${table.pins("dedup-maintenance")}")
       } finally h.close()
       // after a clean close the pin is free again
       val h2 = graft.stream.DedupMaintenance.start(table, "text", s"$dir/pairs",

@@ -300,6 +300,11 @@ class MergeSqlSpec extends SparkSpec {
       assert(m.schema.fieldNames.contains("applied"))
       assert(s3.sql("OPTIMIZE shared_convs").collect()(0)
         .schema.fieldNames.contains("buckets_compacted"))
+      // a DIRECTORY re-publish of the same root must CARRY the synthetic
+      // "sql" channel — not wipe the durable registration it cannot
+      // rediscover from disk
+      new graft.ops.Catalog(s3, catRoot).publish()
+      assert(s3.sql("SELECT count(*) FROM shared_convs").collect()(0).getLong(0) >= live)
       // a session WITHOUT the catalog root does NOT see the name
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()

@@ -115,7 +115,13 @@ final class BucketStore private (val root: Path, spark: SparkSession,
       del.as(DELETED_COL) :+
       lit(ver).as(VER_COL)
     val staging = root.resolve("_staging-" + java.util.UUID.randomUUID().toString.take(8))
-    batch.select(cols: _*).write.parquet(staging.toString)
+    // bound the file count per append: a change batch arriving with the
+    // session's full shuffle parallelism would otherwise write ~32 tiny
+    // delta files per refresh, and every probe pays the listing — the
+    // delta tail is always read, so its FILE count matters as much as its
+    // row count. A handful of writers is plenty for O(batch) rows.
+    val writers = math.max(1, spark.sparkContext.defaultParallelism / 8)
+    batch.select(cols: _*).coalesce(writers).write.parquet(staging.toString)
     val adopted = adoptDir(staging, pid = -1, kind = FileEntry.DELTA, ver = ver)
     commit(m.copy(version = ver, lastEpoch = ver, files = m.files ++ adopted,
       lastSourceEpoch = watermark), expectedParent = m.version)

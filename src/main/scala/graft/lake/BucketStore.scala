@@ -127,6 +127,18 @@ final class BucketStore private (val root: Path, spark: SparkSession,
       lastSourceEpoch = watermark), expectedParent = m.version)
   }
 
+  /** Partition-space size a BASE file was written under (≤ current, a
+    * power-of-two divisor of it). A file at depth P covers current pids
+    * {bucket + j·P}: extendible-hash doubling keeps carried files valid.
+    */
+  private def filePids(f: FileEntry, cur: Int): Int = f.writePids.getOrElse(cur)
+
+  /** Does this base file cover any of the `touched` current-depth pids? */
+  private def covers(f: FileEntry, touched: Set[Int], cur: Int): Boolean = {
+    val fp = filePids(f, cur)
+    touched.exists(q => q % fp == f.bucket)
+  }
+
   /** Read the resolved live rows — all partitions, or only `touched` pids
     * (delta files are always read: they are unpartitioned by design, and
     * their volume is bounded by the compaction cadence, not the store).
@@ -136,7 +148,7 @@ final class BucketStore private (val root: Path, spark: SparkSession,
   def read(touched: Option[Set[Int]] = None): DataFrame = {
     val m = manifest
     val files = m.files.filter(f =>
-      f.kind == FileEntry.DELTA || touched.forall(_.contains(f.bucket)))
+      f.kind == FileEntry.DELTA || touched.forall(t => covers(f, t, m.numBuckets)))
     val userCols = userSchema.fieldNames.map(col).toSeq
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -161,23 +173,33 @@ final class BucketStore private (val root: Path, spark: SparkSession,
       .filter(!col(DELETED_COL))
   }
 
-  /** Fold the delta tail into per-pid base files. Only pids with delta
-    * rows are rewritten (plus, on SPLIT, everything once): O(touched
-    * partitions), untouched base files are carried by reference.
-    * Tombstones are dropped (the compaction covers every file that could
-    * hold the rows they shadow). Returns the number of pids rewritten.
+  /** Fold the delta tail into per-pid base files. Only delta-touched
+    * partitions are rewritten — and a SPLIT (numPids doubling when
+    * partitions outgrow `maxRowsPerPid`) is LAZY, extendible-hash style:
+    * pid = hash mod 2^k, so doubling sends each old partition's rows to
+    * exactly {p, p + 2^k} — carried base files stay valid at their
+    * recorded write depth ([[FileEntry.writePids]]) and only the
+    * OVERSIZED partitions (the ones the split is for) plus the delta-
+    * touched ones rewrite at the new depth. O(touched + oversized),
+    * never O(store); old-depth files migrate as later compactions touch
+    * them. Tombstones are dropped (every file that could hold a shadowed
+    * row is in the rewrite set with its tombstone). Returns the number
+    * of (old-depth) partitions rewritten.
     */
   def compact(maxRowsPerPid: Long = 1L << 19): Int = pathLock(root).synchronized {
     val m = manifest
+    val cur = m.numBuckets
     val deltas = m.files.filter(_.kind == FileEntry.DELTA)
     // PER-PARTITION size estimates (over-count shadowed rows — conservative
-    // in the right direction): base files carry their pid; delta rows'
-    // pids come from one scan that also yields the touched-pid set
+    // in the right direction): base files carry their pid (an old-depth
+    // file's rows are attributed to its canonical low pid — conservative
+    // concentration); delta rows' pids come from one scan that also
+    // yields the touched-pid set
     val deltaPerPid: Map[Int, Long] =
       if (deltas.isEmpty) Map.empty
       else spark.read.schema(physSchema)
         .parquet(deltas.map(f => root.resolve(f.path).toString): _*)
-        .groupBy(pidExpr(m.numBuckets).as("__pid")).count()
+        .groupBy(pidExpr(cur).as("__pid")).count()
         .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val basePerPid = m.files.filter(_.kind == FileEntry.BASE)
       .groupBy(_.bucket).view.mapValues(_.map(_.rows).sum).toMap
@@ -187,34 +209,33 @@ final class BucketStore private (val root: Path, spark: SparkSession,
     // split on EITHER signal: average occupancy (uniform growth), or an
     // oversized partition that is actually divisible — a single hot
     // partCols value hashes to one pid at ANY numPids, so splitting for
-    // it alone would be a futile O(store) rewrite (warned below instead)
+    // it alone would be futile (warned below instead)
     val avgNeed =
       Integer.highestOneBit(math.max(1, (estRows / math.max(1L, maxRowsPerPid)).toInt)) * 2
-    val hotPids = perPid.filter(_._2 > maxRowsPerPid).keys.toSet
+    val oversized = perPid.filter(_._2 > maxRowsPerPid).keys.toSet
     lazy val hotDivisible = {
       val hotFiles = m.files.filter(f =>
-        f.kind == FileEntry.DELTA || hotPids.contains(f.bucket))
+        f.kind == FileEntry.DELTA || covers(f, oversized, cur))
       spark.read.schema(physSchema)
         .parquet(hotFiles.map(f => root.resolve(f.path).toString): _*)
-        .withColumn("__pid", pidExpr(m.numBuckets))
-        .filter(col("__pid").isInCollection(hotPids))
+        .withColumn("__pid", pidExpr(cur))
+        .filter(col("__pid").isInCollection(oversized))
         .groupBy("__pid")
         .agg(approx_count_distinct(struct(partCols.map(col): _*)).as("nvals"))
         .collect().exists(_.getLong(1) >= 2L)
     }
-    val maxNeed = if (hotPids.nonEmpty && hotDivisible) m.numBuckets * 2 else 0
-    val needPids = Seq(m.numBuckets, avgNeed, maxNeed).max
-    val splitting = needPids > m.numBuckets
+    val maxNeed = if (oversized.nonEmpty && hotDivisible) cur * 2 else 0
+    val needPids = Seq(cur, avgNeed, maxNeed).max
+    val splitting = needPids > cur
     if (deltas.isEmpty && !splitting) return 0
-    val nPids = if (splitting) needPids else m.numBuckets
-    val (touchedPids, inputFiles, carried) =
-      if (splitting) {
-        (null: Set[Int], m.files, Seq.empty[FileEntry]) // full rewrite under the new pid fn
-      } else {
-        val t = deltaPerPid.keySet
-        val (in, keep) = m.files.partition(f => f.kind == FileEntry.DELTA || t.contains(f.bucket))
-        (t, in, keep)
-      }
+    val nPids = if (splitting) needPids else cur
+    // rewrite scope at the OLD depth: delta-touched partitions always;
+    // on a split also every oversized partition (the rewrite is what
+    // actually shrinks them — under-bound partitions carry at their old
+    // depth and migrate lazily)
+    val touchedOld = deltaPerPid.keySet ++ (if (splitting) oversized else Set.empty)
+    val (inputFiles, carried) = m.files.partition(f =>
+      f.kind == FileEntry.DELTA || covers(f, touchedOld, cur))
     if (inputFiles.isEmpty) return 0
     val input = spark.read.schema(physSchema)
       .parquet(inputFiles.map(f => root.resolve(f.path).toString): _*)
@@ -223,11 +244,10 @@ final class BucketStore private (val root: Path, spark: SparkSession,
       .withColumn(VER_COL, lit(ver)) // rebased: one generation per base file set
       .withColumn("__pid", pidExpr(nPids))
     val staging = root.resolve("_staging-" + java.util.UUID.randomUUID().toString.take(8))
-    val writers = math.max(1, math.min(64,
-      if (splitting) nPids else touchedPids.size))
+    val writers = math.max(1, math.min(64, touchedOld.size * (nPids / cur)))
     resolved.repartition(writers, col("__pid"))
       .write.partitionBy("__pid").parquet(staging.toString)
-    val adopted = adoptPartitioned(staging, ver)
+    val adopted = adoptPartitioned(staging, ver, nPids)
     commit(m.copy(version = ver, lastEpoch = ver, numBuckets = nPids,
       files = carried ++ adopted), expectedParent = m.version)
     // observability: a partition still over the bound after the fold holds
@@ -239,7 +259,7 @@ final class BucketStore private (val root: Path, spark: SparkSession,
           s"$rows rows > maxRowsPerPid=$maxRowsPerPid after compaction — a single " +
           "hot partition value is indivisible under hash partitioning")
       }
-    if (splitting) nPids else touchedPids.size
+    touchedOld.size
   }
 
   /** Delete data files referenced by none of the last `keepVersions`
@@ -325,9 +345,10 @@ final class BucketStore private (val root: Path, spark: SparkSession,
   }
 
   /** Adopt a `partitionBy("__pid")` staging layout: one base entry per
-    * written file, pid parsed from its partition directory.
+    * written file, pid parsed from its partition directory, write depth
+    * recorded for lazy-split coverage.
     */
-  private def adoptPartitioned(staging: Path, ver: Long): Seq[FileEntry] = {
+  private def adoptPartitioned(staging: Path, ver: Long, nPids: Int): Seq[FileEntry] = {
     val pidRe = "__pid=(\\d+)".r
     val out = Files.walk(staging).iterator().asScala
       .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
@@ -339,7 +360,8 @@ final class BucketStore private (val root: Path, spark: SparkSession,
             val rows = rowCount(p)
             val name = s"${FileEntry.BASE}-v$ver-${p.getFileName.toString}"
             Files.move(p, dir.resolve(name), StandardCopyOption.REPLACE_EXISTING)
-            Some(FileEntry(s"data/pid=$pid/$name", pid.toInt, rows, ver, 0, FileEntry.BASE, ver))
+            Some(FileEntry(s"data/pid=$pid/$name", pid.toInt, rows, ver, 0,
+              FileEntry.BASE, ver, writePids = Some(nPids)))
           case _ => None
         }
       }
@@ -378,6 +400,9 @@ object BucketStore {
              numPids: Int = 64): BucketStore = {
     val root = Paths.get(dir)
     require(!Files.exists(root.resolve("_current")), s"store already exists at $dir")
+    require(numPids > 0 && Integer.bitCount(numPids) == 1,
+      s"numPids must be a power of two (got $numPids) — lazy extendible-hash " +
+      "splits require every write depth to divide every later depth")
     require(partCols.nonEmpty && keyCols.nonEmpty)
     (partCols ++ keyCols).foreach(c => require(schema.fieldNames.contains(c),
       s"'$c' is not a schema column"))

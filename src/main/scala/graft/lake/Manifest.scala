@@ -25,7 +25,13 @@ final case class FileEntry(
     kind: String,
     epoch: Long,
     minKey: Option[String] = None, // min/max conv_id from footer stats —
-    maxKey: Option[String] = None  // enables file-level key-range pruning
+    maxKey: Option[String] = None, // enables file-level key-range pruning
+    // BucketStore only: the partition-space size (power of two) this file
+    // was WRITTEN under. Extendible-hash splits double the space lazily:
+    // a file written at depth P covers partitions {bucket + j*P} of any
+    // later depth, so carried files stay readable without a rewrite.
+    // None (all LakeTable files, pre-split store files) = current depth.
+    writePids: Option[Int] = None
 )
 
 object FileEntry {
@@ -122,7 +128,10 @@ object Manifest {
   private def segDigest(entries: Seq[FileEntry]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     entries.sortBy(_.path).foreach { f =>
-      md.update(s"${f.path}|${f.bucket}|${f.rows}|${f.maxLsn}|${f.schemaId}|${f.kind}|${f.epoch}|${f.minKey.getOrElse("")}|${f.maxKey.getOrElse("")}\n"
+      // writePids appended only when set: existing manifests' segment
+      // addresses (and their content-addressed reuse) stay byte-stable
+      val wp = f.writePids.map(p => s"|$p").getOrElse("")
+      md.update(s"${f.path}|${f.bucket}|${f.rows}|${f.maxLsn}|${f.schemaId}|${f.kind}|${f.epoch}|${f.minKey.getOrElse("")}|${f.maxKey.getOrElse("")}$wp\n"
         .getBytes(StandardCharsets.UTF_8))
     }
     md.digest().map("%02x".format(_)).mkString

@@ -110,6 +110,13 @@ class LakeDedupStoreSpec extends SparkSpec {
       val logged = spark.read.parquet(s"$dir/pairs")
         .select("key_a", "key_b").collect().map(r => (r.getString(0), r.getString(1))).toSet
       assert(logged == Set(("c1", "c2")), logged)
+      // plan shape: the candidate generation is a banded EQUI-join — no
+      // cartesian/nested-loop leg may appear in the pairs plan at any scale
+      val pairsPlan = store.planRefresh(Seq("c9" -> (base + " nine")).toDF("key", "text"),
+        Seq.empty[String].toDF("key"), minJ).pairs
+        .queryExecution.executedPlan.toString
+      assert(!pairsPlan.contains("CartesianProduct") &&
+        !pairsPlan.contains("BroadcastNestedLoopJoin"), pairsPlan.take(800))
       intercept[IllegalArgumentException](plan.commit(3L)) // double-commit refused
       // crash REPLAY of window 2 (stores already committed): identical
       // pairs re-derived — the pair log collapses them to the newest
@@ -273,6 +280,52 @@ class LakeDedupStoreSpec extends SparkSpec {
       // content and pair state still EXACT after 12 windows + 4 compactions
       assert(store.snapshot().count() == corpus.size)
       assert(pairState == fullRecompute(corpus))
+    } finally rmrf(dir)
+  }
+
+  test("BucketStore lazy split: only oversized + delta-touched partitions rewrite; carried old-depth files stay readable") {
+    import org.apache.spark.sql.types._
+    val dir = tmpDir("bstorelazy")
+    try {
+      val schema = StructType(Seq(
+        StructField("g", IntegerType, nullable = false),
+        StructField("id", StringType, nullable = false)))
+      val bs = BucketStore.create(spark, s"$dir/b", schema,
+        partCols = Seq("g"), keyCols = Seq("g", "id"), numPids = 8)
+      // find two part values sharing a pid (pigeonhole over 20 values)
+      def pidOf(g: Int) = bs.pidsOf(Seq(Tuple1(g)).toDF("g")).head
+      val byPid = (1 to 20).groupBy(pidOf)
+      val (hotPid, hotGs) = byPid.find(_._2.size >= 2).get
+      val hotPair = hotGs.take(2)
+      val coldGs = (1 to 20).filterNot(hotPair.contains).take(10)
+      // hot partition: 40 rows across two part values; cold: 2 rows each
+      val rows = hotPair.flatMap(g => (0 until 20).map(i => (g, s"h$g-$i"))) ++
+        coldGs.flatMap(g => (0 until 2).map(i => (g, s"c$g-$i")))
+      bs.append(rows.toDF("g", "id"), 1L)
+      bs.compact(maxRowsPerPid = 1L << 19) // fold, no split
+      assert(bs.numPids == 8)
+      val beforeFiles = bs.manifest.files.map(_.path).toSet
+      // a small delta into one COLD value, then compact with a tight
+      // bound: the hot partition is oversized → split; rewrite scope =
+      // {delta-touched pid, hot pid}; every other partition's base file
+      // must be CARRIED at its old write depth, not rewritten
+      bs.append(Seq((coldGs.head, "late")).toDF("g", "id"), 2L)
+      bs.compact(maxRowsPerPid = 8)
+      assert(bs.numPids > 8, "expected a split")
+      val files = bs.manifest.files
+      val carriedOldDepth = files.filter(f =>
+        beforeFiles.contains(f.path) && f.writePids.contains(8))
+      assert(carriedOldDepth.nonEmpty,
+        "lazy split must carry untouched old-depth base files")
+      // content exact, including rows living in carried old-depth files
+      assert(bs.read(None).count() == rows.size + 1)
+      val carriedG = coldGs.find(g => pidOf(g) != hotPid && g != coldGs.head).get
+      val pruned = bs.read(Some(bs.pidsOf(Seq(Tuple1(carriedG)).toDF("g"))))
+      assert(pruned.filter(org.apache.spark.sql.functions.col("g") === carriedG).count() == 2)
+      // the hot partition was actually rewritten at the new depth
+      val hotNew = bs.read(Some(bs.pidsOf(hotPair.map(Tuple1(_)).toDF("g"))))
+      assert(hotNew.filter(org.apache.spark.sql.functions.col("g").isin(hotPair: _*))
+        .count() == 40)
     } finally rmrf(dir)
   }
 

@@ -212,30 +212,48 @@ final class BucketStore private (val root: Path, spark: SparkSession,
     // it alone would be futile (warned below instead)
     val avgNeed =
       Integer.highestOneBit(math.max(1, (estRows / math.max(1L, maxRowsPerPid)).toInt)) * 2
+    // `oversized` from attribution is a SUPERSET signal (a carried file's
+    // rows concentrate on its canonical low pid, so any truly-oversized
+    // current pid makes its attributed pid flag too); the bounded scan
+    // below then measures the REAL per-current-pid sizes and divisibility
+    // across every pid the candidate files cover — probing only the
+    // attributed pid would let an oversized sibling evade the split
     val oversized = perPid.filter(_._2 > maxRowsPerPid).keys.toSet
-    lazy val hotDivisible = {
-      val hotFiles = m.files.filter(f =>
-        f.kind == FileEntry.DELTA || covers(f, oversized, cur))
-      spark.read.schema(physSchema)
-        .parquet(hotFiles.map(f => root.resolve(f.path).toString): _*)
-        .withColumn("__pid", pidExpr(cur))
-        .filter(col("__pid").isInCollection(oversized))
-        .groupBy("__pid")
-        .agg(approx_count_distinct(struct(partCols.map(col): _*)).as("nvals"))
-        .collect().exists(_.getLong(1) >= 2L)
-    }
+    lazy val hotStats: Seq[(Int, Long, Long)] =
+      if (oversized.isEmpty) Nil
+      else {
+        val hotFiles = m.files.filter(f =>
+          f.kind == FileEntry.DELTA || covers(f, oversized, cur))
+        spark.read.schema(physSchema)
+          .parquet(hotFiles.map(f => root.resolve(f.path).toString): _*)
+          .groupBy(pidExpr(cur).as("__pid"))
+          .agg(count(lit(1)).as("n"),
+            approx_count_distinct(struct(partCols.map(col): _*)).as("nvals"))
+          .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+      }
+    lazy val realOversized = hotStats.filter(_._2 > maxRowsPerPid)
+    lazy val hotDivisible = realOversized.exists(_._3 >= 2L)
     val maxNeed = if (oversized.nonEmpty && hotDivisible) cur * 2 else 0
     val needPids = Seq(cur, avgNeed, maxNeed).max
     val splitting = needPids > cur
     if (deltas.isEmpty && !splitting) return 0
     val nPids = if (splitting) needPids else cur
-    // rewrite scope at the OLD depth: delta-touched partitions always;
-    // on a split also every oversized partition (the rewrite is what
-    // actually shrinks them — under-bound partitions carry at their old
-    // depth and migrate lazily)
-    val touchedOld = deltaPerPid.keySet ++ (if (splitting) oversized else Set.empty)
-    val (inputFiles, carried) = m.files.partition(f =>
+    // rewrite scope (current-depth pids): delta-touched partitions
+    // always; on a split also every oversized partition (the rewrite is
+    // what actually shrinks them — under-bound partitions carry at their
+    // old depth and migrate lazily)
+    val touchedOld = deltaPerPid.keySet ++
+      (if (splitting && oversized.nonEmpty) realOversized.map(_._1).toSet else Set.empty)
+    val (inputFiles, carried0) = m.files.partition(f =>
       f.kind == FileEntry.DELTA || covers(f, touchedOld, cur))
+    // STAMP carried legacy entries (writePids=None == "current depth")
+    // with the depth that is true NOW: after a split changes numBuckets,
+    // an unstamped file would be misread at the NEW depth — pruned reads
+    // would skip it (silent row loss) and later compactions would fail
+    // to fold tombstones over it (resurrection)
+    val carried = carried0.map(f =>
+      if (f.kind == FileEntry.BASE && f.writePids.isEmpty) f.copy(writePids = Some(cur))
+      else f)
     if (inputFiles.isEmpty) return 0
     val input = spark.read.schema(physSchema)
       .parquet(inputFiles.map(f => root.resolve(f.path).toString): _*)
@@ -427,7 +445,15 @@ object BucketStore {
     require(Files.exists(root.resolve("_current")), s"no bucket store at $dir")
     val cfg = org.json4s.jackson.Serialization.read[StoreConfig](
       new String(Files.readAllBytes(root.resolve("_store.json"))))
-    new BucketStore(root, spark, cfg.partCols, cfg.keyCols)
+    val s = new BucketStore(root, spark, cfg.partCols, cfg.keyCols)
+    // the lazy-split invariant (every write depth divides every later
+    // depth) only holds for power-of-two partition counts — refuse a
+    // store that predates the create-time check rather than let a split
+    // produce meaningless coverage arithmetic
+    require(Integer.bitCount(s.numPids) == 1,
+      s"store at $dir has numPids=${s.numPids}, not a power of two — " +
+      "rebuild it (lazy splits require divisible depths)")
+    s
   }
 
   def createOrLoad(spark: SparkSession, dir: String, schema: StructType,

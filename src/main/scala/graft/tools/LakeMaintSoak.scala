@@ -48,10 +48,13 @@ object LakeMaintSoak {
     val deltaTails = scala.collection.mutable.ArrayBuffer.empty[Int]
     val fileCounts = scala.collection.mutable.ArrayBuffer.empty[Int]
     try {
-      val chunk = events / batches
+      // rounding boundaries, not a truncated fixed chunk: b*events/batches
+      // covers EVERY requested event (a fixed events/batches chunk drops
+      // the remainder while the JSON still reports the full count)
       (0 until batches).foreach { b =>
         CdcMerge.apply(table,
-          WalGen.events(spark, cfg, b * chunk, (b + 1) * chunk).toDF(), b.toLong)
+          WalGen.events(spark, cfg, b.toLong * events / batches,
+            (b + 1).toLong * events / batches).toDF(), b.toLong)
         val target = table.currentVersion
         val t0 = System.nanoTime()
         val deadline = System.currentTimeMillis() + 600000
@@ -67,11 +70,14 @@ object LakeMaintSoak {
     } finally h.close()
 
     def third(xs: Seq[Double], which: Int): Double = {
+      // fewer than 3 windows cannot support a first-vs-last-third
+      // comparison — fall back to the whole-series mean rather than
+      // printing a fake 0.00-vs-0.00 "flat" result
       val n = xs.size / 3
-      val slice = which match {
-        case 0 => xs.take(n)
-        case _ => xs.takeRight(n)
-      }
+      val slice =
+        if (n == 0) xs
+        else if (which == 0) xs.take(n)
+        else xs.takeRight(n)
       slice.sum / math.max(1, slice.size)
     }
     def pct(xs: Seq[Double], p: Double): Double = {

@@ -280,6 +280,34 @@ final class BucketStore private (val root: Path, spark: SparkSession,
     touchedOld.size
   }
 
+  /** Replace the ENTIRE store content with `rows` (live user rows, no
+    * tombstones), written directly as resolved per-pid base files — the
+    * deliberate O(corpus) generation rewrite (an ANN retrain's
+    * re-assignment, a bulk re-derivation) done in ONE write instead of
+    * tombstone-everything + re-append + compact (~3× the row I/O). The
+    * partition space grows (power-of-two) if the new generation needs it.
+    * Caller contract: one row per resolve key.
+    */
+  def replaceAll(rows: DataFrame, watermark: Long,
+                 maxRowsPerPid: Long = 1L << 19): Unit = pathLock(root).synchronized {
+    val m = manifest
+    val est = rows.count()
+    val nPids = math.max(m.numBuckets,
+      Integer.highestOneBit(math.max(1, (est / math.max(1L, maxRowsPerPid)).toInt)) * 2)
+    val ver = m.version + 1
+    val out = rows.select(userSchema.fields.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)).toSeq: _*)
+      .withColumn(DELETED_COL, lit(false))
+      .withColumn(VER_COL, lit(ver))
+      .withColumn("__pid", pidExpr(nPids))
+    val staging = root.resolve("_staging-" + java.util.UUID.randomUUID().toString.take(8))
+    out.repartition(math.max(1, math.min(64, nPids)), col("__pid"))
+      .write.partitionBy("__pid").parquet(staging.toString)
+    val adopted = adoptPartitioned(staging, ver, nPids)
+    commit(m.copy(version = ver, lastEpoch = ver, numBuckets = nPids,
+      files = adopted, lastSourceEpoch = watermark), expectedParent = m.version)
+  }
+
   /** Delete data files referenced by none of the last `keepVersions`
     * manifests, and GC old manifest docs/segments. Bounds the store's
     * footprint to the retention window (no readers time-travel this

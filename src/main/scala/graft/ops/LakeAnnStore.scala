@@ -107,24 +107,23 @@ final class LakeAnnStore private (val spark: SparkSession, val root: String,
 
   /** Swap in a retrained quantizer and re-assign the whole corpus — the
     * one deliberately O(corpus) operation, amortized over the many
-    * batches whose drift triggered it. Implemented as a full
-    * tombstone+re-append generation folded immediately by compaction.
+    * batches whose drift triggered it. Written as ONE direct generation
+    * replace per store ([[BucketStore.replaceAll]]): the earlier
+    * tombstone-everything + re-append + compact form paid ~3× the row
+    * I/O for the same result.
     */
   def reassign(newIndex: IvfIndex, maxRowsPerPid: Long = 1L << 19): Unit = {
     val live = snapshot().localCheckpoint(true) // (id, cell, vec) under the OLD index
     setIndex(newIndex)
     val wm = watermark
-    val tombs = live.select(col("id"), col("cell"),
-      lit(null).cast(ArrayType(FloatType)).as("vec"), lit(true).as(BucketStore.DELETED_COL))
     val rows = live.select(col("id"), col("vec"))
       .withColumn("cell", newIndex.assignExpr(col("vec")))
-      .select("id", "cell", "vec").withColumn(BucketStore.DELETED_COL, lit(false))
-    vecStore.append(tombs.unionByName(rows), wm)
-    cellIndex.append(rows.select("id", "cell")
-      .withColumn(BucketStore.DELETED_COL, lit(false)), wm)
-    // the caller's partition-size bound, not the default: a retrain just
-    // rewrote the whole store — the one moment a split is free
-    maintain(maxRowsPerPid)
+      .select("id", "cell", "vec")
+      .localCheckpoint(true) // one assignment pass feeds both stores
+    vecStore.replaceAll(rows, wm, maxRowsPerPid)
+    cellIndex.replaceAll(rows.select("id", "cell"), wm, maxRowsPerPid)
+    vecStore.vacuum()
+    cellIndex.vacuum()
   }
 
   def maintain(maxRowsPerPid: Long = 1L << 19, vacuumGraceMs: Long = 300000L): Unit = {

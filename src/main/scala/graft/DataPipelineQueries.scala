@@ -519,6 +519,65 @@ object DataPipelineQueries {
         .orderBy("media_id")
     }
 
+    // REAL audio decode: payloads are complete synthesized RIFF/WAVE files
+    // (square wave, amplitude a, so RMS == a exactly and peak == a); the
+    // query must walk the chunk structure AND decode every s16le sample to
+    // reproduce the oracle's closed forms — a header-only or wrong-stride
+    // parser fails the hash. All derived quantities are exact (integer
+    // sums, sqrt of a perfect square), so the double compare is bit-exact.
+    register("q_audio_wav_decode", Some(
+      """SELECT doc_id AS media_id,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS INTEGER) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        |  CAST(50 + length(text) % 200 AS INTEGER) AS n_samples,
+        |  CAST((50 + length(text) % 200) * 1000 // (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END) AS BIGINT) AS duration_ms,
+        |  CAST(1000 + length(text) % 20000 AS DOUBLE) AS rms,
+        |  CAST(1000 + length(text) % 20000 AS INTEGER) AS peak
+        |FROM documents ORDER BY media_id""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val media = T(s, dir, "documents").select("doc_id", "text")
+        .as[(Long, String)].map { case (id, text) =>
+          val sr = (id % 3) match { case 0 => 8000; case 1 => 16000; case _ => 44100 }
+          val channels = (1 + id % 2).toInt
+          val n = 50 + text.length % 200
+          val a = (1000 + text.length % 20000).toShort
+          val frames = Array.tabulate(n)(i => if (i % 2 == 0) a else (-a).toShort)
+          (id, MultimodalOps.wavBytes(sr, channels, frames))
+        }.toDF("doc_id", "payload")
+      MultimodalOps.audioFeatures(media, "doc_id", "payload").toDF()
+        .orderBy("media_id")
+    }
+
+    // REAL pixel decode: payloads are complete 24-bit bottom-up BMPs with
+    // R = baseR + y (top-origin), G = baseG + x, B constant. The query must
+    // decode every pixel honoring the 4-byte row stride AND flip bottom-up
+    // row order: channel sums catch a stride bug, top_row_sum_r (== the
+    // LAST stored row) catches an unflipped decoder.
+    register("q_image_bmp_stats", Some(
+      """SELECT doc_id AS media_id,
+        |  CAST(8 + length(text) % 32 AS INTEGER) AS width,
+        |  CAST(8 + doc_id % 16 AS INTEGER) AS height,
+        |  CAST((8 + length(text) % 32) * ((8 + doc_id % 16) * (doc_id % 100)
+        |    + (8 + doc_id % 16) * (8 + doc_id % 16 - 1) // 2) AS BIGINT) AS sum_r,
+        |  CAST((8 + doc_id % 16) * ((8 + length(text) % 32) * (length(text) % 100)
+        |    + (8 + length(text) % 32) * (8 + length(text) % 32 - 1) // 2) AS BIGINT) AS sum_g,
+        |  CAST((8 + length(text) % 32) * (8 + doc_id % 16) * ((doc_id + length(text)) % 100) AS BIGINT) AS sum_b,
+        |  CAST((8 + length(text) % 32) * (doc_id % 100) AS BIGINT) AS top_row_sum_r
+        |FROM documents ORDER BY media_id""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val media = T(s, dir, "documents").select("doc_id", "text")
+        .as[(Long, String)].map { case (id, text) =>
+          val w = 8 + text.length % 32
+          val h = (8 + id % 16).toInt
+          val baseR = (id % 100).toInt
+          val baseG = text.length % 100
+          val baseB = ((id + text.length) % 100).toInt
+          (id, MultimodalOps.bmp24(w, h, (x, y) => (baseR + y, baseG + x, baseB)))
+        }.toDF("doc_id", "payload")
+      MultimodalOps.imageStats(media, "doc_id", "payload").toDF()
+        .orderBy("media_id")
+    }
+
     register("q_multimodal_frames", Some(
       """SELECT media_id, CAST(unnest(generate_series(0, n_frames - 1, 5)) AS INTEGER) AS frame_idx
         |FROM (SELECT doc_id AS media_id, 1 + length(text) % 30 AS n_frames

@@ -70,9 +70,10 @@ final class Catalog(spark: SparkSession, root: String) {
     else TableIO.readParquet(spark, e.path)._1
 
   /** Publish this catalog's index (see [[PublishedCatalog]]). The default
-    * version is allocated via [[PublishedCatalog.freshVersion]] — never a
-    * bare wall clock, which two same-millisecond publishes would share
-    * (and then overwrite each other's frames under a held token).
+    * version goes through [[PublishedCatalog.publishCas]] (current+1,
+    * token-CAS-committed, retried on a lost race) — two concurrent
+    * publishers can never overwrite each other's frames or drop each
+    * other's synthetic entries.
     *
     * SYNTHETIC channels already published on this root — entries that do
     * not come from the directory walk, today the SQL registry's "sql"
@@ -81,13 +82,17 @@ final class Catalog(spark: SparkSession, root: String) {
     * could never discover from disk.
     */
   def publish(version: Long = -1L): Long = {
-    val v = if (version >= 0) version else PublishedCatalog.freshVersion(root)
     val scanned = entries.map(e => (e.channel, e.namespace, e.table, e.path, e.isLake))
     val scannedChannels = scanned.map(_._1).toSet
-    val carried = PublishedCatalog.currentEntries(spark, root)
-      .filter(e => PublishedCatalog.SYNTHETIC_CHANNELS.contains(e._1) &&
+    def merge(cur: Seq[(String, String, String, String, Boolean)]) =
+      scanned ++ cur.filter(e => PublishedCatalog.SYNTHETIC_CHANNELS.contains(e._1) &&
         !scannedChannels.contains(e._1))
-    PublishedCatalog.publish(spark, root, scanned ++ carried, v)
+    if (version >= 0)
+      PublishedCatalog.publish(spark, root, merge(PublishedCatalog.currentEntries(spark, root)), version)
+    else
+      // default path is the cross-process CAS: version = current+1, retried
+      // on a lost race with the winner's synthetic entries re-carried
+      PublishedCatalog.publishCas(spark, root, merge)
   }
 }
 
@@ -104,10 +109,19 @@ final class Catalog(spark: SparkSession, root: String) {
   * channel list), and readers load exactly the channels they ask for —
   * search is then a DataFrame filter, distributable and predicate-pushed.
   *
-  * Concurrent publishes are last-writer-wins on the token swap, but a
-  * reader holding an older token keeps reading its versioned channel
-  * frames (they are never overwritten in place — version-suffixed files,
-  * like manifest snapshots).
+  * Concurrency: a publish COMMITS by creating an immutable, version-named
+  * token file (`token-<v>.json`) via hard-link creation — POSIX's atomic
+  * create-exclusive — so exactly one publisher can commit a given version;
+  * the current catalog is the highest-versioned token. Read-modify-publish
+  * flows go through [[publishCas]]: merge against the current token's
+  * entries, attempt version current+1, and on a CREATE_NEW collision
+  * re-read and retry — a true cross-PROCESS compare-and-swap (two
+  * processes registering different names both land; neither update is
+  * lost). Frames carry a per-publish uid in their filename, so even two
+  * racers writing the same version never overwrite each other's frames; a
+  * reader holding an older token keeps reading its immutable frames.
+  * `catalog.json` remains as a non-authoritative legacy hint (pre-token
+  * catalogs are still readable through it).
   */
 object PublishedCatalog {
 
@@ -115,12 +129,75 @@ object PublishedCatalog {
     * formats as every other metadata doc in the repo (a hand-rolled regex
     * parse would silently depend on field order and never-quoted channel
     * names; a typed decode fails loudly on drift instead).
+    * `uid` suffixes this publish's frame filenames ("" = legacy naming).
     */
-  final case class CatalogToken(version: Long, channels: List[String])
+  final case class CatalogToken(version: Long, channels: List[String], uid: String = "")
+
+  /** A publish lost the token CAS: another publisher committed this
+    * version first. Callers merge against the new current and retry
+    * (see [[publishCas]]). */
+  final class ConcurrentPublishException(msg: String) extends RuntimeException(msg)
+
   private implicit val formats: org.json4s.Formats =
     org.json4s.jackson.Serialization.formats(org.json4s.NoTypeHints)
 
   private def indexDir(root: String): Path = Paths.get(root, "_index")
+
+  private def tokenName(v: Long): String = f"token-$v%019d.json"
+  private val tokenRe = "token-(\\d+)\\.json".r
+
+  private def frameName(ch: String, version: Long, uid: String): String =
+    if (uid.isEmpty) s"channel-$ch-$version.parquet"
+    else s"channel-$ch-$version-u$uid.parquet"
+
+  /** The current consistency token: the highest-versioned `token-*.json`,
+    * falling back to the legacy `catalog.json` single-token form.
+    */
+  def currentToken(root: String): Option[CatalogToken] = {
+    val dir = indexDir(root)
+    val fromChain: Option[CatalogToken] =
+      if (!Files.isDirectory(dir)) None
+      else {
+        val s = Files.list(dir)
+        val versions = try s.iterator().asScala.flatMap(p => p.getFileName.toString match {
+          case tokenRe(v) => Some(v.toLong)
+          case _ => None
+        }).toSeq finally s.close()
+        versions.sorted.lastOption.map(v =>
+          org.json4s.jackson.Serialization.read[CatalogToken](
+            new String(Files.readAllBytes(dir.resolve(tokenName(v))))))
+      }
+    fromChain.orElse {
+      val legacy = dir.resolve("catalog.json")
+      if (!Files.exists(legacy)) None
+      else scala.util.Try(org.json4s.jackson.Serialization.read[CatalogToken](
+        new String(Files.readAllBytes(legacy)))).toOption
+    }
+  }
+
+  /** Commit a token: atomic create-exclusive via hard link (full content
+    * appears atomically; creation fails with EEXIST when another publisher
+    * committed the same version first → [[ConcurrentPublishException]]).
+    */
+  private def linkToken(root: String, token: CatalogToken): Unit = {
+    val dir = indexDir(root)
+    Files.createDirectories(dir)
+    val target = dir.resolve(tokenName(token.version))
+    val tmp = dir.resolve(target.getFileName.toString + ".tmp." + java.util.UUID.randomUUID())
+    Files.write(tmp, org.json4s.jackson.Serialization.write(token)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try Files.createLink(target, tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new ConcurrentPublishException(
+          s"catalog version ${token.version} was committed concurrently at $root")
+    } finally Files.deleteIfExists(tmp)
+    // legacy single-token hint for pre-chain readers; the token chain is
+    // authoritative, so an out-of-order hint write between two racing
+    // publishers is harmless
+    graft.lake.Manifest.writeAtomic(dir.resolve("catalog.json"),
+      org.json4s.jackson.Serialization.write(currentToken(root).getOrElse(token)))
+  }
 
   /** Channels whose entries are minted by APIs, not by walking the data
     * tree — a directory re-publish carries them forward instead of
@@ -137,20 +214,24 @@ object PublishedCatalog {
       .map(r => (r.getString(0), r.getString(1), r.getString(2),
         r.getString(3), r.getBoolean(4))).toSeq
 
-  /** Versions with any on-disk trace (a channel frame or the current
-    * token) — the set [[publish]] refuses to reuse. Frame names are
-    * `channel-<name>-<version>.parquet`; the version is the trailing
-    * numeric segment (channel names themselves may contain '-').
+  /** Versions with any on-disk trace (a committed token, a channel frame,
+    * or the legacy single token) — the set [[publish]] refuses to reuse.
+    * Legacy frame names are `channel-<name>-<version>.parquet`, chain-era
+    * ones add `-u<uid>`; the version is the numeric segment (channel names
+    * themselves may contain '-').
     */
   private[ops] def publishedVersions(root: String): Set[Long] = {
     val dir = indexDir(root)
     val frameRe = "channel-.*-(\\d+)\\.parquet".r
-    val fromFrames: Set[Long] =
+    val frameUidRe = "channel-.*-(\\d+)-u[0-9a-f]+\\.parquet".r
+    val fromFiles: Set[Long] =
       if (!Files.isDirectory(dir)) Set.empty
       else {
         val s = Files.list(dir)
         try s.iterator().asScala.flatMap(p => p.getFileName.toString match {
+          case frameUidRe(v) => Some(v.toLong)
           case frameRe(v) => Some(v.toLong)
+          case tokenRe(v) => Some(v.toLong)
           case _ => None
         }).toSet finally s.close()
       }
@@ -158,7 +239,7 @@ object PublishedCatalog {
       org.json4s.jackson.Serialization.read[CatalogToken](
         new String(Files.readAllBytes(dir.resolve("catalog.json")))).version
     }.toOption
-    fromFrames ++ fromToken
+    fromFiles ++ fromToken
   }
 
   /** A version guaranteed unused: wall-clock now, bumped past anything
@@ -190,18 +271,49 @@ object PublishedCatalog {
     require(!publishedVersions(root).contains(version),
       s"catalog version $version is already published at $root — versioned " +
       "frames are immutable; publish under a fresh version")
+    val uid = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
     val channels = entries.map(_._1).distinct.sorted
     channels.foreach { ch =>
       val rows = entries.filter(_._1 == ch)
       rows.toDF("channel", "namespace", "table", "path", "is_lake")
         .coalesce(1)
         .write.mode("overwrite")
-        .parquet(dir.resolve(s"channel-$ch-$version.parquet").toString)
+        .parquet(dir.resolve(frameName(ch, version, uid)).toString)
     }
-    val doc = org.json4s.jackson.Serialization.write(
-      CatalogToken(version, channels.toList))
-    graft.lake.Manifest.writeAtomic(dir.resolve("catalog.json"), doc)
+    // frames first (immutable, uid-unique — a racing publisher of the same
+    // version cannot clobber them), then the token CAS decides the winner
+    linkToken(root, CatalogToken(version, channels.toList, uid))
     version
+  }
+
+  /** Cross-process-safe read-modify-publish: merge `update` against the
+    * CURRENT entries and commit as version current+1 via the token CAS;
+    * on a lost race, re-read and retry with the winner's entries included.
+    * This is the path for incremental index updates (SQL registrations,
+    * data-tree re-publishes) — neither of two concurrent updaters' changes
+    * is lost, unlike a plain last-writer-wins token swap.
+    */
+  def publishCas(spark: SparkSession, root: String,
+                 update: Seq[(String, String, String, String, Boolean)] => Seq[(String, String, String, String, Boolean)],
+                 maxAttempts: Int = 50): Long = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val v0 = currentToken(root).map(_.version).getOrElse(0L)
+      val merged = update(currentEntries(spark, root))
+      try return publish(spark, root, merged, v0 + 1)
+      catch {
+        case _: ConcurrentPublishException if attempt < maxAttempts =>
+          Thread.sleep(5L + scala.util.Random.nextInt(20))
+        case e: IllegalArgumentException
+            if attempt < maxAttempts && e.getMessage != null &&
+              e.getMessage.contains("already published") =>
+          // version already taken (raced with another publisher) — backoff
+          // with jitter and re-merge against the new current
+          Thread.sleep(5L + scala.util.Random.nextInt(20))
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Reader over the published index. `channels = Nil` loads all published
@@ -238,19 +350,13 @@ object PublishedCatalog {
   /** The current token's version without touching any frame — the cheap
     * cache-validation read (None = nothing published).
     */
-  def currentVersion(root: String): Option[Long] = {
-    val tokenPath = indexDir(root).resolve("catalog.json")
-    if (!Files.exists(tokenPath)) None
-    else scala.util.Try(org.json4s.jackson.Serialization.read[CatalogToken](
-      new String(Files.readAllBytes(tokenPath))).version).toOption
-  }
+  def currentVersion(root: String): Option[Long] = currentToken(root).map(_.version)
 
   /** Open the published catalog at its current consistency token. */
   def open(spark: SparkSession, root: String, channels: Seq[String] = Nil): Reader = {
-    val tokenPath = indexDir(root).resolve("catalog.json")
-    require(Files.exists(tokenPath), s"no published catalog at $root (run publish first)")
-    val token = org.json4s.jackson.Serialization.read[CatalogToken](
-      new String(Files.readAllBytes(tokenPath)))
+    val tokenOpt = currentToken(root)
+    require(tokenOpt.nonEmpty, s"no published catalog at $root (run publish first)")
+    val token = tokenOpt.get
     val version = token.version
     val published = token.channels
     val want = if (channels.isEmpty) published else {
@@ -259,7 +365,7 @@ object PublishedCatalog {
       channels
     }
     val frames = want.map(ch => spark.read.parquet(
-      indexDir(root).resolve(s"channel-$ch-$version.parquet").toString))
+      indexDir(root).resolve(frameName(ch, version, token.uid)).toString))
     // a published-but-empty catalog (zero tables) reads as an empty index,
     // not an error — find() then simply matches nothing
     val index =

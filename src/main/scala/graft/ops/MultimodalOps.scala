@@ -6,11 +6,14 @@ import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, decoded/feature-extracted in partition-batched
-  * passes. The Spark-side plumbing (schema, partitioning, batch shape) is
-  * real; the codec itself is a STUB — this container ships no image/audio
-  * libraries, so `decodeStub` derives deterministic fake features from the
-  * bytes. Swap `decodeStub` for a real codec (e.g. a JNI/pandas-UDF decode)
-  * without touching the pipeline shape.
+  * passes. Pure-JVM REAL decodes (no codec libraries needed): PNG/JPEG/BMP
+  * header dims ([[imageDims]]), full-pixel 24-bit BMP statistics
+  * ([[bmpStats]]), and full-sample 16-bit-PCM RIFF/WAVE audio features
+  * ([[wavFeatures]]). Compressed codecs (JPEG pixels, MP3/OGG samples,
+  * video frames) stay behind [[decodeStub]] — this container ships no
+  * image/audio libraries — and the stub derives deterministic fake
+  * features so the pipeline shape stays testable; swap it for a real codec
+  * (e.g. a JNI/pandas-UDF decode) without touching the plumbing.
   */
 object MultimodalOps {
 
@@ -57,6 +60,11 @@ object MultimodalOps {
         }
       }
       None
+    } else if (p.length >= 30 && p(0) == 'B'.toByte && p(1) == 'M'.toByte) {
+      // BMP: BITMAPINFOHEADER width/height as s32le at offsets 18/22
+      def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+      val w = le32(18); val h = math.abs(le32(22))
+      if (w > 0 && h > 0) Some((w, h)) else None
     } else None
   }
 
@@ -83,6 +91,152 @@ object MultimodalOps {
     b.put(8.toByte)                                  // precision
     b.putShort(height.toShort).putShort(width.toShort)
     b.put(1.toByte).put(1.toByte).put(0x11.toByte).put(0.toByte)
+    b.array()
+  }
+
+  /** Parsed WAV facts + REAL sample statistics (the samples are decoded,
+    * not inferred from the header): `rms` is sqrt(mean of squared PCM
+    * values) over every sample of every channel, `peak` = max |sample|.
+    */
+  final case class WavInfo(sampleRate: Int, channels: Int, nSamples: Int,
+                           durationMs: Long, rms: Double, peak: Int)
+
+  /** REAL audio decode, pure JVM: RIFF/WAVE chunk walk (chunks are
+    * even-aligned — a chunk with odd size carries one pad byte) to `fmt `
+    * (PCM format 1, 16-bit only) and `data`, then a full pass over the
+    * s16le interleaved samples for RMS/peak. Anything that is not a
+    * 16-bit-PCM RIFF/WAVE returns None (callers fall back to
+    * [[decodeStub]]) — mirroring [[imageDims]]'s contract for images.
+    */
+  def wavFeatures(p: Array[Byte]): Option[WavInfo] = {
+    if (p == null || p.length < 12) return None
+    def u8(i: Int): Int = p(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    def tag(i: Int): String = new String(p, i, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var fmt: Option[(Int, Int, Int, Int)] = None // (audioFormat, channels, sampleRate, bits)
+    var data: Option[(Int, Int)] = None          // (offset, length)
+    var i = 12
+    while (i + 8 <= p.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = tag(i); val len = le32(i + 4)
+      if (len < 0 || i + 8 + len > p.length) return None // torn chunk
+      if (id == "fmt " && len >= 16)
+        fmt = Some((le16(i + 8), le16(i + 10), le32(i + 12), le16(i + 22)))
+      else if (id == "data") data = Some((i + 8, len))
+      i += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    for {
+      (audioFormat, channels, sampleRate, bits) <- fmt
+      (off, dataLen) <- data
+      if audioFormat == 1 && bits == 16 && channels > 0 && sampleRate > 0
+    } yield {
+      val frameBytes = channels * 2
+      val nFrames = dataLen / frameBytes
+      val totalSamples = nFrames * channels
+      var sumSq = 0L; var peak = 0
+      var j = off
+      val end = off + nFrames * frameBytes
+      while (j < end) {
+        val s = (le16(j) << 16) >> 16 // sign-extend s16le
+        sumSq += s.toLong * s
+        val a = math.abs(s)
+        if (a > peak) peak = a
+        j += 2
+      }
+      val rms = if (totalSamples == 0) 0.0 else math.sqrt(sumSq.toDouble / totalSamples)
+      WavInfo(sampleRate, channels, nFrames,
+        nFrames.toLong * 1000L / sampleRate, rms, peak)
+    }
+  }
+
+  /** Synthesize a complete 16-bit PCM RIFF/WAVE payload for tests and
+    * oracle queries — [[wavFeatures]] must decode back exactly.
+    */
+  def wavBytes(sampleRate: Int, channels: Int, frames: Array[Short]): Array[Byte] = {
+    val dataLen = frames.length * channels * 2
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen).put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1).putShort(channels.toShort).putInt(sampleRate)
+    b.putInt(sampleRate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+    b.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    frames.foreach(s => (0 until channels).foreach(_ => b.putShort(s)))
+    b.array()
+  }
+
+  /** Parsed BMP facts + REAL pixel statistics: exact integer channel sums
+    * over every decoded pixel (sums, not means, so a cross-engine oracle
+    * compares exactly), plus the red-channel sum of the TOP image row —
+    * BMP stores rows bottom-up, so a decoder that does not flip row order
+    * reports the wrong top row. Dimensions are the image's (width,
+    * |height|).
+    */
+  final case class BmpStats(width: Int, height: Int, sumR: Long, sumG: Long,
+                            sumB: Long, topRowSumR: Long)
+
+  /** REAL pixel decode, pure JVM: uncompressed 24-bit BMP
+    * (BITMAPINFOHEADER, BI_RGB) — per-pixel BGR loop honoring the 4-byte
+    * row stride padding and bottom-up row order (negative biHeight =
+    * top-down, also handled). Non-BMP / compressed / non-24-bit payloads
+    * return None.
+    */
+  def bmpStats(p: Array[Byte]): Option[BmpStats] = {
+    if (p == null || p.length < 54 || p(0) != 'B'.toByte || p(1) != 'M'.toByte) return None
+    def u8(i: Int): Int = p(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    val dataOff = le32(10)
+    val hdrSize = le32(14)
+    val width = le32(18)
+    val rawHeight = le32(22)
+    val bpp = le16(28)
+    val compression = le32(30)
+    if (hdrSize < 40 || bpp != 24 || compression != 0 || width <= 0 || rawHeight == 0) return None
+    val height = math.abs(rawHeight)
+    val topDown = rawHeight < 0
+    val stride = ((3 * width + 3) / 4) * 4
+    if (dataOff < 0 || dataOff.toLong + stride.toLong * height > p.length) return None
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var topRowSumR = 0L
+    var row = 0
+    while (row < height) {
+      // file row `row` is image row `row` when top-down, else `height-1-row`
+      val y = if (topDown) row else height - 1 - row
+      var off = dataOff + row * stride
+      var x = 0
+      while (x < width) {
+        val b = u8(off); val g = u8(off + 1); val r = u8(off + 2)
+        sumB += b; sumG += g; sumR += r
+        if (y == 0) topRowSumR += r
+        off += 3; x += 1
+      }
+      row += 1
+    }
+    Some(BmpStats(width, height, sumR, sumG, sumB, topRowSumR))
+  }
+
+  /** Synthesize an uncompressed bottom-up 24-bit BMP; `rgb(x, y)` uses
+    * TOP-origin coordinates (y = 0 is the top image row) — the writer
+    * stores rows bottom-up, so [[bmpStats]] must flip to decode correctly.
+    */
+  def bmp24(width: Int, height: Int, rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val stride = ((3 * width + 3) / 4) * 4
+    val b = java.nio.ByteBuffer.allocate(54 + stride * height)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(54 + stride * height)
+      .putShort(0).putShort(0).putInt(54)
+    b.putInt(40).putInt(width).putInt(height).putShort(1).putShort(24)
+      .putInt(0).putInt(stride * height).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    for (fileRow <- 0 until height) {
+      val y = height - 1 - fileRow // bottom-up storage
+      val rowStart = 54 + fileRow * stride
+      for (x <- 0 until width) {
+        val (r, g, bl) = rgb(x, y)
+        b.position(rowStart + 3 * x)
+        b.put(bl.toByte).put(g.toByte).put(r.toByte)
+      }
+    }
     b.array()
   }
 
@@ -120,16 +274,61 @@ object MultimodalOps {
         it.map { m =>
           val (sw, sh, sr, nf) = decodeStub(m.payload)
           val visual = m.modality == "image" || m.modality == "video"
-          // REAL header parse first (PNG/JPEG); stub only when the payload
-          // is not a recognized image container
+          // REAL container parse first (PNG/JPEG/BMP dims, RIFF/WAVE audio
+          // facts); stub only when the payload is not a recognized container
           val (w, h) = imageDims(m.payload).getOrElse((sw, sh))
+          val realSr = wavFeatures(m.payload).map(_.sampleRate)
           MediaOut(m.media_id, m.modality, m.payload,
             if (visual) Some(w) else None,
             if (visual) Some(h) else None,
-            if (m.modality == "audio") Some(sr) else None,
+            if (m.modality == "audio") Some(realSr.getOrElse(sr)) else None,
             if (m.modality == "video") Some(nf) else None)
         }
       }
+  }
+
+  final case class AudioOut(media_id: Long, sample_rate: Option[Int], channels: Option[Int],
+                            n_samples: Option[Int], duration_ms: Option[Long],
+                            rms: Option[Double], peak: Option[Int])
+
+  /** Audio feature extraction over a binary WAV payload column — real
+    * per-sample decode (RMS/peak), partition-batched like [[decode]].
+    * Unparseable payloads yield all-null feature columns (kept, not
+    * dropped: a quality-filter step downstream decides).
+    */
+  def audioFeatures(df: DataFrame, idCol: String, payloadCol: String): Dataset[AudioOut] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        wavFeatures(p) match {
+          case Some(w) => AudioOut(id, Some(w.sampleRate), Some(w.channels),
+            Some(w.nSamples), Some(w.durationMs), Some(w.rms), Some(w.peak))
+          case None => AudioOut(id, None, None, None, None, None, None)
+        }
+      })
+  }
+
+  final case class ImageStatsOut(media_id: Long, width: Option[Int], height: Option[Int],
+                                 sum_r: Option[Long], sum_g: Option[Long],
+                                 sum_b: Option[Long], top_row_sum_r: Option[Long])
+
+  /** Pixel-statistics extraction over a binary BMP payload column — real
+    * per-pixel decode (channel sums + top-row sum), partition-batched.
+    */
+  def imageStats(df: DataFrame, idCol: String, payloadCol: String): Dataset[ImageStatsOut] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        bmpStats(p) match {
+          case Some(s) => ImageStatsOut(id, Some(s.width), Some(s.height),
+            Some(s.sumR), Some(s.sumG), Some(s.sumB), Some(s.topRowSumR))
+          case None => ImageStatsOut(id, None, None, None, None, None, None)
+        }
+      })
   }
 
   /** Frame sampling plan for video payloads: one row per sampled frame

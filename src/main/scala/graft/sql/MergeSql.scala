@@ -83,18 +83,20 @@ object LakeCatalog {
   /** Read-modify-publish of the root's full index with the "sql" channel
     * updated — other channels' entries are carried so a catalog that also
     * publishes data channels is never truncated by a SQL registration.
-    * Serialized in-process; cross-process concurrent publishes are
-    * last-writer-wins on the token (same contract as any publish).
+    * Committed through [[graft.ops.PublishedCatalog.publishCas]]: the
+    * merge re-runs against the CURRENT entries on every attempt, so two
+    * registrations racing from different PROCESSES both land (the old
+    * last-writer-wins token swap dropped the loser's name). The in-process
+    * lock stays only to avoid needless CAS churn between local threads.
     */
   private def publishDelta(session: SparkSession, root: String,
                            add: Option[(String, String)],
                            remove: Option[String]): Unit = publishLock.synchronized {
-    val existing = graft.ops.PublishedCatalog.currentEntries(session, root)
-    val dropped = existing.filterNot { case (ch, _, t, _, _) =>
-      ch == SQL_CHANNEL && (add.exists(_._1 == t) || remove.contains(t)) }
-    val entries = dropped ++ add.map { case (n, d) => (SQL_CHANNEL, "", n, d, true) }
-    graft.ops.PublishedCatalog.publish(session, root, entries,
-      graft.ops.PublishedCatalog.freshVersion(root))
+    graft.ops.PublishedCatalog.publishCas(session, root, { existing =>
+      val dropped = existing.filterNot { case (ch, _, t, _, _) =>
+        ch == SQL_CHANNEL && (add.exists(_._1 == t) || remove.contains(t)) }
+      dropped ++ add.map { case (n, d) => (SQL_CHANNEL, "", n, d, true) }
+    })
     cache.remove(rootKey(root))
   }
 

@@ -90,6 +90,62 @@ class CatalogSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("publishCas: concurrent publishers each land their entry (cross-process token CAS, no lost update)") {
+    val dir = tmpDir("pubcas")
+    try {
+      import graft.ops.PublishedCatalog
+      // seed a published base the racers must carry forward
+      PublishedCatalog.publish(spark, dir, Seq(("garden", "ns", "base", "/p/base", false)), 1L)
+      // N racers, barrier-released together, each merging ONE distinct
+      // entry against whatever is current — bypasses every in-process lock,
+      // so this is exactly the two-process interleaving
+      val n = 4
+      val barrier = new java.util.concurrent.CyclicBarrier(n)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (0 until n).map { i =>
+        new Thread(() => {
+          try {
+            barrier.await()
+            PublishedCatalog.publishCas(spark, dir,
+              cur => cur :+ (("sql", "", s"t$i", s"/p/t$i", true)))
+          } catch { case t: Throwable => errs.add(t) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join(120000))
+      assert(errs.isEmpty, errs.toArray.mkString("; "))
+      val r = PublishedCatalog.open(spark, dir)
+      // every racer's entry landed AND the base survived: no lost update
+      val tables = r.index.select("table").collect().map(_.getString(0)).toSet
+      assert(tables == (0 until n).map(i => s"t$i").toSet + "base", tables)
+      // the token chain is dense from the seed: one version per winner
+      assert(r.version == 1L + n, s"version ${r.version}")
+    } finally rmrf(dir)
+  }
+
+  test("legacy catalog.json (pre-token-chain) stays readable; the next publish upgrades to the chain") {
+    val dir = tmpDir("publeg")
+    try {
+      import graft.ops.PublishedCatalog
+      // hand-write the ROUND-3 on-disk form: unsuffixed frame + single
+      // catalog.json token, no token-*.json chain
+      val idx = java.nio.file.Paths.get(dir, "_index")
+      java.nio.file.Files.createDirectories(idx)
+      Seq(("garden", "ns", "old", "/p/old", false))
+        .toDF("channel", "namespace", "table", "path", "is_lake")
+        .coalesce(1).write.parquet(idx.resolve("channel-garden-3.parquet").toString)
+      java.nio.file.Files.write(idx.resolve("catalog.json"),
+        """{"version":3,"channels":["garden"]}""".getBytes("UTF-8"))
+      val r = PublishedCatalog.open(spark, dir)
+      assert(r.version == 3L && r.index.count() == 1)
+      // CAS publish continues the chain from the legacy version
+      val v = PublishedCatalog.publishCas(spark, dir,
+        cur => cur :+ (("sql", "", "neu", "/p/neu", true)))
+      assert(v == 4L)
+      val r2 = PublishedCatalog.open(spark, dir)
+      assert(r2.version == 4L && r2.index.count() == 2)
+    } finally rmrf(dir)
+  }
+
   test("publishing an empty catalog yields an empty index, not an error") {
     val dir = tmpDir("emptycat")
     try {

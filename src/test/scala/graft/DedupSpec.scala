@@ -289,6 +289,53 @@ class DedupSpec extends SparkSpec {
     assert(out(2).width.contains(16 + 11 % 64)) // stub fallback
   }
 
+  test("multimodal decode: REAL WAV sample decode (RMS/peak over PCM)") {
+    import MultimodalOps._
+    // square wave: RMS == amplitude exactly, stereo interleave covered
+    val mono = wavBytes(8000, 1, Array.tabulate(100)(i => if (i % 2 == 0) 500 else -500).map(_.toShort))
+    val wm = wavFeatures(mono).get
+    assert(wm == WavInfo(8000, 1, 100, 12L, 500.0, 500))
+    val stereo = wavBytes(44100, 2, Array.tabulate(441)(i => if (i % 2 == 0) 12345 else -12345).map(_.toShort))
+    val ws = wavFeatures(stereo).get
+    assert(ws.channels == 2 && ws.nSamples == 441 && ws.durationMs == 10L &&
+      ws.rms == 12345.0 && ws.peak == 12345)
+    // mixed amplitudes: rms is the real quadratic mean, peak the real max
+    val mixed = wavFeatures(wavBytes(16000, 1, Array[Short](3, -4, 0, 0))).get
+    assert(mixed.rms == math.sqrt(25.0 / 4) && mixed.peak == 4)
+    // an extra chunk before fmt/data must be skipped (word-aligned walk)
+    val withJunk = {
+      val w = wavBytes(8000, 1, Array[Short](7, -7))
+      val junk = java.nio.ByteBuffer.allocate(8 + 3 + 1).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .put("LIST".getBytes("US-ASCII")).putInt(3).put(Array[Byte](1, 2, 3, 0)).array()
+      w.take(12) ++ junk ++ w.drop(12)
+    }
+    assert(wavFeatures(withJunk).map(_.peak).contains(7))
+    // non-WAV / torn payloads refuse instead of inventing features
+    assert(wavFeatures("RIFFnope".getBytes).isEmpty)
+    assert(wavFeatures(mono.dropRight(5)).isEmpty) // torn data chunk
+    assert(wavFeatures(null).isEmpty)
+  }
+
+  test("multimodal decode: REAL BMP pixel decode (stride + bottom-up flip)") {
+    import MultimodalOps._
+    // width 9 -> stride 28 exercises row padding; R varies by TOP-origin y
+    val bmp = bmp24(9, 4, (x, y) => (10 + y, 20 + x, 3))
+    val s = bmpStats(bmp).get
+    assert(s.width == 9 && s.height == 4)
+    assert(s.sumR == 9L * (4 * 10 + 6))         // sum over y of (10+y), x9 cols
+    assert(s.sumG == 4L * (9 * 20 + 36))        // sum over x of (20+x), x4 rows
+    assert(s.sumB == 9L * 4 * 3)
+    assert(s.topRowSumR == 9L * 10)             // y=0 row — unflipped would be 9*13
+    assert(imageDims(bmp).contains((9, 4)))     // BMP dims in the shared dims parser
+    assert(bmpStats("BMnope".getBytes).isEmpty)
+    assert(bmpStats(bmp.dropRight(3)).isEmpty)  // torn pixel array
+    // decode() integration: WAV audio rows get their REAL sample rate
+    val rows = Seq((0L, "audio", wavBytes(22050, 1, Array[Short](1, -1))))
+    val docs = spark.createDataFrame(rows).toDF("id", "modality", "payload")
+    val out = MultimodalOps.decode(docs, "id", "payload", "modality").collect()
+    assert(out(0).sample_rate.contains(22050))
+  }
+
   test("langid + quality + fingerprint are deterministic and sane") {
     val docs = Seq(
       (1L, "the cat and the dog of the house"),

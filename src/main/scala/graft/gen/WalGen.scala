@@ -120,13 +120,18 @@ object WalGen {
         .sortWithinPartitions("_shuffle")
         .drop("_shuffle")
         .write.mode("overwrite").parquet(tmp.toString)
-      val part = Files.list(tmp).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet"))
-        .getOrElse(sys.error(s"no parquet written in $tmp"))
+      val part = {
+        val s = Files.list(tmp)
+        try s.iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet written in $tmp"))
+        finally s.close()
+      }
       val target = out.resolve(f"chunk-$c%05d.parquet")
       Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
-      // clean the tmp dir (crc/_SUCCESS leftovers)
-      Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      // clean the tmp dir (crc/_SUCCESS leftovers); close the walk stream —
+      // this runs once per generated chunk and each leaks an fd otherwise
+      graft.merge.CdcMerge.deleteRecursively(tmp)
       target
     }}
     val written = Await.result(Future.sequence(futures), Duration.Inf)

@@ -323,7 +323,8 @@ final class BucketStore private (val root: Path, spark: SparkSession,
       if (!Files.exists(dataDir)) return 0
       val adoptedAfter = System.currentTimeMillis() - graceMs
       var removed = 0
-      Files.walk(dataDir).iterator().asScala
+      val walk = Files.walk(dataDir)
+      try walk.iterator().asScala
         .filter(Files.isRegularFile(_))
         .foreach { p =>
           val rel = root.relativize(p).toString
@@ -332,6 +333,7 @@ final class BucketStore private (val root: Path, spark: SparkSession,
             Files.delete(p); removed += 1
           }
         }
+      finally walk.close()
       // manifest horizon
       val manifestRe = "manifest-(\\d{10})\\.json".r
       val horizon = math.max(0L, cur - keepVersions + 1)
@@ -396,9 +398,7 @@ final class BucketStore private (val root: Path, spark: SparkSession,
     */
   private def adoptPartitioned(staging: Path, ver: Long, nPids: Int): Seq[FileEntry] = {
     val pidRe = "__pid=(\\d+)".r
-    val out = Files.walk(staging).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && p.toString.endsWith(".parquet"))
-      .toSeq.flatMap { p =>
+    val out = listParquet(staging).flatMap { p =>
         p.getParent.getFileName.toString match {
           case pidRe(pid) =>
             val dir = dataDir.resolve(s"pid=$pid")

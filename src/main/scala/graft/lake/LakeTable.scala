@@ -422,13 +422,15 @@ final class LakeTable private (val root: Path, spark: SparkSession) {
     val keep = (keepAll ++ keepDeltas ++ keepPinned).toSet
     if (!Files.exists(dataDir)) return 0
     var removed = 0
-    Files.walk(dataDir).iterator().asScala
+    val walk = Files.walk(dataDir)
+    try walk.iterator().asScala
       .filter(p => Files.isRegularFile(p))
       .foreach { p =>
         val rel = root.relativize(p).toString
         val recent = Files.getLastModifiedTime(p).toMillis >= adoptedAfter
         if (!keep.contains(rel) && !recent) { Files.delete(p); removed += 1 }
       }
+    finally walk.close()
     removed
   }
 

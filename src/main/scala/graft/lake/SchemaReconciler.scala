@@ -10,7 +10,10 @@ import org.apache.spark.sql.types._
   * handling of `etl/grapher_import.py:457-575`):
   *   - add column (becomes nullable),
   *   - widen integral types (byte→short→int→long),
-  *   - widen float→double, integral→double/float.
+  *   - widen float→double, integral→double/float,
+  *   - widen decimal PRECISION at fixed scale (Iceberg's decimal rule:
+  *     `decimal(P,S)` → `decimal(P',S)` for P' > P; scale changes move
+  *     the digits and are rejected).
   * Missing columns in the batch are fine (null-filled at apply time).
   * Narrowing or incompatible type changes are rejected.
   */
@@ -24,6 +27,13 @@ object SchemaReconciler {
   /** Widest common type under our evolution rules, if any. */
   def widen(a: DataType, b: DataType): Option[DataType] = {
     if (a == b) return Some(a)
+    (a, b) match {
+      case (da: DecimalType, db: DecimalType) =>
+        return if (da.scale == db.scale)
+          Some(DecimalType(math.max(da.precision, db.precision), da.scale))
+        else None
+      case _ =>
+    }
     (widenRank.get(a), widenRank.get(b)) match {
       case (Some(ra), Some(rb)) =>
         val intA = ra <= 4

@@ -298,8 +298,15 @@ object CdcMerge {
         s"staged output vanished before adoption: $staging — " +
         "was the staging GC grace window set below the write duration?")
     val bucketRe = ".*bucket=(\\d+).*".r
-    val parquetFiles = Files.walk(staging).iterator().asScala
-      .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
+    // walk stream closed eagerly: adoption runs on EVERY commit, and an
+    // unclosed directory stream holds its fd until process exit — a
+    // months-long stream of micro-batches would exhaust the fd table
+    val parquetFiles = {
+      val s = Files.walk(staging)
+      try s.iterator().asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet")).toSeq
+      finally s.close()
+    }
     val conf = spark.sessionState.newHadoopConf()
     // Footer reads are driver-side metadata I/O; done serially they become
     // a per-batch serial stage at 10k staged files — run them on a bounded
@@ -346,8 +353,11 @@ object CdcMerge {
   }
 
   private[graft] def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
 
   /** GC abandoned per-attempt staging dirs (a merge that crashed mid-write
     * leaves `_staging/epoch-N-<uuid>` behind and no retry ever reuses the

@@ -26,6 +26,11 @@ import graft.merge.Compactor
   *       manifests, honoring consumer pins; then bound the metadata
   *       horizon to the same window; returns (files_removed,
   *       manifests_removed, segments_removed).
+  *   DESCRIBE HISTORY <name> [LIMIT <n>]
+  *     → the table's commit lineage newest-first (version, commit time,
+  *       rows, buckets, max LSN, wall ms) — the Delta-style operational
+  *       audit over the manifest's [[graft.lake.CommitInfo]] entries.
+  *       Plain `DESCRIBE <table>` still delegates to Spark untouched.
   *
   * Statement recognition is on the FIRST KEYWORD ONLY (cheap, no
   * grammar); a malformed tail fails loudly with the expected shape
@@ -38,6 +43,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
     """(?is)\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_.]*)\s*;?\s*""".r
   private val vacuumRe =
     """(?is)\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_.]*)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+  private val describeHistoryRe =
+    """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+([A-Za-z_][A-Za-z0-9_.]*)(?:\s+LIMIT\s+(\d+))?\s*;?\s*""".r
 
   /** First keyword AFTER leading whitespace and comments — a scheduler's
     * "-- nightly\nOPTIMIZE t" must reach the recognizer, not fall through
@@ -83,6 +90,20 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
           throw new IllegalArgumentException(
             "expected: VACUUM <lake table name> [RETAIN <n> VERSIONS]")
       }
+      case "DESCRIBE" | "DESC" => body match {
+        // ONLY the HISTORY form is ours — plain DESCRIBE <table> (and
+        // DESCRIBE FUNCTION/QUERY/...) must keep parsing through Spark
+        case describeHistoryRe(name, limit) => LakeCatalog.lookup(session, name) match {
+          case Some(dir) =>
+            GraftDescribeHistoryCommand(dir, Option(limit).map(_.toInt))
+          case None => throw new IllegalArgumentException(
+            s"DESCRIBE HISTORY: '$name' is not a registered lake table")
+        }
+        case _ if body.split("\\s+").lift(1).exists(_.equalsIgnoreCase("HISTORY")) =>
+          throw new IllegalArgumentException(
+            "expected: DESCRIBE HISTORY <lake table name> [LIMIT <n>]")
+        case _ => delegate.parsePlan(sqlText)
+      }
       case _ => delegate.parsePlan(sqlText)
     }
   }
@@ -120,6 +141,31 @@ case class GraftOptimizeCommand(tableDir: String) extends LeafRunnableCommand {
       case Some(r) => Seq(Row(r.compactedBuckets.size, r.wallMs))
       case None => Seq(Row(0, 0L)) // abandoned: a concurrent rewrite superseded this pass
     }
+  }
+}
+
+/** DESCRIBE HISTORY: the commit lineage newest-first. Reads the CURRENT
+  * manifest's lineage window (capped at the manifest's retained entries;
+  * older commits live in older manifests until the metadata vacuum
+  * horizon — same window TIMESTAMP AS OF resolves against).
+  */
+case class GraftDescribeHistoryCommand(tableDir: String, limit: Option[Int])
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("committed_at", org.apache.spark.sql.types.TimestampType, nullable = false)(),
+    AttributeReference("epoch", LongType, nullable = false)(),
+    AttributeReference("batch_rows", LongType, nullable = false)(),
+    AttributeReference("upserted_buckets", IntegerType, nullable = false)(),
+    AttributeReference("max_lsn", LongType, nullable = false)(),
+    AttributeReference("wall_ms", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val table = LakeTable.load(session, tableDir)
+    val entries = table.manifest.lineage.sortBy(-_.version)
+    limit.fold(entries)(entries.take(_)).map(c => Row(
+      c.version, new java.sql.Timestamp(c.committedAtMs), c.epoch, c.batchRows,
+      c.upsertedBuckets.size, c.maxLsn, c.wallMs))
   }
 }
 

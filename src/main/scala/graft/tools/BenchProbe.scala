@@ -164,9 +164,12 @@ object BenchProbe {
     val t0 = System.nanoTime()
     if (sys.env.contains("GRAFT_BATCHMODE")) {
       // bypass streaming: apply the WAL as `mft`-chunk batches directly
-      val chunks = java.nio.file.Files.list(java.nio.file.Paths.get(wal))
-        .iterator().asScala
-        .filter(_.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+      val chunks = {
+        val s = java.nio.file.Files.list(java.nio.file.Paths.get(wal))
+        try s.iterator().asScala
+          .filter(_.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+        finally s.close()
+      }
       chunks.grouped(mft).zipWithIndex.foreach { case (grp, i) =>
         val df = spark.read.schema(Schemas.changeEvent).parquet(grp.map(_.toString): _*)
         CdcMerge.apply(table, df, i.toLong, salt)

@@ -231,6 +231,16 @@ class CdcEngineSpec extends SparkSpec {
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.IntegerType))))
       assert(bad.isLeft)
+      // decimal: precision widening allowed at fixed scale, scale change rejected
+      import org.apache.spark.sql.types.{DecimalType, StructField, StructType}
+      val dec = StructType(Seq(StructField("amt", DecimalType(10, 2))))
+      val wideP = SchemaReconciler.reconcile(dec, StructType(Seq(StructField("amt", DecimalType(18, 2)))))
+      assert(wideP.exists(_.schema("amt").dataType == DecimalType(18, 2)))
+      assert(SchemaReconciler.reconcile(dec,
+        StructType(Seq(StructField("amt", DecimalType(18, 4))))).isLeft)
+      // a narrower-precision batch keeps the table type (cast up at apply)
+      val narrowP = SchemaReconciler.reconcile(dec, StructType(Seq(StructField("amt", DecimalType(6, 2)))))
+      assert(narrowP.exists(r => r.schema("amt").dataType == DecimalType(10, 2) && !r.evolved))
     } finally rmrf(dir)
   }
 

@@ -231,6 +231,18 @@ class MergeSqlSpec extends SparkSpec {
         .getMessage.contains("not a registered lake table"))
       assert(intercept[Exception](s2.sql("VACUUM lake_maint RETAIN VERSIONS").collect())
         .getMessage.contains("expected: VACUUM"))
+      // DESCRIBE HISTORY: lineage newest-first, LIMIT honored, commit
+      // rows/buckets populated; plain DESCRIBE still reaches Spark
+      val hist = s2.sql("DESCRIBE HISTORY lake_maint").collect()
+      assert(hist.length >= 4, s"expected >=4 commits, got ${hist.length}") // 3 merges + compaction
+      assert(hist.map(_.getLong(0)).toSeq == hist.map(_.getLong(0)).toSeq.sortBy(-_), "not newest-first")
+      assert(hist.exists(_.getLong(3) > 0), "no batch_rows recorded")
+      assert(hist.forall(_.getTimestamp(1).getTime > 0))
+      assert(s2.sql("DESC HISTORY lake_maint LIMIT 2").collect().length == 2)
+      assert(intercept[Exception](s2.sql("DESCRIBE HISTORY nope").collect())
+        .getMessage.contains("not a registered lake table"))
+      assert(intercept[Exception](s2.sql("DESCRIBE HISTORY ").collect())
+        .getMessage.contains("expected: DESCRIBE HISTORY"))
       // everything else still parses through Spark's own grammar
       assert(s2.sql("SELECT 1 + 1 AS two").collect()(0).getInt(0) == 2)
       assert(s2.sql("SELECT count(*) FROM lake_maint").collect()(0).getLong(0) == rowsBefore)

@@ -24,6 +24,7 @@ object DataPipelineQueries {
     dedup()
     similarity()
     textAnalysis()
+    decontamination()
     multimodal()
     benchVariants()
   }
@@ -485,6 +486,44 @@ object DataPipelineQueries {
       T(s, dir, "documents").select(
         col("doc_id"), TextOps.fingerprintPortable(col("text")).as("fp"))
         .orderBy("doc_id")
+    }
+  }
+
+  private def decontamination(): Unit = {
+    // benchmark decontamination: docs sharing >= 2 distinct word 3-grams
+    // with the synthetic "benchmark" subset (doc_id % 97 == 0). String
+    // n-grams, no hashing — DuckDB replicates them verbatim, so the
+    // overlap counts compare value-for-value.
+    register("q_decontaminate", Some(
+      """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |grams AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram
+        |  FROM toks WHERE len(t) >= 3),
+        |ev AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+        |tr AS (SELECT doc_id, gram FROM grams WHERE doc_id % 97 <> 0)
+        |SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS overlap
+        |FROM tr JOIN ev USING (gram)
+        |GROUP BY tr.doc_id HAVING count(*) >= 2
+        |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val evalSet = docs.filter(col("doc_id") % 97 === 0)
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+      DedupOps.contaminationScores(train, evalSet, "text", "doc_id",
+        n = 3, minOverlap = 2).orderBy("doc_id")
+    }
+
+    // deterministic 80/10/10 hash split: portable md5-low-60 bucket of
+    // (doc_id + salt) — stable across engines, runs and cluster sizes
+    register("q_hash_split", Some(
+      """SELECT doc_id,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':split'), 1, 15)) AS BIGINT) % 100 AS b
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      TableOps.hashSplit(T(s, dir, "documents"), "doc_id",
+        Seq(("train", 80), ("val", 10), ("test", 10)))
+        .select("doc_id", "split").orderBy("doc_id")
     }
   }
 

@@ -283,6 +283,39 @@ object DedupOps {
       .select((blockCols.map(col) :+ col("key_a") :+ col("key_b") :+ col("jaccard")): _*)
   }
 
+  /** Benchmark decontamination scores: for each document, the number of
+    * distinct word n-grams it shares with an EVALUATION set — the
+    * train-set hygiene step of an LLM data pipeline (a training doc
+    * overlapping a benchmark's n-grams leaks the benchmark).
+    *
+    * Scale shape: the eval side (a benchmark suite — thousands of docs,
+    * not billions) collapses to a distinct-gram frame and is BROADCAST,
+    * so the corpus side is one scan + map-side hash join + one groupBy
+    * shuffle on the doc key. Set `broadcastEval = false` for an
+    * unusually large eval set (falls back to a shuffle equi-join on the
+    * gram). Grams are per-doc distinct already ([[TextOps.shingles]]
+    * array_distinct), so the overlap count is a plain `count`.
+    */
+  def contaminationScores(df: DataFrame, evalDf: DataFrame, textCol: String,
+                          keyCol: String, n: Int = 3, minOverlap: Int = 1,
+                          broadcastEval: Boolean = true): DataFrame = {
+    val evalGrams0 = evalDf
+      .select(explode(TextOps.shingles(col(textCol), n)).as("gram")).distinct()
+    val evalGrams = if (broadcastEval) broadcast(evalGrams0) else evalGrams0
+    df.select(col(keyCol), explode(TextOps.shingles(col(textCol), n)).as("gram"))
+      .join(evalGrams, "gram")
+      .groupBy(keyCol).agg(count(lit(1)).as("overlap"))
+      .filter(col("overlap") >= minOverlap)
+  }
+
+  /** Drop documents contaminated above `minOverlap` shared n-grams with
+    * the eval set — one anti-join given the scores.
+    */
+  def dropContaminated(df: DataFrame, evalDf: DataFrame, textCol: String,
+                       keyCol: String, n: Int = 3, minOverlap: Int = 1): DataFrame =
+    df.join(contaminationScores(df, evalDf, textCol, keyCol, n, minOverlap)
+      .select(keyCol), Seq(keyCol), "left_anti")
+
   /** Materialize near-dedup: drop every doc that appears as the GREATER
     * key of a near-dup pair (greedy representative = smallest key reaches
     * each cluster through the `key_a < key_b` chain). One anti-join —

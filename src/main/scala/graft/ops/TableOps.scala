@@ -196,4 +196,26 @@ object TableOps {
     require(dup.isEmpty, s"duplicate columns in concat axis=1: ${dup.mkString(", ")}")
     a.join(b, keys, "full_outer")
   }
+
+  /** Deterministic hash split (train/val/test carve-out): assign each row
+    * a split label from the PORTABLE hash of its key + salt — stable
+    * across runs, engines and cluster sizes (md5-low-60, the same
+    * cross-engine hash the checksum/simhash oracles use), so a re-run
+    * never migrates a row between train and test. `splits` are
+    * (label, percent) in order, summing to 100. Pure codegen'd
+    * projection — no shuffle, no sampling nondeterminism.
+    */
+  def hashSplit(df: DataFrame, keyCol: String, splits: Seq[(String, Int)],
+                salt: String = "split", outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum == 100,
+      s"split percents must sum to 100 (got ${splits.map(_._2).sum})")
+    require(splits.forall(_._2 > 0), "split percents must be positive")
+    val bucket = TextOps.md5Hash60(org.apache.spark.sql.functions.concat(col(keyCol).cast("string"), lit(":" + salt))) % 100
+    val cumThresholds = splits.scanLeft(0)(_ + _._2).tail
+    val expr = splits.zip(cumThresholds).tail.foldLeft(
+      when(bucket < splits.head._2, splits.head._1)) {
+      case (acc, ((label, _), cum)) => acc.when(bucket < cum, label)
+    }
+    df.withColumn(outCol, expr)
+  }
 }

@@ -336,6 +336,42 @@ class DedupSpec extends SparkSpec {
     assert(out(0).sample_rate.contains(22050))
   }
 
+  test("decontamination: n-gram overlap vs an eval set, threshold + drop") {
+    val evalSet = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta unrelated tail"), // shares 2 distinct 3-grams
+      (2L, "x y gamma delta epsilon"),               // shares 1 ("gamma delta epsilon")
+      (3L, "totally different words here"),          // shares none
+      (4L, "short")                                  // < n tokens: no grams, no crash
+    ).toDF("doc_id", "text")
+    val scores = ops.DedupOps.contaminationScores(train, evalSet, "text", "doc_id",
+      n = 3, minOverlap = 1).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scores == Map(1L -> 2L, 2L -> 1L), scores)
+    val kept = ops.DedupOps.dropContaminated(train, evalSet, "text", "doc_id",
+      n = 3, minOverlap = 2).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L, 4L)) // only the overlap>=2 doc dropped
+  }
+
+  test("hashSplit: deterministic portable split with validated weights") {
+    val df = spark.range(0, 2000).toDF("id")
+    val a = ops.TableOps.hashSplit(df, "id", Seq(("train", 80), ("val", 10), ("test", 10)))
+    val counts = a.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    // md5 buckets are uniform: 2000 keys land within a loose tolerance
+    assert(math.abs(counts("train") - 1600L) < 200, counts)
+    assert(counts("val") + counts("test") + counts("train") == 2000L)
+    // same rows, same labels on a re-run (no sampling nondeterminism)
+    val b = ops.TableOps.hashSplit(df, "id", Seq(("train", 80), ("val", 10), ("test", 10)))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // a different salt migrates rows; the same salt never does
+    val c = ops.TableOps.hashSplit(df, "id", Seq(("train", 80), ("val", 10), ("test", 10)),
+      salt = "other")
+    assert(c.exceptAll(a).count() > 0)
+    intercept[IllegalArgumentException](
+      ops.TableOps.hashSplit(df, "id", Seq(("train", 70), ("val", 10))))
+  }
+
   test("langid + quality + fingerprint are deterministic and sane") {
     val docs = Seq(
       (1L, "the cat and the dog of the house"),

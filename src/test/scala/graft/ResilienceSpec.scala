@@ -41,6 +41,35 @@ class ResilienceSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("fd hygiene: a commit loop does not leak directory-stream fds") {
+    // every commit walks staging dirs (adoption) and deletes them
+    // recursively; before the close-the-stream fix each commit pinned
+    // ~2-3 fds until process exit — 30 commits would leak ~75. The bound
+    // below allows Spark's own fd churn but catches a per-commit leak.
+    val fdDir = java.nio.file.Paths.get("/proc/self/fd")
+    assume(java.nio.file.Files.isDirectory(fdDir), "needs /proc (Linux)")
+    def openFds(): Long = {
+      val s = java.nio.file.Files.list(fdDir)
+      try s.count() finally s.close()
+    }
+    val dir = tmpDir("fdleak")
+    try {
+      val table = LakeTable.create(spark, s"$dir/t", Schemas.transcript, numBuckets = 2)
+      val cfg = WalGen.Config(numEvents = 3000, numConvs = 30)
+      CdcMerge.apply(table, WalGen.events(spark, cfg, 0, 100).toDF(), 0L) // warm up lazies
+      System.gc() // settle any pending cleaner work before the baseline
+      val before = openFds()
+      (1 until 31).foreach { b =>
+        CdcMerge.apply(table,
+          WalGen.events(spark, cfg, b * 90L, b * 90L + 90L).toDF(), b.toLong)
+      }
+      val after = openFds()
+      assert(after - before < 50,
+        s"fd growth ${after - before} over 30 commits (before=$before after=$after) — " +
+        "a per-commit directory-stream leak")
+    } finally rmrf(dir)
+  }
+
   test("adaptive salting splits a hot conversation's bucket across writers") {
     val dir = tmpDir("hot")
     try {

@@ -117,11 +117,12 @@ object Bench {
     // twins (the correctness dump keeps the oracle-rich forms)
     val benchQueries = Queries.allForBench.toSeq.sortBy(_._1)
       .filter(q => only.forall(_.contains(q._1)))
-    def runPass(order: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]) =
+    def runPass(order: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)],
+                failed: scala.collection.mutable.Set[String]) =
       order.map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { fn(s1, sfDir).count() } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); failed += name }
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     // De-aliased cost attribution: queries sharing a persisted pipeline
@@ -130,19 +131,35 @@ object Bench {
     // forward, cache cleared, then REVERSED — and report min-per-query:
     // each query gets at least one position where it is not the family's
     // first touch, so its min reflects the operator, not run order.
-    val fwd = runPass(benchQueries)
+    val failedFwd = scala.collection.mutable.Set.empty[String]
+    val failedRev = scala.collection.mutable.Set.empty[String]
+    val fwd = runPass(benchQueries, failedFwd)
     s1.catalog.clearCache() // drop shared persisted intermediates between passes
-    val rev = runPass(benchQueries.reverse)
+    val rev = runPass(benchQueries.reverse, failedRev)
+    // a failed pass records its time-to-ERROR, which must never masquerade
+    // as the query's cost: take the min over SUCCESSFUL passes only, and
+    // surface double failures explicitly (-1 + the "failed" list) instead
+    // of silently understating the suite total
     val results = benchQueries.map { case (name, _) =>
-      name -> math.min(fwd(name), rev(name)) }
+      val ok = Seq(fwd(name) -> failedFwd.contains(name),
+        rev(name) -> failedRev.contains(name)).collect { case (t, false) => t }
+      name -> (if (ok.isEmpty) -1.0 else ok.min)
+    }
+    val failedBoth = benchQueries.map(_._1)
+      .filter(n => failedFwd.contains(n) && failedRev.contains(n))
     // first_touch: position changed this query's cost materially — its
-    // single-pass number would have been attribution noise
+    // single-pass number would have been attribution noise (only
+    // meaningful when both passes succeeded)
     val firstTouch = benchQueries.map(_._1).filter { n =>
       val mn = math.min(fwd(n), rev(n))
-      math.abs(fwd(n) - rev(n)) > math.max(0.5 * mn, 0.3)
+      !failedFwd.contains(n) && !failedRev.contains(n) &&
+        math.abs(fwd(n) - rev(n)) > math.max(0.5 * mn, 0.3)
     }
-    val totalQ = results.map(_._2).sum
-    val firstTouchJson = firstTouch.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val totalQ = results.map(_._2).filter(_ >= 0).sum
+    val firstTouchJson = firstTouch.map("\"" + _ + "\"").mkString("[", ",", "]") +
+      (if (failedBoth.nonEmpty)
+        failedBoth.map("\"" + _ + "\"").mkString(",\"failed\":[", ",", "]")
+      else "")
 
     if (skipCdc) {
       val qs0 = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")

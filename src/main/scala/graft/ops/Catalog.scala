@@ -206,61 +206,51 @@ object PublishedCatalog {
   val SYNTHETIC_CHANNELS: Set[String] = Set("sql")
 
   /** All entries of the currently published index (empty when nothing is
-    * published) — the read side of a carry-forward re-publish.
+    * published) — the read side of a carry-forward re-publish. Gated on
+    * the AUTHORITATIVE token resolution ([[currentToken]]), not on the
+    * legacy catalog.json hint: a publisher that died after the token CAS
+    * but before the hint write must not make the next merge read "empty"
+    * and truncate the index.
     */
   def currentEntries(spark: SparkSession, root: String): Seq[(String, String, String, String, Boolean)] =
-    if (!Files.exists(indexDir(root).resolve("catalog.json"))) Nil
+    if (currentToken(root).isEmpty) Nil
     else open(spark, root).index.collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2),
         r.getString(3), r.getBoolean(4))).toSeq
 
-  /** Versions with any on-disk trace (a committed token, a channel frame,
-    * or the legacy single token) — the set [[publish]] refuses to reuse.
-    * Legacy frame names are `channel-<name>-<version>.parquet`, chain-era
-    * ones add `-u<uid>`; the version is the numeric segment (channel names
-    * themselves may contain '-').
+  /** Versions COMMITTED by a token (the chain, plus the legacy single
+    * token) — the set [[publish]] refuses to reuse. Orphaned frames whose
+    * publisher died before its token CAS are deliberately NOT in this
+    * set: they were never readable, and counting them would wedge
+    * [[publishCas]] (target current+1) on the orphan forever.
     */
-  private[ops] def publishedVersions(root: String): Set[Long] = {
+  private[ops] def committedVersions(root: String): Set[Long] = {
     val dir = indexDir(root)
-    val frameRe = "channel-.*-(\\d+)\\.parquet".r
-    val frameUidRe = "channel-.*-(\\d+)-u[0-9a-f]+\\.parquet".r
-    val fromFiles: Set[Long] =
+    val fromChain: Set[Long] =
       if (!Files.isDirectory(dir)) Set.empty
       else {
         val s = Files.list(dir)
         try s.iterator().asScala.flatMap(p => p.getFileName.toString match {
-          case frameUidRe(v) => Some(v.toLong)
-          case frameRe(v) => Some(v.toLong)
           case tokenRe(v) => Some(v.toLong)
           case _ => None
         }).toSet finally s.close()
       }
-    val fromToken = scala.util.Try {
+    val fromLegacy = scala.util.Try {
       org.json4s.jackson.Serialization.read[CatalogToken](
         new String(Files.readAllBytes(dir.resolve("catalog.json")))).version
     }.toOption
-    fromFiles ++ fromToken
-  }
-
-  /** A version guaranteed unused: wall-clock now, bumped past anything
-    * already published (covers two publishes in one millisecond and
-    * callers replaying an old explicit version).
-    */
-  def freshVersion(root: String): Long = {
-    val used = publishedVersions(root)
-    val now = System.currentTimeMillis()
-    if (used.isEmpty) now else math.max(now, used.max + 1)
+    fromChain ++ fromLegacy
   }
 
   /** Write the channel-sharded index frames + swap the consistency token.
     * Returns the published version.
     *
-    * A version is IMMUTABLE once published: a reader holding a token
-    * points at that version's frames, so re-publishing the same version
-    * would overwrite frames in place under the reader. Publishing a
-    * version for which any frame (or the current token) already exists
-    * fails loudly — pick a fresh version (see [[freshVersion]], which
-    * also covers the same-millisecond default-version race).
+    * A version is IMMUTABLE once committed: a reader holding a token
+    * points at that version's frames (frame filenames carry this
+    * publish's uid, so no other publish can ever write over them).
+    * Publishing a version whose token already exists fails loudly —
+    * incremental flows should use [[publishCas]] instead of picking
+    * versions by hand.
     */
   def publish(spark: SparkSession, root: String,
               entries: Seq[(String, String, String, String, Boolean)],
@@ -268,7 +258,12 @@ object PublishedCatalog {
     import spark.implicits._
     val dir = indexDir(root)
     Files.createDirectories(dir)
-    require(!publishedVersions(root).contains(version),
+    // immutability is judged on COMMITTED versions (token chain + legacy
+    // token) — a version is only readable once its token exists. Orphaned
+    // frames from a publisher that died before its token CAS must NOT
+    // block the version forever (frames are uid-suffixed, so re-publishing
+    // over orphans can never clobber files a reader could be holding).
+    require(!committedVersions(root).contains(version),
       s"catalog version $version is already published at $root — versioned " +
       "frames are immutable; publish under a fresh version")
     val uid = java.util.UUID.randomUUID().toString.replace("-", "").take(8)

@@ -111,20 +111,47 @@ final class LakeAnnStore private (val spark: SparkSession, val root: String,
     * replace per store ([[BucketStore.replaceAll]]): the earlier
     * tombstone-everything + re-append + compact form paid ~3× the row
     * I/O for the same result.
+    *
+    * Crash-safe across the THREE commit points (index.json, vecs, cells),
+    * each individually atomic but jointly not: a write-ahead marker
+    * ([[LakeAnnStore.PENDING]]) brackets the sequence, and [[load]]
+    * completes an interrupted reassign before returning the store.
+    * Replay converges from ANY crash point because reassignment is a
+    * pure function of (live vectors, index.json) and the vectors
+    * themselves never change under a reassign — only their cells do.
     */
   def reassign(newIndex: IvfIndex, maxRowsPerPid: Long = 1L << 19): Unit = {
     val live = snapshot().localCheckpoint(true) // (id, cell, vec) under the OLD index
+    graft.lake.Manifest.writeAtomic(Paths.get(root, LakeAnnStore.PENDING),
+      s"""{"startedAtWatermark":$watermark}""")
     setIndex(newIndex)
+    reassignUnderCurrentIndex(live, maxRowsPerPid)
+  }
+
+  /** The replay body: assign `live` (id, vec) under whatever index.json
+    * currently holds, replace both stores, clear the marker, vacuum.
+    * Idempotent — [[load]] calls it with a fresh snapshot to finish a
+    * reassign whose writer died mid-sequence.
+    */
+  private def reassignUnderCurrentIndex(live: DataFrame, maxRowsPerPid: Long): Unit = {
+    val idx = index
     val wm = watermark
     val rows = live.select(col("id"), col("vec"))
-      .withColumn("cell", newIndex.assignExpr(col("vec")))
+      .withColumn("cell", idx.assignExpr(col("vec")))
       .select("id", "cell", "vec")
       .localCheckpoint(true) // one assignment pass feeds both stores
     vecStore.replaceAll(rows, wm, maxRowsPerPid)
     cellIndex.replaceAll(rows.select("id", "cell"), wm, maxRowsPerPid)
+    Files.deleteIfExists(Paths.get(root, LakeAnnStore.PENDING))
     vecStore.vacuum()
     cellIndex.vacuum()
   }
+
+  private[graft] def completePendingReassign(): Unit =
+    if (Files.exists(Paths.get(root, LakeAnnStore.PENDING))) {
+      System.err.println(s"[lake-ann] completing interrupted reassign at $root")
+      reassignUnderCurrentIndex(snapshot().localCheckpoint(true), 1L << 19)
+    }
 
   def maintain(maxRowsPerPid: Long = 1L << 19, vacuumGraceMs: Long = 300000L): Unit = {
     vecStore.compact(maxRowsPerPid)
@@ -135,6 +162,11 @@ final class LakeAnnStore private (val spark: SparkSession, val root: String,
 }
 
 object LakeAnnStore {
+
+  /** Write-ahead marker for [[LakeAnnStore.reassign]] — present iff a
+    * reassign has started and not yet committed both stores.
+    */
+  private[graft] val PENDING = "reassign.pending"
 
   private def vecSchema = StructType(Seq(
     StructField("id", StringType, nullable = false),
@@ -159,8 +191,13 @@ object LakeAnnStore {
 
   def load(spark: SparkSession, dir: String): LakeAnnStore = {
     require(Files.exists(Paths.get(dir, "index.json")), s"no ANN store at $dir")
-    new LakeAnnStore(spark, dir,
+    val s = new LakeAnnStore(spark, dir,
       BucketStore.load(spark, s"$dir/vecs"), BucketStore.load(spark, s"$dir/cells"))
+    // a writer that died mid-reassign left the marker: the two stores (and
+    // possibly index.json) disagree on cells. Finish the reassign here —
+    // before anyone reads — so every loaded store is self-consistent.
+    s.completePendingReassign()
+    s
   }
 
   def createOrLoad(spark: SparkSession, dir: String, index: => IvfIndex,

@@ -108,7 +108,11 @@ object MultimodalOps {
     * 16-bit-PCM RIFF/WAVE returns None (callers fall back to
     * [[decodeStub]]) — mirroring [[imageDims]]'s contract for images.
     */
-  def wavFeatures(p: Array[Byte]): Option[WavInfo] = {
+  /** RIFF/WAVE chunk walk shared by the header-only and full decodes:
+    * ((audioFormat, channels, sampleRate, bits), (dataOffset, dataLen)),
+    * or None for anything that is not a well-formed 16-bit-PCM WAV.
+    */
+  private def wavChunks(p: Array[Byte]): Option[((Int, Int, Int, Int), (Int, Int))] = {
     if (p == null || p.length < 12) return None
     def u8(i: Int): Int = p(i) & 0xff
     def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
@@ -120,17 +124,34 @@ object MultimodalOps {
     var i = 12
     while (i + 8 <= p.length && (fmt.isEmpty || data.isEmpty)) {
       val id = tag(i); val len = le32(i + 4)
-      if (len < 0 || i + 8 + len > p.length) return None // torn chunk
+      // bounds in LONG: a crafted length near Int.MaxValue overflows the
+      // int sum, sneaks past the guard, and crashes the task instead of
+      // returning None (the documented contract for junk payloads)
+      if (len < 0 || i.toLong + 8L + len > p.length) return None // torn chunk
       if (id == "fmt " && len >= 16)
         fmt = Some((le16(i + 8), le16(i + 10), le32(i + 12), le16(i + 22)))
       else if (id == "data") data = Some((i + 8, len))
       i += 8 + len + (len & 1) // chunks are word-aligned
     }
     for {
-      (audioFormat, channels, sampleRate, bits) <- fmt
-      (off, dataLen) <- data
+      f @ (audioFormat, channels, sampleRate, bits) <- fmt
+      d <- data
       if audioFormat == 1 && bits == 16 && channels > 0 && sampleRate > 0
-    } yield {
+    } yield (f, d)
+  }
+
+  /** Header-only WAV facts — (sampleRate, channels) without touching the
+    * sample data. The right parse when a caller (e.g. [[decode]]) needs
+    * format metadata only: [[wavFeatures]] pays a full O(payload) sample
+    * pass for RMS/peak.
+    */
+  def wavFormat(p: Array[Byte]): Option[(Int, Int)] =
+    wavChunks(p).map { case ((_, channels, sampleRate, _), _) => (sampleRate, channels) }
+
+  def wavFeatures(p: Array[Byte]): Option[WavInfo] = {
+    def u8(i: Int): Int = p(i) & 0xff
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    wavChunks(p).map { case ((_, channels, sampleRate, _), (off, dataLen)) =>
       val frameBytes = channels * 2
       val nFrames = dataLen / frameBytes
       val totalSamples = nFrames * channels
@@ -193,11 +214,17 @@ object MultimodalOps {
     val rawHeight = le32(22)
     val bpp = le16(28)
     val compression = le32(30)
-    if (hdrSize < 40 || bpp != 24 || compression != 0 || width <= 0 || rawHeight == 0) return None
+    // Int.MinValue has no positive abs — reject before math.abs returns
+    // a negative height and fakes an empty-but-Some result
+    if (hdrSize < 40 || bpp != 24 || compression != 0 || width <= 0 ||
+        rawHeight == 0 || rawHeight == Int.MinValue) return None
     val height = math.abs(rawHeight)
     val topDown = rawHeight < 0
-    val stride = ((3 * width + 3) / 4) * 4
-    if (dataOff < 0 || dataOff.toLong + stride.toLong * height > p.length) return None
+    // stride in LONG: 3*width overflows int for width > ~715M, turning the
+    // bounds check below into a pass and the pixel loop into an OOB crash
+    val strideL = ((3L * width + 3L) / 4L) * 4L
+    if (dataOff < 0 || dataOff.toLong + strideL * height > p.length) return None
+    val stride = strideL.toInt // fits: bounded by p.length above
     var sumR = 0L; var sumG = 0L; var sumB = 0L; var topRowSumR = 0L
     var row = 0
     while (row < height) {
@@ -275,9 +302,10 @@ object MultimodalOps {
           val (sw, sh, sr, nf) = decodeStub(m.payload)
           val visual = m.modality == "image" || m.modality == "video"
           // REAL container parse first (PNG/JPEG/BMP dims, RIFF/WAVE audio
-          // facts); stub only when the payload is not a recognized container
+          // facts — header-only here; the O(payload) sample pass lives in
+          // audioFeatures); stub only for unrecognized containers
           val (w, h) = imageDims(m.payload).getOrElse((sw, sh))
-          val realSr = wavFeatures(m.payload).map(_.sampleRate)
+          val realSr = wavFormat(m.payload).map(_._1)
           MediaOut(m.media_id, m.modality, m.payload,
             if (visual) Some(w) else None,
             if (visual) Some(h) else None,

@@ -91,17 +91,17 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
             "expected: VACUUM <lake table name> [RETAIN <n> VERSIONS]")
       }
       case "DESCRIBE" | "DESC" => body match {
-        // ONLY the HISTORY form is ours — plain DESCRIBE <table> (and
-        // DESCRIBE FUNCTION/QUERY/...) must keep parsing through Spark
+        // ONLY the exact HISTORY form is ours. Everything else — plain
+        // DESCRIBE <table> (including a table literally named `history`),
+        // DESCRIBE FUNCTION/QUERY, column describes — keeps parsing
+        // through Spark untouched: DESCRIBE is a Spark statement first,
+        // so a non-matching tail must never die on OUR grammar.
         case describeHistoryRe(name, limit) => LakeCatalog.lookup(session, name) match {
           case Some(dir) =>
             GraftDescribeHistoryCommand(dir, Option(limit).map(_.toInt))
           case None => throw new IllegalArgumentException(
             s"DESCRIBE HISTORY: '$name' is not a registered lake table")
         }
-        case _ if body.split("\\s+").lift(1).exists(_.equalsIgnoreCase("HISTORY")) =>
-          throw new IllegalArgumentException(
-            "expected: DESCRIBE HISTORY <lake table name> [LIMIT <n>]")
         case _ => delegate.parsePlan(sqlText)
       }
       case _ => delegate.parsePlan(sqlText)

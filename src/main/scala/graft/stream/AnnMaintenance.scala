@@ -56,6 +56,12 @@ object AnnMaintenance {
     val spark = table.snapshot().sparkSession
     def keyed(df: org.apache.spark.sql.DataFrame) =
       df.withColumn("id", concat_ws("#", Schemas.KEY_COLS.map(col): _*))
+    // shares the dedup loop's live registry: one maintenance loop per
+    // (table, pin), refused while the previous thread lives. EVERYTHING
+    // effectful — store creation, quantizer training, the bootstrap
+    // commit, the pin — sits after the check, so a refused start is a
+    // pure no-op (two racing starts must not both bootstrap).
+    DedupMaintenance.registerLive(table, pinName, liveKey => {
     val existing = java.nio.file.Files.exists(
       java.nio.file.Paths.get(storeDir, "index.json"))
     val store =
@@ -87,10 +93,6 @@ object AnnMaintenance {
     val processedRef = new AtomicLong(from)
     val retrainsRef = new AtomicLong(0L)
     val windows = new AtomicLong(0L)
-    // shares the dedup loop's live registry: one maintenance loop per
-    // (table, pin), refused while the previous thread lives; the pin
-    // moves only AFTER the check (a refused start must be a pure no-op)
-    DedupMaintenance.registerLive(table, pinName, liveKey => {
     table.pin(pinName, from)
     val follower = ChangelogFollower.follow(table, from, pollMs,
       pinName = Some(pinName)) { (changes, toVersion) =>

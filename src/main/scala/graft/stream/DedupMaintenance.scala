@@ -241,23 +241,27 @@ object DedupMaintenance {
                 numPids: Int = 64, compactEvery: Int = 8,
                 maxRowsPerPid: Long = 1L << 19): LakeHandle = {
     val spark = table.snapshot().sparkSession
-    val store = graft.ops.LakeDedupStore.createOrLoad(spark, storeDir,
-      bands, rowsPerBand, numPids = numPids)
-    var from = store.watermark
-    if (from < 0) {
-      val v = table.currentVersion
-      val ups = table.snapshotAt(v)
-        .withColumn("key", concat_ws("#", Schemas.KEY_COLS.map(col): _*))
-        .select(col("key"), col(textColumn).as("text"))
-      val plan = store.planRefresh(ups,
-        ups.select("key").limit(0), minJaccard)
-      plan.pairs.withColumn("to_version", lit(v))
-        .write.mode("append").partitionBy("to_version").parquet(pairsDir)
-      plan.commit(v)
-      from = v
-    }
     registerLive(table, pinName, liveKey => {
-    table.pin(pinName, from) // after the singleton check: refused ⇒ no-op
+      // EVERYTHING effectful sits after the singleton check — a REFUSED
+      // start must be a pure no-op, and the bootstrap is the opposite of
+      // one (store creation, pair-log appends, store commits; two racing
+      // starts would both bootstrap and double the pair log)
+      val store = graft.ops.LakeDedupStore.createOrLoad(spark, storeDir,
+        bands, rowsPerBand, numPids = numPids)
+      var from = store.watermark
+      if (from < 0) {
+        val v = table.currentVersion
+        val ups = table.snapshotAt(v)
+          .withColumn("key", concat_ws("#", Schemas.KEY_COLS.map(col): _*))
+          .select(col("key"), col(textColumn).as("text"))
+        val plan = store.planRefresh(ups,
+          ups.select("key").limit(0), minJaccard)
+        plan.pairs.withColumn("to_version", lit(v))
+          .write.mode("append").partitionBy("to_version").parquet(pairsDir)
+        plan.commit(v)
+        from = v
+      }
+      table.pin(pinName, from)
       val processedRef = new AtomicLong(from)
       val windows = new AtomicLong(0L)
       val follower = ChangelogFollower.follow(table, from, pollMs,

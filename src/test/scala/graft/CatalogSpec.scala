@@ -122,6 +122,28 @@ class CatalogSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("a publisher dead between frames and token CAS does not wedge the root") {
+    val dir = tmpDir("puborphan")
+    try {
+      import graft.ops.PublishedCatalog
+      PublishedCatalog.publish(spark, dir, Seq(("garden", "ns", "base", "/p/base", false)), 1L)
+      // simulate the crash: frames for version 2 exist (uid-suffixed), but
+      // the token CAS never ran — version 2 was never readable
+      val idx = java.nio.file.Paths.get(dir, "_index")
+      Seq(("sql", "", "ghost", "/p/ghost", true))
+        .toDF("channel", "namespace", "table", "path", "is_lake")
+        .coalesce(1).write.parquet(idx.resolve("channel-sql-2-udeadbeef.parquet").toString)
+      // the next CAS publish takes version 2 anyway (fresh uid, no clobber
+      // of the orphan) instead of retrying against the orphan forever
+      val v = PublishedCatalog.publishCas(spark, dir,
+        cur => cur :+ (("sql", "", "live", "/p/live", true)))
+      assert(v == 2L)
+      val r = PublishedCatalog.open(spark, dir)
+      val tables = r.index.select("table").collect().map(_.getString(0)).toSet
+      assert(tables == Set("base", "live"), tables) // ghost never became visible
+    } finally rmrf(dir)
+  }
+
   test("legacy catalog.json (pre-token-chain) stays readable; the next publish upgrades to the chain") {
     val dir = tmpDir("publeg")
     try {

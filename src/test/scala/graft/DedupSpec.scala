@@ -314,6 +314,15 @@ class DedupSpec extends SparkSpec {
     assert(wavFeatures("RIFFnope".getBytes).isEmpty)
     assert(wavFeatures(mono.dropRight(5)).isEmpty) // torn data chunk
     assert(wavFeatures(null).isEmpty)
+    // adversarial chunk length near Int.MaxValue: the int sum i+8+len
+    // wraps negative — must return None, not crash the task
+    val evil = java.nio.ByteBuffer.allocate(24).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("RIFF".getBytes("US-ASCII")).putInt(16).put("WAVE".getBytes("US-ASCII"))
+      .put("JUNK".getBytes("US-ASCII")).putInt(0x7ffffff7).putInt(0).array()
+    assert(wavFeatures(evil).isEmpty)
+    assert(wavFormat(evil).isEmpty)
+    // header-only parse agrees with the full decode on format facts
+    assert(wavFormat(stereo).contains((44100, 2)))
   }
 
   test("multimodal decode: REAL BMP pixel decode (stride + bottom-up flip)") {
@@ -329,6 +338,15 @@ class DedupSpec extends SparkSpec {
     assert(imageDims(bmp).contains((9, 4)))     // BMP dims in the shared dims parser
     assert(bmpStats("BMnope".getBytes).isEmpty)
     assert(bmpStats(bmp.dropRight(3)).isEmpty)  // torn pixel array
+    // adversarial headers: width that overflows 3*w in int; Int.MinValue
+    // height (no positive abs) — both must refuse, not crash or fake stats
+    def patched(at: Int, v: Int): Array[Byte] = {
+      val c = bmp.clone()
+      java.nio.ByteBuffer.wrap(c).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(at, v)
+      c
+    }
+    assert(bmpStats(patched(18, 0x2aaaaaab)).isEmpty) // 3*width wraps negative
+    assert(bmpStats(patched(22, Int.MinValue)).isEmpty)
     // decode() integration: WAV audio rows get their REAL sample rate
     val rows = Seq((0L, "audio", wavBytes(22050, 1, Array[Short](1, -1))))
     val docs = spark.createDataFrame(rows).toDF("id", "modality", "payload")

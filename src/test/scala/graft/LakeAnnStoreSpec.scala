@@ -87,6 +87,56 @@ class LakeAnnStoreSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("a reassign killed between the two store replacements is completed on load; deletes still take") {
+    val dir = tmpDir("lakeanncrash")
+    try {
+      val index = IncrementalAnn.IvfIndex(
+        Array(Array.tabulate(dims)(d => if (d == 0) 1.0 else 0.1),
+          Array.tabulate(dims)(d => if (d == 0) -1.0 else 0.1)), nprobe = 1)
+      val s = LakeAnnStore.create(spark, s"$dir/s", index, numPids = 8)
+      s.refresh(toVecDf(Seq("a" -> vec(0, 1), "b" -> vec(0, 2), "c" -> vec(1, 1))),
+        Seq.empty[String].toDF("id"), 1L)
+
+      // simulate the review's crash point: marker + index.json + vecStore
+      // all NEW, cellIndex still OLD — the close()-interrupt landing
+      // between the two replaceAll calls
+      val swapped = IncrementalAnn.IvfIndex(index.centroids.reverse, nprobe = 1)
+      val live = s.snapshot().localCheckpoint(true)
+      graft.lake.Manifest.writeAtomic(
+        java.nio.file.Paths.get(s"$dir/s", LakeAnnStore.PENDING), "{}")
+      s.setIndex(swapped)
+      val rows = live.select(col("id"), col("vec"))
+        .withColumn("cell", swapped.assignExpr(col("vec")))
+        .select("id", "cell", "vec")
+      s.vecStore.replaceAll(rows, s.watermark)
+      // (crash — cellIndex.replaceAll never runs)
+      val vecCells = s.vecStore.read(None).collect()
+        .map(r => (r.getString(0), r.getInt(1))).toMap
+      val oldCells = s.cellIndex.read(None).collect()
+        .map(r => (r.getString(0), r.getInt(1))).toMap
+      assert(vecCells != oldCells, "precondition: the two stores disagree")
+
+      // load completes the reassign before anyone reads
+      val re = LakeAnnStore.load(spark, s"$dir/s")
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dir/s", LakeAnnStore.PENDING)))
+      val cellsAfter = re.cellIndex.read(None).collect()
+        .map(r => (r.getString(0), r.getInt(1))).toMap
+      val vecsAfter = re.snapshot().collect()
+        .map(r => (r.getString(0), r.getInt(1))).toMap
+      assert(cellsAfter == vecsAfter, s"cells=$cellsAfter vecs=$vecsAfter")
+      assert(vecsAfter == Map("a" -> 1, "b" -> 1, "c" -> 0)) // relabelled poles
+
+      // the corruption the bug caused: a delete's tombstone routed via a
+      // stale cellIndex never shadowed the live row. After recovery it must.
+      re.refresh(toVecDf(Nil), Seq("a").toDF("id"), 2L)
+      assert(re.snapshot().collect().map(_.getString(0)).toSet == Set("b", "c"))
+      val qs = toVecDf(Seq("q0" -> vec(0, 9)))
+      val found = re.search(qs, "vec", "id", k = 3).collect().map(_.getString(1)).toSet
+      assert(!found.contains("a"), s"deleted vector still searchable: $found")
+    } finally rmrf(dir)
+  }
+
   test("AnnMaintenance follows the live table: bootstrap, null-embedding removal, watermark resume, undertrained retrain") {
     import graft.lake.LakeTable
     import graft.merge.CdcMerge

@@ -241,8 +241,11 @@ class MergeSqlSpec extends SparkSpec {
       assert(s2.sql("DESC HISTORY lake_maint LIMIT 2").collect().length == 2)
       assert(intercept[Exception](s2.sql("DESCRIBE HISTORY nope").collect())
         .getMessage.contains("not a registered lake table"))
-      assert(intercept[Exception](s2.sql("DESCRIBE HISTORY ").collect())
-        .getMessage.contains("expected: DESCRIBE HISTORY"))
+      // a Spark table literally named `history` still describes through
+      // Spark's own grammar — DESCRIBE only becomes ours on the full
+      // HISTORY <name> form
+      s2.sql("SELECT 1 AS a").createOrReplaceTempView("history")
+      assert(s2.sql("DESCRIBE history").collect().nonEmpty)
       // everything else still parses through Spark's own grammar
       assert(s2.sql("SELECT 1 + 1 AS two").collect()(0).getInt(0) == 2)
       assert(s2.sql("SELECT count(*) FROM lake_maint").collect()(0).getLong(0) == rowsBefore)

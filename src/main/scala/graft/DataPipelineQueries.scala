@@ -617,6 +617,105 @@ object DataPipelineQueries {
         .orderBy("media_id")
     }
 
+    // REAL compressed-format pixel decode: payloads are COMPLETE PNGs
+    // (JDK encoder; lossless, so channel values round-trip exactly) with
+    // the same gradient closed forms as the BMP query — the query must run
+    // a real PNG decode (javax.imageio) to reproduce the oracle's sums.
+    // This retires the "compressed codecs stay stubbed" caveat for images.
+    register("q_image_png_decode", Some(
+      """SELECT doc_id AS media_id,
+        |  CAST(8 + length(text) % 32 AS INTEGER) AS width,
+        |  CAST(8 + doc_id % 16 AS INTEGER) AS height,
+        |  CAST((8 + length(text) % 32) * ((8 + doc_id % 16) * (doc_id % 100)
+        |    + (8 + doc_id % 16) * (8 + doc_id % 16 - 1) // 2) AS BIGINT) AS sum_r,
+        |  CAST((8 + doc_id % 16) * ((8 + length(text) % 32) * (length(text) % 100)
+        |    + (8 + length(text) % 32) * (8 + length(text) % 32 - 1) // 2) AS BIGINT) AS sum_g,
+        |  CAST((8 + length(text) % 32) * (8 + doc_id % 16) * ((doc_id + length(text)) % 100) AS BIGINT) AS sum_b,
+        |  CAST((8 + length(text) % 32) * (doc_id % 100) AS BIGINT) AS top_row_sum_r
+        |FROM documents ORDER BY media_id""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val media = T(s, dir, "documents").select("doc_id", "text")
+        .as[(Long, String)].map { case (id, text) =>
+          val w = 8 + text.length % 32
+          val h = (8 + id % 16).toInt
+          val baseR = (id % 100).toInt
+          val baseG = text.length % 100
+          val baseB = ((id + text.length) % 100).toInt
+          (id, MultimodalOps.pngBytes(w, h, (x, y) => (baseR + y, baseG + x, baseB)))
+        }.toDF("doc_id", "payload")
+      MultimodalOps.imageStats(media, "doc_id", "payload").toDF()
+        .orderBy("media_id")
+    }
+
+    // REAL multi-frame decode (the video-modality analogue): payloads are
+    // animated GIFs with an explicit gray palette (lossless), gray(f,x,y)
+    // = base + 7f + x + y < 256 by construction. n_frames comes from the
+    // actual container scan; first/last frame sums catch dropped frames
+    // and wrong frame order. Frame sum closed form:
+    //   sum over x,y of 3*(base + 7f + x + y)
+    //   = 3 * (w*h*(base+7f) + h*w(w-1)/2 + w*h(h-1)/2).
+    register("q_video_gif_frames", Some(
+      """SELECT doc_id AS media_id,
+        |  CAST(2 + doc_id % 5 AS INTEGER) AS n_frames,
+        |  CAST(3 * (w * h * base + h * (w * (w - 1) // 2) + w * (h * (h - 1) // 2)) AS BIGINT) AS first_frame_sum,
+        |  CAST(3 * (w * h * (base + 7 * (1 + doc_id % 5)) + h * (w * (w - 1) // 2) + w * (h * (h - 1) // 2)) AS BIGINT) AS last_frame_sum
+        |FROM (SELECT doc_id, 8 + length(text) % 16 AS w, 8 + doc_id % 12 AS h,
+        |             length(text) % 100 AS base
+        |      FROM documents)
+        |ORDER BY media_id""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val media = T(s, dir, "documents").select("doc_id", "text")
+        .as[(Long, String)].map { case (id, text) =>
+          val w = 8 + text.length % 16
+          val h = (8 + id % 12).toInt
+          val base = text.length % 100
+          val frames = (2 + id % 5).toInt
+          (id, MultimodalOps.gifBytes(w, h, frames, (f, x, y) => base + 7 * f + x + y))
+        }.toDF("doc_id", "payload")
+      MultimodalOps.videoFrameStats(media, "doc_id", "payload").toDF()
+        .orderBy("media_id")
+    }
+
+    // REAL resize: decode → integer nearest-neighbor sample → PNG
+    // re-encode → RE-DECODE the resized payload. All integer arithmetic
+    // (src = (dst*srcDim)//outDim, out = ceil via (dim*m + longest-1)//
+    // longest), so the resized image's channel sums have closed forms:
+    //   sum_r = outW * (outH*baseR + Σ_y (y*h)//outH)
+    //   sum_g = outH * (outW*baseG + Σ_x (x*w)//outW)
+    //   sum_b = outW * outH * baseB.
+    register("q_image_resize", Some(
+      """SELECT doc_id AS media_id,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(ow AS INTEGER) AS out_width, CAST(oh AS INTEGER) AS out_height,
+        |  CAST(ow * (oh * base_r + list_sum(list_transform(range(0, oh), y -> (y * h) // oh))) AS BIGINT) AS sum_r,
+        |  CAST(oh * (ow * base_g + list_sum(list_transform(range(0, ow), x -> (x * w) // ow))) AS BIGINT) AS sum_g,
+        |  CAST(ow * oh * base_b AS BIGINT) AS sum_b
+        |FROM (SELECT doc_id, w, h,
+        |        (w * 16 + greatest(w, h) - 1) // greatest(w, h) AS ow,
+        |        (h * 16 + greatest(w, h) - 1) // greatest(w, h) AS oh,
+        |        doc_id % 100 AS base_r, length(text) % 100 AS base_g,
+        |        (doc_id + length(text)) % 100 AS base_b
+        |      FROM (SELECT doc_id, text, 20 + length(text) % 40 AS w,
+        |                   20 + doc_id % 30 AS h FROM documents))
+        |ORDER BY media_id""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val media = T(s, dir, "documents").select("doc_id", "text")
+        .as[(Long, String)].map { case (id, text) =>
+          val w = 20 + text.length % 40
+          val h = (20 + id % 30).toInt
+          val baseR = (id % 100).toInt
+          val baseG = text.length % 100
+          val baseB = ((id + text.length) % 100).toInt
+          (id, MultimodalOps.pngBytes(w, h, (x, y) => (baseR + y, baseG + x, baseB)))
+        }.toDF("doc_id", "payload")
+      val resized = MultimodalOps.resizeImages(media, "doc_id", "payload", maxSide = 16).toDF()
+      val stats = MultimodalOps.imageStats(resized, "media_id", "payload").toDF()
+        .select(col("media_id"), col("sum_r"), col("sum_g"), col("sum_b"))
+      resized.select("media_id", "width", "height", "out_width", "out_height")
+        .join(stats, Seq("media_id"))
+        .orderBy("media_id")
+    }
+
     register("q_multimodal_frames", Some(
       """SELECT media_id, CAST(unnest(generate_series(0, n_frames - 1, 5)) AS INTEGER) AS frame_idx
         |FROM (SELECT doc_id AS media_id, 1 + length(text) % 30 AS n_frames

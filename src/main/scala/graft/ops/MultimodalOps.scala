@@ -6,14 +6,24 @@ import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, decoded/feature-extracted in partition-batched
-  * passes. Pure-JVM REAL decodes (no codec libraries needed): PNG/JPEG/BMP
-  * header dims ([[imageDims]]), full-pixel 24-bit BMP statistics
-  * ([[bmpStats]]), and full-sample 16-bit-PCM RIFF/WAVE audio features
-  * ([[wavFeatures]]). Compressed codecs (JPEG pixels, MP3/OGG samples,
-  * video frames) stay behind [[decodeStub]] — this container ships no
-  * image/audio libraries — and the stub derives deterministic fake
-  * features so the pipeline shape stays testable; swap it for a real codec
-  * (e.g. a JNI/pandas-UDF decode) without touching the plumbing.
+  * passes. Pure-JVM REAL decodes (no external codec libraries needed):
+  *
+  *  - header dims for PNG/JPEG/BMP/GIF ([[imageDims]], hand-rolled — no
+  *    allocation beyond the answer);
+  *  - full-pixel statistics for ANY format the JDK's own `javax.imageio`
+  *    decodes — PNG, JPEG, GIF, BMP ([[imagePixelStats]]); the 24-bit BMP
+  *    fast path stays hand-rolled ([[bmpStats]]);
+  *  - full-sample 16-bit-PCM RIFF/WAVE audio features ([[wavFeatures]]);
+  *  - multi-frame decode for animated GIF ([[gifFrameStats]]) — the
+  *    video-modality analogue: real frame counts and per-frame pixels;
+  *  - real nearest-neighbor resize ([[resizeImages]]): decode → integer
+  *    NN sample → PNG re-encode, deterministic by construction.
+  *
+  * Only codecs the JVM genuinely does not ship (MP3/OGG samples, real
+  * video containers like MP4) remain behind [[decodeStub]], which derives
+  * deterministic fake features so the pipeline shape stays testable; swap
+  * it for a real codec (e.g. a JNI/pandas-UDF decode) without touching
+  * the plumbing.
   */
 object MultimodalOps {
 
@@ -64,6 +74,12 @@ object MultimodalOps {
       // BMP: BITMAPINFOHEADER width/height as s32le at offsets 18/22
       def le32(i: Int): Int = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
       val w = le32(18); val h = math.abs(le32(22))
+      if (w > 0 && h > 0) Some((w, h)) else None
+    } else if (p.length >= 10 && p(0) == 'G'.toByte && p(1) == 'I'.toByte && p(2) == 'F'.toByte &&
+               p(3) == '8'.toByte && (p(4) == '7'.toByte || p(4) == '9'.toByte) && p(5) == 'a'.toByte) {
+      // GIF: logical screen width/height as u16le at offsets 6/8
+      def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      val w = le16(6); val h = le16(8)
       if (w > 0 && h > 0) Some((w, h)) else None
     } else None
   }
@@ -267,9 +283,138 @@ object MultimodalOps {
     b.array()
   }
 
-  /** STUB decode: deterministic fake features from the payload bytes.
-    * Real implementation would decode pixels/samples here (???); the
-    * surrounding schema, batching and partitioning are production-shaped.
+  /** Exact channel sums + top-row red sum over a decoded BufferedImage —
+    * the shared accumulation behind [[imagePixelStats]]/[[gifFrameStats]].
+    */
+  private def imageToStats(img: java.awt.image.BufferedImage): BmpStats = {
+    val w = img.getWidth; val h = img.getHeight
+    var sumR = 0L; var sumG = 0L; var sumB = 0L; var topRowSumR = 0L
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      img.getRGB(0, y, w, 1, row, 0, w) // one raster read per row, not per pixel
+      var x = 0
+      while (x < w) {
+        val px = row(x)
+        val r = (px >> 16) & 0xff
+        sumR += r; sumG += (px >> 8) & 0xff; sumB += px & 0xff
+        if (y == 0) topRowSumR += r
+        x += 1
+      }
+      y += 1
+    }
+    BmpStats(w, h, sumR, sumG, sumB, topRowSumR)
+  }
+
+  /** REAL general pixel decode via the JDK's own `javax.imageio` (part of
+    * `java.desktop` — PNG, JPEG, GIF and BMP readers ship with every JRE;
+    * no external codec library, headless-safe). The hand-rolled 24-bit BMP
+    * path ([[bmpStats]]) is tried first (no reader dispatch, no raster
+    * allocation); anything else goes through ImageIO. Undecodable payloads
+    * yield None — same contract as every other parser here.
+    */
+  def imagePixelStats(p: Array[Byte]): Option[BmpStats] = {
+    if (p == null || p.length < 8) return None
+    bmpStats(p).orElse {
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p)))
+        .map(imageToStats)
+      catch { case _: Exception => None } // torn/hostile container: None, never a task crash
+    }
+  }
+
+  /** Synthesize a COMPLETE real PNG (JDK encoder) with `rgb(x, y)` pixels,
+    * top-origin; PNG is lossless, so [[imagePixelStats]] round-trips the
+    * exact channel values — the oracle-friendly twin of [[bmp24]].
+    */
+  def pngBytes(width: Int, height: Int, rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val (r, g, b) = rgb(x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Synthesize a multi-frame (animated) GIF with GRAYSCALE `gray(frame,
+    * x, y)` pixels (0-255, top-origin). Frames use an explicit 256-entry
+    * gray palette (`IndexColorModel`), so the GIF encoder quantizes
+    * nothing — [[gifFrameStats]] round-trips every value exactly. This is
+    * the video-modality test payload: a real container with a real frame
+    * count.
+    */
+  def gifBytes(width: Int, height: Int, nFrames: Int,
+               gray: (Int, Int, Int) => Int): Array[Byte] = {
+    val ramp = Array.tabulate(256)(_.toByte)
+    val palette = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(width, height,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, palette)
+        val raster = img.getRaster
+        var y = 0
+        while (y < height) {
+          var x = 0
+          while (x < width) { raster.setSample(x, y, 0, gray(f, x, y)); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null),
+          writer.getDefaultWriteParam)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { ios.close(); writer.dispose() }
+    bos.toByteArray
+  }
+
+  /** REAL multi-frame decode (animated GIF via the JDK reader): per-frame
+    * exact pixel statistics, in stored frame order. None for anything
+    * without a multi-frame-capable reader. The video-frame analogue of
+    * [[imagePixelStats]]: `n_frames` comes from the actual container, not
+    * a header field or stub.
+    */
+  def gifFrameStats(p: Array[Byte]): Option[Seq[BmpStats]] = {
+    if (p == null || p.length < 6) return None
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(p))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            val n = r.getNumImages(true) // full scan — frame COUNT is a decode fact
+            // zero decodable frames = a torn container wearing a valid
+            // header, not a decode — None, like every other parser here
+            if (n <= 0) None
+            else Some((0 until n).map(i => imageToStats(r.read(i))))
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** STUB decode for codecs the JVM does not ship (MP3/OGG samples, real
+    * video containers): deterministic fake features from the payload
+    * bytes. A real implementation would decode samples/frames here (???);
+    * the surrounding schema, batching and partitioning are
+    * production-shaped. Images and WAV audio never reach this — their
+    * decodes above are real.
     */
   def decodeStub(payload: Array[Byte]): (Int, Int, Int, Int) = {
     val len = if (payload == null) 0 else payload.length
@@ -342,8 +487,10 @@ object MultimodalOps {
                                  sum_r: Option[Long], sum_g: Option[Long],
                                  sum_b: Option[Long], top_row_sum_r: Option[Long])
 
-  /** Pixel-statistics extraction over a binary BMP payload column — real
+  /** Pixel-statistics extraction over a binary image payload column — real
     * per-pixel decode (channel sums + top-row sum), partition-batched.
+    * Accepts any format [[imagePixelStats]] decodes: 24-bit BMP on the
+    * hand-rolled fast path, PNG/JPEG/GIF through the JDK reader.
     */
   def imageStats(df: DataFrame, idCol: String, payloadCol: String): Dataset[ImageStatsOut] = {
     val spark = df.sparkSession
@@ -351,10 +498,89 @@ object MultimodalOps {
     df.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, p) =>
-        bmpStats(p) match {
+        imagePixelStats(p) match {
           case Some(s) => ImageStatsOut(id, Some(s.width), Some(s.height),
             Some(s.sumR), Some(s.sumG), Some(s.sumB), Some(s.topRowSumR))
           case None => ImageStatsOut(id, None, None, None, None, None, None)
+        }
+      })
+  }
+
+  final case class FrameStatsOut(media_id: Long, n_frames: Option[Int],
+                                 first_frame_sum: Option[Long], last_frame_sum: Option[Long])
+
+  /** REAL frame decode over a multi-frame (animated GIF) payload column:
+    * actual container frame count plus the first/last frames' gray sums
+    * (sum of all three channels — catches dropped frames AND wrong frame
+    * order). Partition-batched like [[decode]]; undecodable payloads keep
+    * their row with null features.
+    */
+  def videoFrameStats(df: DataFrame, idCol: String, payloadCol: String): Dataset[FrameStatsOut] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        gifFrameStats(p) match {
+          case Some(frames) if frames.nonEmpty =>
+            def gsum(s: BmpStats): Long = s.sumR + s.sumG + s.sumB
+            FrameStatsOut(id, Some(frames.length),
+              Some(gsum(frames.head)), Some(gsum(frames.last)))
+          case _ => FrameStatsOut(id, None, None, None)
+        }
+      })
+  }
+
+  final case class ResizedOut(media_id: Long, width: Option[Int], height: Option[Int],
+                              out_width: Option[Int], out_height: Option[Int],
+                              payload: Array[Byte])
+
+  /** REAL resize: decode ([[imagePixelStats]]'s reader), integer
+    * nearest-neighbor sample (src = (dst * srcDim) / outDim, floor — no
+    * float rounding, so the result is closed-form reproducible), PNG
+    * re-encode. Out dims preserve aspect ratio via integer ceil:
+    * out = (dim * maxSide + longest - 1) / longest; images already within
+    * `maxSide` pass through with their original payload untouched.
+    * Undecodable payloads keep their row with null dims and a null
+    * payload (a downstream quality filter decides).
+    */
+  def resizeImages(df: DataFrame, idCol: String, payloadCol: String,
+                   maxSide: Int): Dataset[ResizedOut] = {
+    require(maxSide > 0, s"maxSide must be positive, got $maxSide")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        val decoded =
+          try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+            Option(p).getOrElse(Array.empty[Byte]))))
+          catch { case _: Exception => None }
+        decoded match {
+          case None => ResizedOut(id, None, None, None, None, null)
+          case Some(img) =>
+            val w = img.getWidth; val h = img.getHeight
+            val longest = math.max(w, h)
+            if (longest <= maxSide) ResizedOut(id, Some(w), Some(h), Some(w), Some(h), p)
+            else {
+              val outW = ((w.toLong * maxSide + longest - 1) / longest).toInt
+              val outH = ((h.toLong * maxSide + longest - 1) / longest).toInt
+              val out = new java.awt.image.BufferedImage(outW, outH,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < outH) {
+                val sy = ((y.toLong * h) / outH).toInt
+                var x = 0
+                while (x < outW) {
+                  out.setRGB(x, y, img.getRGB(((x.toLong * w) / outW).toInt, sy) & 0xffffff)
+                  x += 1
+                }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(out, "png", bos)
+              ResizedOut(id, Some(w), Some(h), Some(outW), Some(outH), bos.toByteArray)
+            }
         }
       })
   }
@@ -369,7 +595,8 @@ object MultimodalOps {
       .select("media_id", "frame_idx")
 
   /** Resize plan: pure-metadata transform computing target dims with
-    * preserved aspect ratio (the actual pixel work lives behind the stub).
+    * preserved aspect ratio — the cheap dims-only twin of the real
+    * pixel-level [[resizeImages]].
     */
   def resizePlan(media: DataFrame, maxSide: Int): DataFrame =
     media.filter(col("modality").isin("image", "video"))

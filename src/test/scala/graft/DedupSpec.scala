@@ -354,6 +354,78 @@ class DedupSpec extends SparkSpec {
     assert(out(0).sample_rate.contains(22050))
   }
 
+  test("multimodal decode: REAL PNG/JPEG pixel decode via the JDK reader; GIF dims; junk refusal") {
+    import MultimodalOps._
+    // PNG is lossless: the gradient round-trips value-for-value
+    val png = pngBytes(9, 4, (x, y) => (10 + y, 20 + x, 3))
+    val s = imagePixelStats(png).get
+    assert(s.width == 9 && s.height == 4)
+    assert(s.sumR == 9L * (4 * 10 + 6) && s.sumG == 4L * (9 * 20 + 36) && s.sumB == 9L * 4 * 3)
+    assert(s.topRowSumR == 9L * 10)
+    assert(imageDims(png).contains((9, 4)))
+    // the BMP fast path and the ImageIO path agree on the same pixels
+    assert(imagePixelStats(bmp24(9, 4, (x, y) => (10 + y, 20 + x, 3))).contains(s))
+    // JPEG: lossy, so assert a REAL decode happened (dims + plausible sums)
+    val img = new java.awt.image.BufferedImage(16, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 16) img.setRGB(x, y, 0x808080)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+    val j = imagePixelStats(bos.toByteArray).get
+    assert(j.width == 16 && j.height == 8)
+    assert(math.abs(j.sumR - 16L * 8 * 0x80) <= 16L * 8 * 2) // near-uniform gray survives DCT
+    // junk and truncation refuse without crashing
+    assert(imagePixelStats("not an image at all".getBytes).isEmpty)
+    assert(imagePixelStats(png.take(20)).isEmpty)
+    assert(imagePixelStats(null).isEmpty)
+  }
+
+  test("multimodal video: REAL animated-GIF frame decode (count, order, exact gray sums)") {
+    import MultimodalOps._
+    // 3 frames, gray(f,x,y) = 5 + 7f + x + y (max 5+14+10 < 256, palette-exact)
+    val gif = gifBytes(6, 5, 3, (f, x, y) => 5 + 7 * f + x + y)
+    assert(imageDims(gif).contains((6, 5)))
+    val frames = gifFrameStats(gif).get
+    assert(frames.length == 3)
+    def expectedGray(f: Int): Long = // sum over x,y of (5 + 7f + x + y)
+      6L * 5 * (5 + 7 * f) + 5L * (6 * 5 / 2) + 6L * (5 * 4 / 2)
+    frames.zipWithIndex.foreach { case (st, f) =>
+      assert(st.width == 6 && st.height == 5)
+      assert(st.sumR == expectedGray(f) && st.sumG == st.sumR && st.sumB == st.sumR,
+        s"frame $f: got ${st.sumR}, want ${expectedGray(f)}")
+    }
+    assert(gifFrameStats("GIF89a-but-not-really".getBytes).isEmpty)
+    assert(gifFrameStats(null).isEmpty)
+    // operator: first/last sums catch order, n_frames from the container
+    val df = Seq((7L, gif)).toDF("id", "payload")
+    val out = videoFrameStats(df, "id", "payload").collect().head
+    assert(out.n_frames.contains(3))
+    assert(out.first_frame_sum.contains(3 * expectedGray(0)))
+    assert(out.last_frame_sum.contains(3 * expectedGray(2)))
+  }
+
+  test("multimodal resize: REAL NN resize matches the integer closed form; passthrough within bound") {
+    import MultimodalOps._
+    val png = pngBytes(20, 10, (x, y) => (10 + y, 20 + x, 3))
+    val df = Seq((1L, png)).toDF("id", "payload")
+    val out = resizeImages(df, "id", "payload", maxSide = 8).collect().head
+    assert(out.width.contains(20) && out.height.contains(10))
+    assert(out.out_width.contains(8) && out.out_height.contains(4)) // ceil(10*8/20)=4
+    val rs = imagePixelStats(out.payload).get
+    // NN: out(x,y) = src((x*20)/8, (y*10)/4) → r = 10 + (y*10)/4
+    val wantR = (0 until 4).map(y => 8L * (10 + (y * 10) / 4)).sum
+    val wantG = (0 until 8).map(x => 4L * (20 + (x * 20) / 8)).sum
+    assert(rs.sumR == wantR && rs.sumG == wantG && rs.sumB == 8L * 4 * 3,
+      s"got (${rs.sumR},${rs.sumG},${rs.sumB}) want ($wantR,$wantG,${8L * 4 * 3})")
+    // already small: payload passes through untouched
+    val small = resizeImages(df, "id", "payload", maxSide = 64).collect().head
+    assert(small.out_width.contains(20) && small.out_height.contains(10))
+    assert(small.payload.sameElements(png))
+    // junk keeps its row with null features
+    val junk = resizeImages(Seq((2L, "nope".getBytes)).toDF("id", "payload"),
+      "id", "payload", maxSide = 8).collect().head
+    assert(junk.out_width.isEmpty && junk.payload == null)
+  }
+
   test("decontamination: n-gram overlap vs an eval set, threshold + drop") {
     val evalSet = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     val train = Seq(

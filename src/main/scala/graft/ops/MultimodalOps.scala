@@ -306,17 +306,37 @@ object MultimodalOps {
     BmpStats(w, h, sumR, sumG, sumB, topRowSumR)
   }
 
+  /** Decompression-bomb guard: a decode allocates O(width*height) raster
+    * regardless of payload size, so a 100-byte crafted header claiming
+    * 60000x60000 would OOM the executor BEFORE any catch could help
+    * (allocation failure is an Error, not an Exception). Bound = 16M
+    * pixels (a 4096x4096 frame, 64 MB int raster) — fine for document
+    * corpora; raise per-call if a pipeline really carries larger stills.
+    */
+  val MaxDecodePixels: Long = 1L << 24
+
+  /** True iff the payload's SELF-DECLARED dims are present, positive and
+    * within `maxPixels` — checked on the cheap header parse before any
+    * raster allocation. Unknown containers fail the gate: the decoders
+    * below deliberately accept only formats with a known header parse
+    * (PNG/JPEG/BMP/GIF), never whatever extra readers the JRE registers.
+    */
+  private def dimsWithinBound(p: Array[Byte], maxPixels: Long): Boolean =
+    imageDims(p).exists { case (w, h) => w > 0 && h > 0 && w.toLong * h <= maxPixels }
+
   /** REAL general pixel decode via the JDK's own `javax.imageio` (part of
     * `java.desktop` — PNG, JPEG, GIF and BMP readers ship with every JRE;
     * no external codec library, headless-safe). The hand-rolled 24-bit BMP
     * path ([[bmpStats]]) is tried first (no reader dispatch, no raster
-    * allocation); anything else goes through ImageIO. Undecodable payloads
-    * yield None — same contract as every other parser here.
+    * allocation); anything else goes through ImageIO behind the
+    * [[MaxDecodePixels]] bomb guard. Undecodable payloads yield None —
+    * same contract as every other parser here.
     */
-  def imagePixelStats(p: Array[Byte]): Option[BmpStats] = {
+  def imagePixelStats(p: Array[Byte], maxPixels: Long = MaxDecodePixels): Option[BmpStats] = {
     if (p == null || p.length < 8) return None
     bmpStats(p).orElse {
-      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p)))
+      if (!dimsWithinBound(p, maxPixels)) None
+      else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p)))
         .map(imageToStats)
       catch { case _: Exception => None } // torn/hostile container: None, never a task crash
     }
@@ -387,8 +407,9 @@ object MultimodalOps {
     * [[imagePixelStats]]: `n_frames` comes from the actual container, not
     * a header field or stub.
     */
-  def gifFrameStats(p: Array[Byte]): Option[Seq[BmpStats]] = {
+  def gifFrameStats(p: Array[Byte], maxPixels: Long = MaxDecodePixels): Option[Seq[BmpStats]] = {
     if (p == null || p.length < 6) return None
+    if (!dimsWithinBound(p, maxPixels)) return None // logical-screen bomb guard
     try {
       val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(p))
       try {
@@ -401,12 +422,57 @@ object MultimodalOps {
             val n = r.getNumImages(true) // full scan — frame COUNT is a decode fact
             // zero decodable frames = a torn container wearing a valid
             // header, not a decode — None, like every other parser here
-            if (n <= 0) None
+            // per-frame guard: a GIF frame descriptor carries its OWN
+            // dims — a crafted frame can dwarf the logical screen, and
+            // getWidth/getHeight read metadata only (no allocation)
+            if (n <= 0 ||
+                (0 until n).exists(i => r.getWidth(i).toLong * r.getHeight(i) > maxPixels))
+              None
             else Some((0 until n).map(i => imageToStats(r.read(i))))
           } finally r.dispose()
         }
       } finally iis.close()
     } catch { case _: Exception => None }
+  }
+
+  /** Frame COUNT of a GIF by hand-rolled block walk — no decompression,
+    * no raster allocation, one O(payload) byte scan: header + logical
+    * screen descriptor (+ global color table), then 0x2C image descriptors
+    * (count one; skip local color table + LZW sub-blocks) and 0x21
+    * extensions (skip sub-blocks) until the 0x3B trailer. The cheap count
+    * for [[decode]]'s header-only pass; [[gifFrameStats]] pays the full
+    * decode when pixels are needed. Torn/non-GIF payloads: None.
+    */
+  def gifFrameCount(p: Array[Byte]): Option[Int] = {
+    if (p == null || p.length < 13) return None
+    def u8(i: Int): Int = p(i) & 0xff
+    if (!(p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8' &&
+          (p(4) == '7' || p(4) == '9') && p(5) == 'a')) return None
+    val packed = u8(10)
+    var i = 13 + (if ((packed & 0x80) != 0) 3 * (1 << ((packed & 7) + 1)) else 0)
+    var frames = 0
+    def skipSubBlocks(start: Int): Int = { // returns index past the 0 terminator, or -1
+      var j = start
+      while (j < p.length && u8(j) != 0) j += 1 + u8(j)
+      if (j < p.length) j + 1 else -1
+    }
+    while (i < p.length) {
+      u8(i) match {
+        case 0x3b => return if (frames > 0) Some(frames) else None // trailer
+        case 0x2c => // image descriptor: 9 fixed bytes, optional local CT,
+          if (i + 10 > p.length) return None // LZW min-code byte, sub-blocks
+          val lp = u8(i + 9)
+          val lct = if ((lp & 0x80) != 0) 3 * (1 << ((lp & 7) + 1)) else 0
+          i = skipSubBlocks(i + 10 + lct + 1)
+          if (i < 0) return None
+          frames += 1
+        case 0x21 => // extension: label byte then sub-blocks
+          i = skipSubBlocks(i + 2)
+          if (i < 0) return None
+        case _ => return None // desynced — not a well-formed stream
+      }
+    }
+    None // ran off the end without a trailer: torn
   }
 
   /** STUB decode for codecs the JVM does not ship (MP3/OGG samples, real
@@ -451,11 +517,12 @@ object MultimodalOps {
           // audioFeatures); stub only for unrecognized containers
           val (w, h) = imageDims(m.payload).getOrElse((sw, sh))
           val realSr = wavFormat(m.payload).map(_._1)
+          val realNf = gifFrameCount(m.payload) // block walk, no decompression
           MediaOut(m.media_id, m.modality, m.payload,
             if (visual) Some(w) else None,
             if (visual) Some(h) else None,
             if (m.modality == "audio") Some(realSr.getOrElse(sr)) else None,
-            if (m.modality == "video") Some(nf) else None)
+            if (m.modality == "video") Some(realNf.getOrElse(nf)) else None)
         }
       }
   }
@@ -553,8 +620,8 @@ object MultimodalOps {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, p) =>
         val decoded =
-          try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
-            Option(p).getOrElse(Array.empty[Byte]))))
+          if (p == null || !dimsWithinBound(p, MaxDecodePixels)) None // bomb guard
+          else try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p)))
           catch { case _: Exception => None }
         decoded match {
           case None => ResizedOut(id, None, None, None, None, null)

@@ -377,6 +377,16 @@ class DedupSpec extends SparkSpec {
     assert(imagePixelStats("not an image at all".getBytes).isEmpty)
     assert(imagePixelStats(png.take(20)).isEmpty)
     assert(imagePixelStats(null).isEmpty)
+    // decompression-bomb guard: a header claiming a giant raster is refused
+    // BEFORE any allocation (an OOM there is an Error no catch would stop)
+    assert(imagePixelStats(pngHeader(60000, 60000)).isEmpty)
+    val bombGif = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](0x50, 0xc3.toByte, 0x50, 0xc3.toByte) ++ Array.fill(50)(0.toByte)
+    assert(gifFrameStats(bombGif).isEmpty) // 50000x50000 logical screen
+    // deliberate allowlist: only formats with a known header parse decode —
+    // a TIFF payload (JRE ships a reader) is refused by the gate
+    val tiffish = Array[Byte]('I', 'I', 42, 0, 8, 0, 0, 0) ++ Array.fill(64)(0.toByte)
+    assert(imagePixelStats(tiffish).isEmpty)
   }
 
   test("multimodal video: REAL animated-GIF frame decode (count, order, exact gray sums)") {
@@ -395,6 +405,15 @@ class DedupSpec extends SparkSpec {
     }
     assert(gifFrameStats("GIF89a-but-not-really".getBytes).isEmpty)
     assert(gifFrameStats(null).isEmpty)
+    // the allocation-free block-walk count agrees with the full decode
+    assert(gifFrameCount(gif).contains(3))
+    assert(gifFrameCount(gifBytes(4, 3, 1, (_, x, y) => x + y)).contains(1))
+    assert(gifFrameCount(gif.dropRight(4)).isEmpty) // torn: no trailer reached
+    assert(gifFrameCount("GIF89a-but-not-really".getBytes).isEmpty)
+    // decode() integration: a GIF video payload gets its REAL frame count
+    val vdf = Seq((9L, "video", gif)).toDF("id", "modality", "payload")
+    val vout = MultimodalOps.decode(vdf, "id", "payload", "modality").collect().head
+    assert(vout.n_frames.contains(3) && vout.width.contains(6) && vout.height.contains(5))
     // operator: first/last sums catch order, n_frames from the container
     val df = Seq((7L, gif)).toDF("id", "payload")
     val out = videoFrameStats(df, "id", "payload").collect().head

@@ -24,6 +24,7 @@ object DataPipelineQueries {
     dedup()
     similarity()
     textAnalysis()
+    qualityRepetition()
     decontamination()
     multimodal()
     benchVariants()
@@ -486,6 +487,52 @@ object DataPipelineQueries {
       T(s, dir, "documents").select(
         col("doc_id"), TextOps.fingerprintPortable(col("text")).as("fp"))
         .orderBy("doc_id")
+    }
+  }
+
+  private def qualityRepetition(): Unit = {
+    // Gopher-style repetition signals, value-for-value vs DuckDB. The
+    // synthetic documents are single-line word soup, so the query passes
+    // lineSep=" " — the "line" signals become duplicate-WORD fractions,
+    // which are non-trivial on this corpus and exercise the exact same
+    // machinery (split, distinct, char sums) as newline-separated text.
+    register("q_quality_repetition", Some(
+      """WITH base AS (
+        |  SELECT doc_id, text,
+        |    string_split(text, ' ') AS ls,
+        |    regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, text, ls,
+        |    CASE WHEN len(t) >= 2
+        |      THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+        |      ELSE CAST([] AS VARCHAR[]) END AS gr
+        |  FROM base),
+        |topg AS (
+        |  SELECT doc_id, max(c * length(gram)) AS top_chars
+        |  FROM (SELECT doc_id, gram, count(*) AS c
+        |        FROM (SELECT doc_id, unnest(gr) AS gram FROM g)
+        |        GROUP BY doc_id, gram)
+        |  GROUP BY doc_id)
+        |SELECT g.doc_id AS doc_id,
+        |  CAST(len(ls) AS INTEGER) AS n_lines,
+        |  CAST(len(ls) - len(list_distinct(ls)) AS DOUBLE) / len(ls) AS dup_line_frac,
+        |  CASE WHEN list_sum(list_transform(ls, l -> length(l))) > 0
+        |    THEN CAST(list_sum(list_transform(ls, l -> length(l)))
+        |           - list_sum(list_transform(list_distinct(ls), l -> length(l))) AS DOUBLE)
+        |         / list_sum(list_transform(ls, l -> length(l)))
+        |    ELSE 0.0 END AS dup_line_char_frac,
+        |  CAST(len(gr) AS INTEGER) AS n_grams,
+        |  CASE WHEN len(gr) > 0
+        |    THEN CAST(len(gr) - len(list_distinct(gr)) AS DOUBLE) / len(gr)
+        |    ELSE 0.0 END AS dup_gram_frac,
+        |  CASE WHEN length(text) > 0
+        |    THEN CAST(coalesce(top_chars, 0) AS DOUBLE) / length(text)
+        |    ELSE 0.0 END AS top_gram_char_frac
+        |FROM g LEFT JOIN topg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      QualityOps.repetitionSignals(T(s, dir, "documents"), "doc_id", "text",
+        n = 2, lineSep = " ").orderBy("doc_id")
     }
   }
 

@@ -91,6 +91,60 @@ object TextOps {
   def tokenHashesPortable(text: Column): Column =
     transform(split(trim(text), "\\s+"), t => md5Hash60(t))
 
+  /** n-gram shingles WITH multiplicity (no dedup) — the input to
+    * repetition statistics, where how often a gram repeats is the point.
+    * Same short-document guard as [[shingles]].
+    */
+  def shinglesAll(text: Column, n: Int): Column = {
+    val toks = split(trim(text), "\\s+")
+    val idx = sequence(lit(0), size(toks) - n)
+    when(size(toks) >= n,
+      transform(idx, i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Gopher-style repetition quality signals, computed per row as pure
+    * column expressions (higher-order functions — no UDFs, no shuffle):
+    *
+    *  - `n_lines`, `dup_line_frac`: fraction of lines (split on
+    *    `lineSep`) that are repeats of an earlier line;
+    *  - `dup_line_char_frac`: fraction of line characters sitting in
+    *    those repeated occurrences (Σ len(all lines) − Σ len(distinct
+    *    lines)) / Σ len(all lines);
+    *  - `n_grams`, `dup_gram_frac`: fraction of word `n`-gram occurrences
+    *    that are repeats of an earlier occurrence.
+    *
+    * The reference's quality gates are length/NaN checks on tabular data
+    * (`sanity_checks`); these are their web-corpus analogues (Rae et al.
+    * 2021 "Gopher" §A1.1, simplified to closed forms a cross-engine
+    * oracle can replicate exactly). The top-gram coverage signal needs a
+    * per-gram count and lives in the aggregation-shaped
+    * `QualityOps.repetitionSignals`.
+    */
+  def repetitionExprs(text: Column, n: Int, lineSep: String): Seq[(String, Column)] = {
+    // -1 limit: keep trailing empty fields, matching DuckDB's string_split
+    val lines = split(text, java.util.regex.Pattern.quote(lineSep), -1)
+    val distinctLines = array_distinct(lines)
+    def charSum(arr: Column): Column =
+      aggregate(arr, lit(0L), (acc, l) => acc + length(l))
+    val allChars = charSum(lines)
+    val grams = shinglesAll(text, n)
+    val nGrams = size(grams)
+    Seq(
+      "n_lines" -> size(lines),
+      "dup_line_frac" ->
+        ((size(lines) - size(distinctLines)).cast("double") / size(lines).cast("double")),
+      "dup_line_char_frac" ->
+        when(allChars > 0,
+          (allChars - charSum(distinctLines)).cast("double") / allChars.cast("double"))
+          .otherwise(lit(0.0)),
+      "n_grams" -> nGrams,
+      "dup_gram_frac" ->
+        when(nGrams > 0,
+          (nGrams - size(array_distinct(grams))).cast("double") / nGrams.cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
   /** n-gram shingles over whitespace tokens (n fixed at call site).
     * Documents with fewer than `n` tokens yield an EMPTY shingle set —
     * guarded so `element_at` never sees an out-of-range index (Spark 4

@@ -445,6 +445,37 @@ class DedupSpec extends SparkSpec {
     assert(junk.out_width.isEmpty && junk.payload == null)
   }
 
+  test("quality: Gopher-style repetition signals match hand-computed closed forms") {
+    // doc 1: "ab\ncd\nab\nab" — 4 lines, lines {ab, cd}, dup lines 2/4;
+    //   chars: all 8, distinct 4 → dup_line_char_frac 0.5
+    //   tokens (whitespace): ["ab", "cd", "ab", "ab"] → 2-grams:
+    //   ["ab cd","cd ab","ab ab"] all distinct → dup_gram_frac 0
+    //   top gram: each count 1, len 5 → 5/11 chars (text len 11)
+    // doc 2: "x y x y x y" — 1 line; grams: [x y, y x, x y, y x, x y]
+    //   → 5 grams, 2 distinct → dup 3/5; top = "x y"×3 ×len3 = 9/11
+    val docs = Seq(
+      (1L, "ab\ncd\nab\nab"),
+      (2L, "x y x y x y"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = ops.QualityOps.repetitionSignals(docs, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getInt(4), r.getDouble(5), r.getDouble(6)))
+      .toMap
+    assert(out(1L) == ((4, 0.5, 0.5, 3, 0.0, 5.0 / 11)), out(1L))
+    assert(out(2L) == ((1, 0.0, 0.0, 5, 3.0 / 5, 9.0 / 11)), out(2L))
+    assert(out(3L) == ((1, 0.0, 0.0, 0, 0.0, 0.0)), out(3L)) // empty text: all-zero, no div-by-zero
+    // filter form: doc 2 is gram-repetitive, doc 1 line-repetitive
+    val kept = ops.QualityOps.dropRepetitive(docs, "doc_id", "text",
+      maxDupLineFrac = 0.4, maxDupGramFrac = 0.5, n = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L), kept)
+    val keptLoose = ops.QualityOps.dropRepetitive(docs, "doc_id", "text",
+      maxDupLineFrac = 0.6, maxDupGramFrac = 0.7, n = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptLoose == Set(1L, 2L, 3L))
+  }
+
   test("decontamination: n-gram overlap vs an eval set, threshold + drop") {
     val evalSet = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     val train = Seq(

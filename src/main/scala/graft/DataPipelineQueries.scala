@@ -25,6 +25,7 @@ object DataPipelineQueries {
     similarity()
     textAnalysis()
     qualityRepetition()
+    chunking()
     decontamination()
     multimodal()
     benchVariants()
@@ -533,6 +534,45 @@ object DataPipelineQueries {
         |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
       QualityOps.repetitionSignals(T(s, dir, "documents"), "doc_id", "text",
         n = 2, lineSep = " ").orderBy("doc_id")
+    }
+  }
+
+  private def chunking(): Unit = {
+    // sliding-context chunking: 32-token chunks starting every 24 tokens
+    // (overlap 8). chunk_idx = start // stride because starts are exactly
+    // the stride multiples; chunk_text compares as a raw string, so a
+    // wrong slice bound or separator fails the hash.
+    register("q_chunk_tokens", Some(
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |           FROM documents WHERE length(trim(text)) > 0)
+        |SELECT doc_id,
+        |  CAST(s // 24 AS INTEGER) AS chunk_idx,
+        |  array_to_string(list_slice(t, s + 1, least(s + 32, len(t))), ' ') AS chunk_text,
+        |  CAST(least(32, len(t) - s) AS INTEGER) AS n_tokens
+        |FROM (SELECT doc_id, t, unnest(range(0, len(t), 24)) AS s FROM d)
+        |ORDER BY doc_id, chunk_idx""".stripMargin)) { (s, dir) =>
+      ChunkOps.chunkByTokens(T(s, dir, "documents"), "doc_id", "text",
+        chunkSize = 32, overlap = 8).orderBy("doc_id", "chunk_idx")
+    }
+
+    // greedy context packing: 512-token packs, 16 hash-disjoint shards,
+    // concat-in-id-order-then-cut assignment — the window algebra
+    // (shard-local running sum, floor offset division) replicated exactly.
+    register("q_pack_greedy", Some(
+      """WITH d AS (SELECT doc_id, doc_id % 16 AS shard,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |w AS (SELECT doc_id, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+        |  FROM d)
+        |SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+        |  CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS pack_id,
+        |  CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(cum_tokens AS BIGINT) AS cum_tokens
+        |FROM w ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      ChunkOps.packGreedy(T(s, dir, "documents"), "doc_id", "text",
+        targetTokens = 512, shards = 16).orderBy("doc_id")
     }
   }
 

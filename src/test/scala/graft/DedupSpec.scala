@@ -476,6 +476,38 @@ class DedupSpec extends SparkSpec {
     assert(keptLoose == Set(1L, 2L, 3L))
   }
 
+  test("chunking: sliding token windows and greedy context packing match hand-computed forms") {
+    // 10 tokens a0..a9, chunkSize 4, overlap 1 → stride 3:
+    // starts 0,3,6,9 → chunks [a0..a3],[a3..a6],[a6..a9],[a9]
+    val doc = (0 until 10).map("a" + _).mkString(" ")
+    val df = Seq((1L, doc), (2L, "x y"), (3L, "   ")).toDF("doc_id", "text")
+    val chunks = ops.ChunkOps.chunkByTokens(df, "doc_id", "text", chunkSize = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+      .sortBy(c => (c._1, c._2))
+    assert(chunks.map(c => (c._1, c._2, c._4)).toSeq ==
+      Seq((1L, 0, 4), (1L, 1, 4), (1L, 2, 4), (1L, 3, 1), (2L, 0, 2)), chunks.toSeq)
+    assert(chunks(0)._3 == "a0 a1 a2 a3" && chunks(1)._3 == "a3 a4 a5 a6" &&
+      chunks(3)._3 == "a9" && chunks(4)._3 == "x y")
+    // whitespace-only doc 3 yields no chunks (and no crash)
+    assert(!chunks.exists(_._1 == 3L))
+
+    // packing: one shard (ids 1,3,5 % 2 = 1; 2,4 % 2 = 0), target 5 tokens
+    //   shard 1 in id order: id1 n=3 cum=3 pack (3-3)/5=0; id3 n=4 cum=7
+    //   pack (7-4)/5=0; id5 n=2 cum=9 pack (9-2)/5=1
+    //   shard 0: id2 n=6 cum=6 pack 0; id4 n=1 cum=7 pack (7-1)/5=1
+    val pdf = Seq(
+      (1L, "t t t"), (2L, "t t t t t t"), (3L, "t t t t"), (4L, "t"), (5L, "t t")
+    ).toDF("doc_id", "text")
+    val packs = ops.ChunkOps.packGreedy(pdf, "doc_id", "text", targetTokens = 5, shards = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(packs(1L) == ((1L, 0L, 3L, 3L)), packs(1L))
+    assert(packs(3L) == ((1L, 0L, 4L, 7L)), packs(3L))
+    assert(packs(5L) == ((1L, 1L, 2L, 9L)), packs(5L))
+    assert(packs(2L) == ((0L, 0L, 6L, 6L)), packs(2L))
+    assert(packs(4L) == ((0L, 1L, 1L, 7L)), packs(4L))
+  }
+
   test("decontamination: n-gram overlap vs an eval set, threshold + drop") {
     val evalSet = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     val train = Seq(

@@ -803,6 +803,88 @@ object DataPipelineQueries {
         .orderBy("media_id")
     }
 
+    // REAL MP3 container parse: payloads are complete CBR MPEG-1 Layer III
+    // streams (valid frame headers, junk bodies); the query must walk
+    // EVERY frame header (computing each frame's length from its own
+    // header fields) to reproduce n_frames and the sample-exact duration —
+    // a parser with a wrong frame-length formula or bitrate table fails
+    // the hash. Sample decode (MDCT) is not exercised: these are container
+    // facts, like gifFrameCount for GIF.
+    register("q_audio_mp3_meta", Some(
+      """SELECT doc_id AS media_id,
+        |  CAST(sr AS INTEGER) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        |  CAST(CASE length(text) % 3 WHEN 0 THEN 64 WHEN 1 THEN 128 ELSE 192 END AS INTEGER) AS bitrate_kbps,
+        |  CAST(3 + length(text) % 40 AS INTEGER) AS n_frames,
+        |  CAST((3 + length(text) % 40) * 1152 * 1000 // sr AS BIGINT) AS duration_ms
+        |FROM (SELECT doc_id, text,
+        |        CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS sr
+        |      FROM documents)
+        |ORDER BY media_id""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val media = T(s, dir, "documents").select("doc_id", "text")
+        .as[(Long, String)].map { case (id, text) =>
+          val sr = (id % 3) match { case 0 => 44100; case 1 => 48000; case _ => 32000 }
+          val kbps = (text.length % 3) match { case 0 => 64; case 1 => 128; case _ => 192 }
+          (id, MultimodalOps.mp3Bytes(sr, kbps, (1 + id % 2).toInt, 3 + text.length % 40))
+        }.toDF("doc_id", "payload")
+      MultimodalOps.mp3Meta(media, "doc_id", "payload").toDF()
+        .orderBy("media_id")
+    }
+
+    // REAL OGG container parse: payloads are complete OGG/Vorbis-ident
+    // streams with REAL page CRCs; the query must walk every page,
+    // validate its CRC, read channels/rate from the Vorbis identification
+    // header and take total samples from the end-of-stream page's granule
+    // position — a parser that skips CRC validation still passes here, but
+    // one that mis-walks the lacing table or reads the wrong granule
+    // fails the hash.
+    register("q_audio_ogg_meta", Some(
+      """SELECT doc_id AS media_id,
+        |  CAST(sr AS INTEGER) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+        |  CAST(1000 + (length(text) * 37) % 50000 AS BIGINT) AS n_samples,
+        |  CAST((1000 + (length(text) * 37) % 50000) * 1000 // sr AS BIGINT) AS duration_ms,
+        |  CAST(2 + doc_id % 4 AS INTEGER) AS n_pages
+        |FROM (SELECT doc_id, text,
+        |        CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS sr
+        |      FROM documents)
+        |ORDER BY media_id""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val media = T(s, dir, "documents").select("doc_id", "text")
+        .as[(Long, String)].map { case (id, text) =>
+          val sr = (id % 3) match { case 0 => 8000; case 1 => 16000; case _ => 44100 }
+          (id, MultimodalOps.oggBytes(sr, (1 + id % 2).toInt,
+            1000L + (text.length.toLong * 37) % 50000, (1 + id % 4).toInt))
+        }.toDF("doc_id", "payload")
+      MultimodalOps.oggMeta(media, "doc_id", "payload").toDF()
+        .orderBy("media_id")
+    }
+
+    // REAL MP4 container parse: payloads are complete minimal ISO-BMFF
+    // movies; the query must walk ftyp/moov/trak/mdia/minf/stbl, read the
+    // video track's 16.16-fixed tkhd dims, the mvhd timescale/duration,
+    // and SUM the stts sample counts (two entries — a single-entry
+    // shortcut fails the hash) to reproduce the oracle's closed forms.
+    register("q_video_mp4_meta", Some(
+      """SELECT doc_id AS media_id,
+        |  CAST(16 * (2 + length(text) % 8) AS INTEGER) AS width,
+        |  CAST(16 * (2 + doc_id % 6) AS INTEGER) AS height,
+        |  CAST((10 + doc_id % 20) + (5 + length(text) % 25) AS INTEGER) AS n_frames,
+        |  CAST(1001 * (30 + length(text) % 300) * 1000 // 30000 AS BIGINT) AS duration_ms
+        |FROM documents ORDER BY media_id""".stripMargin)) { (s, dir) =>
+      import s.implicits._
+      val media = T(s, dir, "documents").select("doc_id", "text")
+        .as[(Long, String)].map { case (id, text) =>
+          (id, MultimodalOps.mp4Bytes(
+            16 * (2 + text.length % 8), 16 * (2 + id % 6).toInt,
+            timescale = 30000, durationTicks = 1001L * (30 + text.length % 300),
+            sttsCounts = Seq((10 + id % 20).toInt, 5 + text.length % 25)))
+        }.toDF("doc_id", "payload")
+      MultimodalOps.mp4Meta(media, "doc_id", "payload").toDF()
+        .orderBy("media_id")
+    }
+
     register("q_multimodal_frames", Some(
       """SELECT media_id, CAST(unnest(generate_series(0, n_frames - 1, 5)) AS INTEGER) AS frame_idx
         |FROM (SELECT doc_id AS media_id, 1 + length(text) % 30 AS n_frames

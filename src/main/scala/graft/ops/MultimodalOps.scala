@@ -19,11 +19,16 @@ import org.apache.spark.sql.types._
   *  - real nearest-neighbor resize ([[resizeImages]]): decode → integer
   *    NN sample → PNG re-encode, deterministic by construction.
   *
-  * Only codecs the JVM genuinely does not ship (MP3/OGG samples, real
-  * video containers like MP4) remain behind [[decodeStub]], which derives
-  * deterministic fake features so the pipeline shape stays testable; swap
-  * it for a real codec (e.g. a JNI/pandas-UDF decode) without touching
-  * the plumbing.
+  *  - real CONTAINER parses for the compressed-codec formats: MP3 frame
+  *    walk ([[mp3Info]]), CRC-validated OGG/Vorbis page walk ([[oggInfo]]),
+  *    MP4/ISO-BMFF box walk ([[mp4Info]]) — sample rates, channels, frame
+  *    counts, durations and track dims are read from the actual structure.
+  *
+  * Only the SAMPLE/PIXEL level of codecs the JVM genuinely does not ship
+  * (MP3/Vorbis PCM synthesis, AVC/HEVC frames) remains behind
+  * [[decodeStub]], which derives deterministic fake features so the
+  * pipeline shape stays testable; swap it for a real codec (e.g. a
+  * JNI/pandas-UDF decode) without touching the plumbing.
   */
 object MultimodalOps {
 
@@ -475,12 +480,416 @@ object MultimodalOps {
     None // ran off the end without a trailer: torn
   }
 
-  /** STUB decode for codecs the JVM does not ship (MP3/OGG samples, real
-    * video containers): deterministic fake features from the payload
-    * bytes. A real implementation would decode samples/frames here (???);
-    * the surrounding schema, batching and partitioning are
-    * production-shaped. Images and WAV audio never reach this — their
-    * decodes above are real.
+  // ---------------------------------------------------------------------
+  // Compressed-audio / video CONTAINER parses, pure JVM. The JDK ships no
+  // MP3/Vorbis/AVC decoders, so sample/pixel decode for these stays behind
+  // [[decodeStub]] — but the container metadata (sample rate, channels,
+  // frame counts, duration, dimensions) is a real byte-level parse of the
+  // actual frame/page/box structure, same contract as [[wavFeatures]] /
+  // [[gifFrameCount]]: torn or hostile payloads return None, never crash.
+  // ---------------------------------------------------------------------
+
+  /** Parsed MP3 facts from a full frame-header walk: every frame's length
+    * is computed from its own header, so `nFrames`/`durationMs` are real
+    * container facts (a VBR stream sums per-frame samples correctly).
+    */
+  final case class Mp3Info(sampleRate: Int, channels: Int, bitrateKbps: Int,
+                           nFrames: Int, durationMs: Long)
+
+  // MPEG-1/2/2.5 Layer III tables (ISO/IEC 11172-3 / 13818-3)
+  private val Mp3BitrateV1 =
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3BitrateV2 =
+    Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+  private val Mp3RatesV1 = Array(44100, 48000, 32000)
+  private val Mp3RatesV2 = Array(22050, 24000, 16000)
+  private val Mp3RatesV25 = Array(11025, 12000, 8000)
+
+  /** One frame header at `i`: (frameLen, sampleRate, channels, bitrateKbps,
+    * samplesPerFrame), or None if `p(i..i+3)` is not a valid Layer III
+    * frame header.
+    */
+  private def mp3FrameHeader(p: Array[Byte], i: Int): Option[(Int, Int, Int, Int, Int)] = {
+    if (i + 4 > p.length) return None
+    def u8(j: Int): Int = p(j) & 0xff
+    if (u8(i) != 0xff || (u8(i + 1) & 0xe0) != 0xe0) return None
+    val versionBits = (u8(i + 1) >> 3) & 3 // 0=MPEG2.5 1=reserved 2=MPEG2 3=MPEG1
+    val layerBits = (u8(i + 1) >> 1) & 3   // 1 = Layer III
+    if (versionBits == 1 || layerBits != 1) return None
+    val bitrateIdx = (u8(i + 2) >> 4) & 0xf
+    val srIdx = (u8(i + 2) >> 2) & 3
+    if (bitrateIdx == 0 || bitrateIdx == 15 || srIdx == 3) return None // free/bad
+    val padding = (u8(i + 2) >> 1) & 1
+    val mode = (u8(i + 3) >> 6) & 3
+    val channels = if (mode == 3) 1 else 2
+    val v1 = versionBits == 3
+    val bitrateKbps = (if (v1) Mp3BitrateV1 else Mp3BitrateV2)(bitrateIdx)
+    val sampleRate = (versionBits match {
+      case 3 => Mp3RatesV1; case 2 => Mp3RatesV2; case _ => Mp3RatesV25
+    })(srIdx)
+    val samplesPerFrame = if (v1) 1152 else 576
+    // frameLen = samplesPerFrame/8 * bitrate / sampleRate + padding
+    val frameLen = (samplesPerFrame / 8) * (bitrateKbps * 1000) / sampleRate + padding
+    if (frameLen < 4) None
+    else Some((frameLen, sampleRate, channels, bitrateKbps, samplesPerFrame))
+  }
+
+  /** REAL MP3 container parse: optional ID3v2 skip (syncsafe size), then a
+    * strict frame walk to the end of the payload (an ID3v1 `TAG` trailer is
+    * tolerated; any other trailing bytes = torn stream = None). Frames must
+    * agree on sample rate; bitrate may vary (VBR) — `bitrateKbps` reports
+    * the first frame's. Sample DECODE stays stubbed (the JVM ships no MDCT
+    * synthesis); everything here is read from the actual frame headers.
+    */
+  def mp3Info(p: Array[Byte]): Option[Mp3Info] = {
+    if (p == null || p.length < 4) return None
+    def u8(j: Int): Int = p(j) & 0xff
+    var i = 0
+    if (p.length >= 10 && p(0) == 'I' && p(1) == 'D' && p(2) == '3') {
+      // syncsafe u28 — 7 bits per byte; bounds in LONG (crafted max bytes
+      // sum past Int.MaxValue/4 only via the shift, not the add, but the
+      // +10 below could wrap at the boundary)
+      if ((u8(6) | u8(7) | u8(8) | u8(9)) >= 0x80) return None // non-syncsafe: torn
+      val tagLen = (u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9)
+      if (10L + tagLen >= p.length) return None
+      i = 10 + tagLen
+    }
+    var nFrames = 0
+    var totalSamples = 0L
+    var sampleRate = 0
+    var channels = 0
+    var bitrateFirst = 0
+    while (i < p.length) {
+      // ID3v1 trailer: exactly 128 bytes of "TAG..." after the last frame
+      if (p.length - i == 128 && p(i) == 'T' && p(i + 1) == 'A' && p(i + 2) == 'G')
+        return if (nFrames > 0) Some(Mp3Info(sampleRate, channels, bitrateFirst,
+          nFrames, totalSamples * 1000L / sampleRate)) else None
+      mp3FrameHeader(p, i) match {
+        case None => return None // desynced / torn
+        case Some((frameLen, sr, ch, kbps, spf)) =>
+          if (i.toLong + frameLen > p.length) return None // torn final frame
+          if (nFrames == 0) { sampleRate = sr; channels = ch; bitrateFirst = kbps }
+          else if (sr != sampleRate) return None // mid-stream rate change: not one stream
+          nFrames += 1
+          totalSamples += spf
+          i += frameLen
+      }
+    }
+    if (nFrames == 0) None
+    else Some(Mp3Info(sampleRate, channels, bitrateFirst, nFrames,
+      totalSamples * 1000L / sampleRate))
+  }
+
+  /** Header-only MP3 facts — (sampleRate, channels) from the FIRST frame
+    * header (after any ID3v2 tag), no full-payload walk: the cheap parse
+    * for [[decode]], mirroring [[wavFormat]].
+    */
+  def mp3Format(p: Array[Byte]): Option[(Int, Int)] = {
+    if (p == null || p.length < 4) return None
+    def u8(j: Int): Int = p(j) & 0xff
+    var i = 0
+    if (p.length >= 10 && p(0) == 'I' && p(1) == 'D' && p(2) == '3') {
+      if ((u8(6) | u8(7) | u8(8) | u8(9)) >= 0x80) return None
+      val tagLen = (u8(6) << 21) | (u8(7) << 14) | (u8(8) << 7) | u8(9)
+      if (10L + tagLen >= p.length) return None
+      i = 10 + tagLen
+    }
+    mp3FrameHeader(p, i).map { case (_, sr, ch, _, _) => (sr, ch) }
+  }
+
+  /** Synthesize a complete CBR MPEG-1 Layer III container (valid frame
+    * headers + deterministic junk frame bodies — headers parse, samples
+    * are noise) for tests and oracle queries. [[mp3Info]] must walk every
+    * frame to reproduce (nFrames, durationMs) exactly.
+    */
+  def mp3Bytes(sampleRate: Int, bitrateKbps: Int, channels: Int, nFrames: Int): Array[Byte] = {
+    val srIdx = Mp3RatesV1.indexOf(sampleRate)
+    val brIdx = Mp3BitrateV1.indexOf(bitrateKbps)
+    require(srIdx >= 0, s"not an MPEG-1 sample rate: $sampleRate")
+    require(brIdx > 0, s"not an MPEG-1 Layer III bitrate: $bitrateKbps")
+    require(channels == 1 || channels == 2, s"channels must be 1 or 2: $channels")
+    val frameLen = 144 * (bitrateKbps * 1000) / sampleRate // padding 0
+    val out = new Array[Byte](frameLen * nFrames)
+    var f = 0
+    while (f < nFrames) {
+      val base = f * frameLen
+      out(base) = 0xff.toByte
+      out(base + 1) = 0xfb.toByte // MPEG1, Layer III, no CRC
+      out(base + 2) = ((brIdx << 4) | (srIdx << 2)).toByte
+      out(base + 3) = (if (channels == 1) 0xc0 else 0x00).toByte // mode
+      var j = 4
+      while (j < frameLen) { out(base + j) = ((j * 31 + f) & 0xff).toByte; j += 1 }
+      f += 1
+    }
+    out
+  }
+
+  /** Parsed OGG/Vorbis facts from a full page walk with per-page CRC
+    * validation: `nSamples` is the final page's granule position (total
+    * PCM samples for Vorbis), `nPages` the real page count.
+    */
+  final case class OggInfo(sampleRate: Int, channels: Int, nSamples: Long,
+                           durationMs: Long, nPages: Int)
+
+  /** OGG page CRC: CRC-32 with polynomial 0x04c11db7, init 0, no final
+    * xor, MSB-first, computed with the 4 CRC bytes zeroed (RFC 3533 §6).
+    */
+  private[graft] def oggCrc(p: Array[Byte], from: Int, len: Int, crcOffset: Int): Int = {
+    var crc = 0
+    var i = 0
+    while (i < len) {
+      val b = if (i >= crcOffset && i < crcOffset + 4) 0 else p(from + i) & 0xff
+      crc ^= b << 24
+      var k = 0
+      while (k < 8) {
+        crc = if ((crc & 0x80000000) != 0) (crc << 1) ^ 0x04c11db7 else crc << 1
+        k += 1
+      }
+      i += 1
+    }
+    crc
+  }
+
+  /** REAL OGG container parse: strict "OggS" page walk (version 0, lacing
+    * table, body), VALIDATING each page's CRC — a flipped byte anywhere in
+    * the stream returns None, stronger than the other parsers' structural
+    * checks. The first page must carry a Vorbis identification header
+    * (channels, sample rate); the last page must be flagged end-of-stream
+    * and its granule position is the total sample count. Sample decode
+    * (the Vorbis MDCT) stays stubbed; all facts here come from the real
+    * page structure.
+    */
+  def oggInfo(p: Array[Byte]): Option[OggInfo] = {
+    if (p == null || p.length < 27) return None
+    def u8(j: Int): Int = p(j) & 0xff
+    def le32(j: Int): Long = u8(j) | (u8(j + 1) << 8) | (u8(j + 2) << 16) | (u8(j + 3).toLong << 24)
+    def le64(j: Int): Long = le32(j) | (le32(j + 4) << 32)
+    var i = 0
+    var nPages = 0
+    var sampleRate = 0
+    var channels = 0
+    var lastGranule = -1L
+    var sawEos = false
+    while (i < p.length) {
+      if (sawEos) return None // bytes after the end-of-stream page: torn
+      if (i.toLong + 27 > p.length) return None
+      if (!(p(i) == 'O' && p(i + 1) == 'g' && p(i + 2) == 'g' && p(i + 3) == 'S') ||
+          u8(i + 4) != 0) return None
+      val headerType = u8(i + 5)
+      val granule = le64(i + 6)
+      val nSegs = u8(i + 26)
+      if (i.toLong + 27 + nSegs > p.length) return None
+      var bodyLen = 0
+      var s = 0
+      while (s < nSegs) { bodyLen += u8(i + 27 + s); s += 1 }
+      val pageLen = 27 + nSegs + bodyLen
+      if (i.toLong + pageLen > p.length) return None
+      if (oggCrc(p, i, pageLen, 22) != le32(i + 22).toInt) return None // corrupt page
+      if (nPages == 0) {
+        // beginning-of-stream page must carry the Vorbis ident header:
+        // packet_type 0x01 + "vorbis" + version(4) + channels(1) + rate(4)
+        val b = i + 27 + nSegs
+        if ((headerType & 0x02) == 0 || bodyLen < 16 ||
+            u8(b) != 0x01 || new String(p, b + 1, 6, "US-ASCII") != "vorbis")
+          return None
+        channels = u8(b + 11)
+        sampleRate = le32(b + 12).toInt
+        if (channels <= 0 || sampleRate <= 0) return None
+      }
+      if (granule >= 0) lastGranule = granule
+      if ((headerType & 0x04) != 0) sawEos = true
+      nPages += 1
+      i += pageLen
+    }
+    if (!sawEos || lastGranule < 0) None // no end-of-stream page: torn
+    else Some(OggInfo(sampleRate, channels, lastGranule,
+      lastGranule * 1000L / sampleRate, nPages))
+  }
+
+  /** Synthesize a complete OGG/Vorbis-ident container (valid pages with
+    * REAL CRCs; content-page bodies are deterministic junk) — [[oggInfo]]
+    * must walk and CRC-check every page to reproduce the facts exactly.
+    * Pages: 1 ident (BOS) + `contentPages` (the last flagged EOS, granule
+    * = totalSamples).
+    */
+  def oggBytes(sampleRate: Int, channels: Int, totalSamples: Long,
+               contentPages: Int): Array[Byte] = {
+    require(contentPages >= 1, s"need at least one content page: $contentPages")
+    val bos = new java.io.ByteArrayOutputStream()
+    def page(headerType: Int, granule: Long, seq: Int, body: Array[Byte]): Unit = {
+      require(body.length <= 255, "single-segment synthesizer")
+      val page = java.nio.ByteBuffer.allocate(27 + 1 + body.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      page.put("OggS".getBytes("US-ASCII")).put(0.toByte).put(headerType.toByte)
+      page.putLong(granule).putInt(0x6772616f).putInt(seq).putInt(0) // serial, seq, crc=0
+      page.put(1.toByte).put(body.length.toByte).put(body)
+      val arr = page.array()
+      val crc = oggCrc(arr, 0, arr.length, 22)
+      arr(22) = crc.toByte; arr(23) = (crc >> 8).toByte
+      arr(24) = (crc >> 16).toByte; arr(25) = (crc >> 24).toByte
+      bos.write(arr)
+    }
+    val ident = java.nio.ByteBuffer.allocate(30).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    ident.put(0x01.toByte).put("vorbis".getBytes("US-ASCII")).putInt(0)
+    ident.put(channels.toByte).putInt(sampleRate)
+    ident.putInt(0).putInt(0).putInt(0).put(0xb8.toByte) // bitrates + blocksizes
+    page(0x02, 0L, 0, ident.array()) // beginning of stream
+    var pg = 0
+    while (pg < contentPages) {
+      val last = pg == contentPages - 1
+      val granule = if (last) totalSamples else totalSamples * (pg + 1) / contentPages
+      page(if (last) 0x04 else 0x00, granule, pg + 1,
+        Array.tabulate(40)(j => ((j * 17 + pg) & 0xff).toByte))
+      pg += 1
+    }
+    bos.toByteArray
+  }
+
+  /** Parsed MP4 (ISO-BMFF) facts from a real box walk: movie-header
+    * timescale/duration, the video track's 16.16-fixed dimensions, and the
+    * frame count summed from the sample-table `stts` entries.
+    */
+  final case class Mp4Info(width: Int, height: Int, timescale: Long,
+                           durationMs: Long, nFrames: Int, brand: String)
+
+  /** REAL MP4/ISO-BMFF container parse: top-level box walk (32-bit and
+    * 64-bit box sizes; bounds in LONG so a crafted largesize cannot wrap),
+    * requiring a leading `ftyp`, then `moov` → `mvhd` (v0/v1 timescale +
+    * duration) and per-`trak` `tkhd` dims + `mdia/minf/stbl/stts` sample
+    * counts. The video track = the first with nonzero tkhd dims. Pixel
+    * decode of the actual AVC/HEVC samples stays stubbed; everything here
+    * is read from the real box structure.
+    */
+  def mp4Info(p: Array[Byte]): Option[Mp4Info] = {
+    if (p == null || p.length < 16) return None
+    def u8(j: Int): Int = p(j) & 0xff
+    def be32(j: Int): Long = (u8(j).toLong << 24) | (u8(j + 1) << 16) | (u8(j + 2) << 8) | u8(j + 3)
+    def be64(j: Int): Long = (be32(j) << 32) | be32(j + 4)
+    def tag(j: Int): String = new String(p, j, 4, "US-ASCII")
+    // walk boxes in [from, to); call f(type, bodyFrom, bodyTo); false = torn
+    def walk(from: Long, to: Long)(f: (String, Long, Long) => Unit): Boolean = {
+      var i = from
+      while (i < to) {
+        if (i + 8 > to) return false
+        val size32 = be32(i.toInt)
+        val (size, hdr) =
+          if (size32 == 1) { if (i + 16 > to) return false; (be64(i.toInt + 8), 16L) }
+          else if (size32 == 0) (to - i, 8L)
+          else (size32, 8L)
+        if (size < hdr || i + size > to) return false
+        f(tag(i.toInt + 4), i + hdr, i + size)
+        i += size
+      }
+      true
+    }
+    var brand: String = null
+    var timescale = 0L; var duration = -1L
+    var width = 0; var height = 0
+    var nFrames = 0
+    var sawMoov = false
+    var first = true
+    var torn = false
+    val ok = walk(0L, p.length.toLong) { (typ, from, to) =>
+      if (first) { if (typ != "ftyp" || to - from < 4) torn = true else brand = tag(from.toInt); first = false }
+      else if (typ == "moov") {
+        sawMoov = true
+        if (!walk(from, to) { (t2, f2, t2e) =>
+          if (t2 == "mvhd" && t2e - f2 >= 20) {
+            val v = u8(f2.toInt)
+            if (v == 0) { timescale = be32(f2.toInt + 12); duration = be32(f2.toInt + 16) }
+            else if (t2e - f2 >= 32) { timescale = be32(f2.toInt + 20); duration = be64(f2.toInt + 24) }
+          } else if (t2 == "trak") {
+            var w = 0; var h = 0; var frames = 0
+            if (!walk(f2, t2e) { (t3, f3, t3e) =>
+              if (t3 == "tkhd") {
+                val v = u8(f3.toInt)
+                val dimOff = if (v == 0) 76 else 88
+                if (t3e - f3 >= dimOff + 8) {
+                  w = (be32(f3.toInt + dimOff) >> 16).toInt      // 16.16 fixed
+                  h = (be32(f3.toInt + dimOff + 4) >> 16).toInt
+                }
+              } else if (t3 == "mdia") {
+                walk(f3, t3e) { (t4, f4, t4e) =>
+                  if (t4 == "minf") walk(f4, t4e) { (t5, f5, t5e) =>
+                    if (t5 == "stbl") walk(f5, t5e) { (t6, f6, t6e) =>
+                      if (t6 == "stts" && t6e - f6 >= 8) {
+                        val entries = be32(f6.toInt + 4)
+                        if (8 + entries * 8 <= t6e - f6) {
+                          var e = 0L
+                          while (e < entries) {
+                            frames += be32((f6 + 8 + e * 8).toInt).toInt
+                            e += 1
+                          }
+                        } else torn = true
+                      }
+                    }
+                  }
+                  ()
+                }
+                ()
+              }
+            }) torn = true
+            // video track = the first with nonzero tkhd dims
+            if (w > 0 && h > 0 && width == 0) { width = w; height = h; nFrames = frames }
+            else if (nFrames == 0) nFrames = frames
+          }
+        }) torn = true
+      }
+    }
+    if (!ok || torn || !sawMoov || brand == null || timescale <= 0 || duration < 0) None
+    else Some(Mp4Info(width, height, timescale, duration * 1000L / timescale, nFrames, brand))
+  }
+
+  /** Synthesize a complete minimal ISO-BMFF movie (`ftyp` + `moov{mvhd,
+    * trak{tkhd, mdia{mdhd, hdlr(vide), minf{stbl{stts}}}}}` + stub `mdat`)
+    * — [[mp4Info]] must walk the real box tree and sum the `stts` entries
+    * to reproduce (width, height, durationMs, nFrames) exactly.
+    */
+  def mp4Bytes(width: Int, height: Int, timescale: Int, durationTicks: Long,
+               sttsCounts: Seq[Int]): Array[Byte] = {
+    def box(typ: String, body: Array[Byte]*): Array[Byte] = {
+      val len = 8 + body.map(_.length).sum
+      val b = java.nio.ByteBuffer.allocate(len)
+      b.putInt(len).put(typ.getBytes("US-ASCII"))
+      body.foreach(b.put)
+      b.array()
+    }
+    def full(typ: String, payload: Array[Byte]): Array[Byte] =
+      box(typ, Array[Byte](0, 0, 0, 0), payload) // version 0 + flags
+    def be(vals: Int*): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(4 * vals.length)
+      vals.foreach(b.putInt); b.array()
+    }
+    val mvhd = full("mvhd", be(0, 0, timescale, durationTicks.toInt,
+      0x00010000, 0x01000000) ++ new Array[Byte](52))
+    // tkhd v0: ctime mtime trackId res duration res(8) layer/alt volume/res
+    // matrix(36) width height (16.16)
+    val tkhd = full("tkhd", be(0, 0, 1, 0, durationTicks.toInt, 0, 0, 0, 0) ++
+      be(0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000) ++
+      be(width << 16, height << 16))
+    val mdhd = full("mdhd", be(0, 0, timescale, durationTicks.toInt, 0x55c40000))
+    val hdlr = full("hdlr", be(0) ++ "vide".getBytes("US-ASCII") ++ new Array[Byte](12) ++
+      "g ".getBytes("US-ASCII"))
+    val stts = full("stts", be(sttsCounts.length) ++
+      sttsCounts.toArray.flatMap(c => be(c, 512)))
+    val stbl = box("stbl", stts)
+    val minf = box("minf", stbl)
+    val mdia = box("mdia", mdhd, hdlr, minf)
+    val trak = box("trak", tkhd, mdia)
+    val moov = box("moov", mvhd, trak)
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), be(0x200),
+      "isom".getBytes("US-ASCII"))
+    val mdat = box("mdat", Array.tabulate(16)(j => (j * 7).toByte))
+    ftyp ++ moov ++ mdat
+  }
+
+  /** STUB decode for the SAMPLE/PIXEL level of codecs the JVM does not
+    * ship (MP3/Vorbis PCM synthesis, AVC/HEVC video frames): deterministic
+    * fake features from the payload bytes. A real implementation would
+    * decode samples/frames here (???); the surrounding schema, batching
+    * and partitioning are production-shaped. Images, WAV audio and the
+    * CONTAINER facts of MP3/OGG/MP4 never reach this — their parses above
+    * are real.
     */
   def decodeStub(payload: Array[Byte]): (Int, Int, Int, Int) = {
     val len = if (payload == null) 0 else payload.length
@@ -512,12 +921,18 @@ object MultimodalOps {
         it.map { m =>
           val (sw, sh, sr, nf) = decodeStub(m.payload)
           val visual = m.modality == "image" || m.modality == "video"
-          // REAL container parse first (PNG/JPEG/BMP dims, RIFF/WAVE audio
-          // facts — header-only here; the O(payload) sample pass lives in
-          // audioFeatures); stub only for unrecognized containers
-          val (w, h) = imageDims(m.payload).getOrElse((sw, sh))
-          val realSr = wavFormat(m.payload).map(_._1)
+          // REAL container parse first (PNG/JPEG/BMP/GIF dims, MP4 track
+          // dims, RIFF/WAVE + MP3 + OGG audio facts — header-only here;
+          // the O(payload) passes live in audioFeatures/mp3Meta/oggMeta);
+          // stub only for genuinely unrecognized containers
+          lazy val mp4 = mp4Info(m.payload)
+          val (w, h) = imageDims(m.payload)
+            .orElse(mp4.filter(i => i.width > 0 && i.height > 0).map(i => (i.width, i.height)))
+            .getOrElse((sw, sh))
+          val realSr = wavFormat(m.payload).orElse(mp3Format(m.payload)).map(_._1)
+            .orElse(oggInfo(m.payload).map(_.sampleRate))
           val realNf = gifFrameCount(m.payload) // block walk, no decompression
+            .orElse(mp4.map(_.nFrames).filter(_ > 0))
           MediaOut(m.media_id, m.modality, m.payload,
             if (visual) Some(w) else None,
             if (visual) Some(h) else None,
@@ -546,6 +961,69 @@ object MultimodalOps {
           case Some(w) => AudioOut(id, Some(w.sampleRate), Some(w.channels),
             Some(w.nSamples), Some(w.durationMs), Some(w.rms), Some(w.peak))
           case None => AudioOut(id, None, None, None, None, None, None)
+        }
+      })
+  }
+
+  final case class Mp3Out(media_id: Long, sample_rate: Option[Int], channels: Option[Int],
+                          bitrate_kbps: Option[Int], n_frames: Option[Int],
+                          duration_ms: Option[Long])
+
+  /** MP3 container metadata over a binary payload column — real full frame
+    * walk per payload ([[mp3Info]]), partition-batched like [[decode]].
+    * Unparseable payloads keep their row with null features.
+    */
+  def mp3Meta(df: DataFrame, idCol: String, payloadCol: String): Dataset[Mp3Out] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        mp3Info(p) match {
+          case Some(i) => Mp3Out(id, Some(i.sampleRate), Some(i.channels),
+            Some(i.bitrateKbps), Some(i.nFrames), Some(i.durationMs))
+          case None => Mp3Out(id, None, None, None, None, None)
+        }
+      })
+  }
+
+  final case class OggOut(media_id: Long, sample_rate: Option[Int], channels: Option[Int],
+                          n_samples: Option[Long], duration_ms: Option[Long],
+                          n_pages: Option[Int])
+
+  /** OGG/Vorbis container metadata over a binary payload column — real
+    * CRC-validated page walk ([[oggInfo]]), partition-batched.
+    */
+  def oggMeta(df: DataFrame, idCol: String, payloadCol: String): Dataset[OggOut] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        oggInfo(p) match {
+          case Some(i) => OggOut(id, Some(i.sampleRate), Some(i.channels),
+            Some(i.nSamples), Some(i.durationMs), Some(i.nPages))
+          case None => OggOut(id, None, None, None, None, None)
+        }
+      })
+  }
+
+  final case class Mp4Out(media_id: Long, width: Option[Int], height: Option[Int],
+                          n_frames: Option[Int], duration_ms: Option[Long])
+
+  /** MP4 container metadata over a binary payload column — real box walk
+    * ([[mp4Info]]), partition-batched.
+    */
+  def mp4Meta(df: DataFrame, idCol: String, payloadCol: String): Dataset[Mp4Out] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) =>
+        mp4Info(p) match {
+          case Some(i) => Mp4Out(id, Some(i.width), Some(i.height),
+            Some(i.nFrames), Some(i.durationMs))
+          case None => Mp4Out(id, None, None, None, None)
         }
       })
   }

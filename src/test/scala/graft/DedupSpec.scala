@@ -422,6 +422,93 @@ class DedupSpec extends SparkSpec {
     assert(out.last_frame_sum.contains(3 * expectedGray(2)))
   }
 
+  test("multimodal containers: REAL MP3 frame walk (tables, duration, torn/hostile refusal)") {
+    import MultimodalOps._
+    // 44100 Hz, 128 kbps, stereo, 7 frames: frameLen = 144*128000/44100 = 417
+    val mp3 = mp3Bytes(44100, 128, 2, 7)
+    assert(mp3.length == 417 * 7)
+    val i = mp3Info(mp3).get
+    assert(i.sampleRate == 44100 && i.channels == 2 && i.bitrateKbps == 128)
+    assert(i.nFrames == 7 && i.durationMs == 7L * 1152 * 1000 / 44100)
+    // mono, exact-division rate: 32000 Hz @ 64 kbps → frameLen 288
+    val m = mp3Info(mp3Bytes(32000, 64, 1, 3)).get
+    assert(m.channels == 1 && m.nFrames == 3 && m.durationMs == 3L * 1152 * 1000 / 32000)
+    // header-only fast path agrees
+    assert(mp3Format(mp3).contains((44100, 2)))
+    // ID3v2 prefix skipped (syncsafe size), ID3v1 trailer tolerated
+    val id3v2 = Array[Byte]('I', 'D', '3', 4, 0, 0, 0, 0, 0, 10) ++ new Array[Byte](10)
+    assert(mp3Info(id3v2 ++ mp3).map(_.nFrames).contains(7))
+    val id3v1 = Array[Byte]('T', 'A', 'G') ++ new Array[Byte](125)
+    assert(mp3Info(mp3 ++ id3v1).map(_.nFrames).contains(7))
+    // torn final frame / desynced stream / junk refuse without crashing
+    assert(mp3Info(mp3.dropRight(5)).isEmpty)
+    assert(mp3Info(mp3 ++ Array[Byte](1, 2, 3)).isEmpty)
+    assert(mp3Info("not audio".getBytes).isEmpty)
+    assert(mp3Info(null).isEmpty)
+    // hostile ID3 size: non-syncsafe bytes and a tag past the payload end
+    assert(mp3Info(Array[Byte]('I', 'D', '3', 4, 0, 0, 0x7f, 0x7f, 0x7f, 0x7f) ++ mp3).isEmpty)
+    val badSyncsafe = id3v2.clone(); badSyncsafe(9) = 0x80.toByte
+    assert(mp3Info(badSyncsafe ++ mp3).isEmpty)
+    // free-form bitrate (idx 0) and reserved sample-rate idx refuse
+    val freeBr = mp3.clone(); freeBr(2) = (freeBr(2) & 0x0f).toByte
+    assert(mp3Info(freeBr).isEmpty)
+  }
+
+  test("multimodal containers: REAL OGG page walk with CRC validation") {
+    import MultimodalOps._
+    val ogg = oggBytes(16000, 2, 48000L, 3) // 1 ident + 3 content pages
+    val i = oggInfo(ogg).get
+    assert(i.sampleRate == 16000 && i.channels == 2)
+    assert(i.nSamples == 48000L && i.durationMs == 3000L && i.nPages == 4)
+    // a single flipped BODY byte breaks that page's CRC → whole stream refused
+    val corrupt = ogg.clone()
+    corrupt(ogg.length - 1) = (corrupt(ogg.length - 1) ^ 0x01).toByte
+    assert(oggInfo(corrupt).isEmpty)
+    // torn: truncated final page / missing EOS flag / junk
+    assert(oggInfo(ogg.dropRight(3)).isEmpty)
+    assert(oggInfo(ogg ++ Array[Byte](0, 0)).isEmpty) // bytes after EOS
+    assert(oggInfo("OggSnope".getBytes).isEmpty)
+    assert(oggInfo(null).isEmpty)
+    // a corrupt byte is caught by the CRC check (not the ident parse)…
+    val noIdent = oggBytes(8000, 1, 100L, 1)
+    noIdent(28) = 'x'.toByte // clobber the ident packet_type inside page 0
+    assert(oggInfo(noIdent).isEmpty)
+    // …and a VALID-CRC page that simply isn't a Vorbis ident is refused by
+    // the ident check itself (re-CRC the clobbered page 0: 27+1+30 bytes)
+    val crc = oggCrc(noIdent, 0, 58, 22)
+    noIdent(22) = crc.toByte; noIdent(23) = (crc >> 8).toByte
+    noIdent(24) = (crc >> 16).toByte; noIdent(25) = (crc >> 24).toByte
+    assert(oggInfo(noIdent).isEmpty)
+  }
+
+  test("multimodal containers: REAL MP4 box walk (dims, duration, stts sum)") {
+    import MultimodalOps._
+    val mp4 = mp4Bytes(640, 360, timescale = 30000, durationTicks = 1001L * 240,
+      sttsCounts = Seq(100, 140))
+    val i = mp4Info(mp4).get
+    assert(i.width == 640 && i.height == 360 && i.brand == "isom")
+    assert(i.nFrames == 240) // summed across BOTH stts entries
+    assert(i.durationMs == 1001L * 240 * 1000 / 30000)
+    // decode() integration: video rows get MP4 dims + frame count
+    val vdf = Seq((3L, "video", mp4)).toDF("id", "modality", "payload")
+    val vout = MultimodalOps.decode(vdf, "id", "payload", "modality").collect().head
+    assert(vout.width.contains(640) && vout.height.contains(360) && vout.n_frames.contains(240))
+    // audio decode() integration for MP3/OGG sample rates
+    val adf = Seq((4L, "audio", mp3Bytes(48000, 64, 1, 2)),
+                  (5L, "audio", oggBytes(44100, 2, 441L, 1))).toDF("id", "modality", "payload")
+    val aout = MultimodalOps.decode(adf, "id", "payload", "modality").collect()
+      .map(r => r.media_id -> r.sample_rate).toMap
+    assert(aout(4L).contains(48000) && aout(5L).contains(44100))
+    // torn / hostile: truncated box, crafted 64-bit largesize, missing moov
+    assert(mp4Info(mp4.dropRight(9)).isEmpty)
+    val evil = mp4.clone()
+    evil(0) = 0; evil(1) = 0; evil(2) = 0; evil(3) = 1 // ftyp claims largesize…
+    assert(mp4Info(evil).isEmpty) // …but the 64-bit size field is garbage
+    assert(mp4Info(mp4.take(24)).isEmpty) // ftyp alone: no moov
+    assert(mp4Info("ftypnope".getBytes).isEmpty)
+    assert(mp4Info(null).isEmpty)
+  }
+
   test("multimodal resize: REAL NN resize matches the integer closed form; passthrough within bound") {
     import MultimodalOps._
     val png = pngBytes(20, 10, (x, y) => (10 + y, 20 + x, 3))

@@ -223,6 +223,43 @@ object DataPipelineQueries {
       out.crossJoin(remaining).orderBy("doc_id")
     }
 
+    // Near-dup CLUSTER resolution: connected components over the LSH pair
+    // graph (alternating large-star/small-star — O(log² n) rounds, every
+    // pass equi-join/hash-agg shaped), assigned to EVERY document
+    // (singletons = own cluster). FULL DuckDB oracle: the pair set equals
+    // the exact-Jaccard set on this corpus (see q_dedup_minhash_lsh), and
+    // transitive closure is replicated with a recursive min-label
+    // propagation CTE — component = min reachable doc id.
+    register("q_dedup_clusters", Some(
+      """WITH RECURSIVE d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(CASE WHEN len(t) >= 3 THEN
+        |    list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |    ELSE [] END) AS s FROM d),
+        |pairs AS (SELECT a.doc_id AS key_a, b.doc_id AS key_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5),
+        |edges AS (SELECT key_a AS a, key_b AS b FROM pairs
+        |          UNION SELECT key_b, key_a FROM pairs),
+        |reach(node, lab) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node),
+        |comp AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node)
+        |SELECT doc_id, cluster_id,
+        |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS n_members
+        |FROM comp ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = T(s, dir, "documents")
+      val pairs = DedupOps.minhashLshPairs(docs, "text", "doc_id",
+        bands = 8, rowsPerBand = 4, minJaccard = 0.5)
+      GraphOps.clusterAssignments(docs, "doc_id", pairs)
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy("cluster_id")))
+        .orderBy("doc_id")
+    }
+
     // The embeddings table has no natural near-duplicates (max pairwise
     // cosine ≈ 0.51), so the query PLANTS them: a perturbed copy of each
     // vec_id < 50 (v' = v + 0.1·reverse(v), cosine(v, v') ≈ 0.995). The op

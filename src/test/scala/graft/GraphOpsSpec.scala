@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.GraphOps
+
+/** Connected components (large-star/small-star) vs a brute-force
+  * transitive-closure reference on adversarial shapes: chains (diameter
+  * stress), stars, cliques, merged components, random graphs.
+  */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side union-find reference. */
+  private def reference(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def run(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val df = pairs.toDF("key_a", "key_b")
+    GraphOps.connectedComponents(df).as[(Long, Long)].collect().toMap
+  }
+
+  test("connected components: chain, star, clique, merge shapes match union-find") {
+    val chain = (1L to 12L).sliding(2).map(s => (s(0), s(1))).toSeq
+    assert(run(chain) == reference(chain))
+
+    val star = (2L to 9L).map(v => (1L, v))
+    assert(run(star) == reference(star))
+
+    val clique = for (a <- 10L to 14L; b <- (a + 1) to 14L) yield (a, b)
+    assert(run(clique) == reference(clique))
+
+    // two chains merged by a single cross edge, plus an isolated pair
+    val merged = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (3L, 12L), (50L, 51L))
+    assert(run(merged) == reference(merged))
+
+    // reversed/duplicated/self-loop edges normalize away
+    val messy = Seq((5L, 4L), (4L, 5L), (5L, 5L), (4L, 3L))
+    assert(run(messy) == reference(messy.filter { case (a, b) => a != b }))
+  }
+
+  test("connected components: random graphs match union-find") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(70)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      assert(run(edges) == reference(edges), s"trial $trial")
+    }
+  }
+
+  test("cluster assignments coalesce singletons; representatives survive") {
+    val docs = (1L to 10L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("key_a", "key_b")
+
+    val assign = GraphOps.clusterAssignments(docs, "doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(assign == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L,
+      6L -> 6L, 7L -> 7L, 8L -> 7L, 9L -> 9L, 10L -> 10L))
+
+    val kept = GraphOps.keepClusterRepresentatives(docs, "doc_id", pairs)
+      .as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 4L, 5L, 6L, 7L, 9L, 10L))
+  }
+
+  test("empty pair set: no components, assignments all singleton") {
+    val docs = (1L to 3L).toDF("doc_id")
+    val empty = Seq.empty[(Long, Long)].toDF("key_a", "key_b")
+    assert(GraphOps.connectedComponents(empty).count() == 0)
+    val assign = GraphOps.clusterAssignments(docs, "doc_id", empty)
+      .as[(Long, Long)].collect().toMap
+    assert(assign == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+}

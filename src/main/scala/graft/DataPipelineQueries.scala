@@ -394,6 +394,56 @@ object DataPipelineQueries {
   }
 
   private def textAnalysis(): Unit = {
+    // PII scrub: the synthetic corpus carries no PII, so the query PLANTS
+    // it deterministically (email always; phone/IP/SSN/CC on residue
+    // classes), then counts + redacts. Patterns live in the Java-regex ∩
+    // RE2 subset, so DuckDB replicates match sets byte-for-byte; the
+    // redacted text is compared via md5. Pure codegen'd regexp exprs — no
+    // UDFs, no shuffle.
+    register("q_pii_redact", Some(
+      """WITH aug AS (SELECT doc_id,
+        |  text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |  || CASE WHEN doc_id % 2 = 0 THEN ' call 555-123-4567' ELSE '' END
+        |  || CASE WHEN doc_id % 3 = 0 THEN ' from 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.15' ELSE '' END
+        |  || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        |  || CASE WHEN doc_id % 7 = 0 THEN ' card 4111 1111 1111 1111' ELSE '' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(t, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b')) AS BIGINT) AS n_cc,
+        |  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+        |  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(t, '\b(?:\d{1,3}\.)(?:\d{1,3}\.)(?:\d{1,3}\.)\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |     + len(regexp_extract_all(t, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b'))
+        |     + len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b'))
+        |     + len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b'))
+        |     + len(regexp_extract_all(t, '\b(?:\d{1,3}\.)(?:\d{1,3}\.)(?:\d{1,3}\.)\d{1,3}\b')) AS BIGINT) AS pii_total,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b', '<CC>', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |    '\b(?:\d{1,3}\.)(?:\d{1,3}\.)(?:\d{1,3}\.)\d{1,3}\b', '<IP>', 'g')) AS redacted_md5
+        |FROM aug ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      val aug = T(s, dir, "documents").select(col("doc_id"), concat(
+        col("text"), lit(" Contact user"), col("doc_id").cast("string"), lit("@example.com"),
+        when(col("doc_id") % 2 === 0, lit(" call 555-123-4567")).otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 200).cast("string"), lit(".15")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" ssn 123-45-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" card 4111 1111 1111 1111")).otherwise(lit("")))
+        .as("text"))
+      PiiOps.scrub(aug, "text")
+        .select(col("doc_id"), col("n_email"), col("n_cc"), col("n_ssn"),
+          col("n_phone"), col("n_ipv4"), col("pii_total"),
+          md5(col("text")).as("redacted_md5"))
+        .orderBy("doc_id")
+    }
+
     register("q_token_count", Some(
       """SELECT doc_id,
         |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,

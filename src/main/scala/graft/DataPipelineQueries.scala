@@ -317,6 +317,37 @@ object DataPipelineQueries {
   }
 
   private def similarity(): Unit = {
+    // BM25 keyword retrieval (Lucene-style always-positive idf), top-10
+    // per query — the lexical leg next to embedding ANN. FULLY oracled:
+    // both engines rank on scores ROUNDED to 9 decimals with a doc-id
+    // tiebreak, so last-ulp float noise (summation order, libm ln) cannot
+    // flip a rank; the rank set is compared value-for-value.
+    register("q_bm25_topk", Some(
+      """WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+        |stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+        |q(query_id, term) AS (VALUES (0, 'hash'), (0, 'join'),
+        |  (1, 'vector'), (1, 'stream'), (2, 'merge'), (2, 'sort'), (2, 'line')),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf
+        |  WHERE term IN (SELECT term FROM q) GROUP BY 1),
+        |scored AS (SELECT q.query_id, tf.doc_id,
+        |  round(SUM(ln(1 + (n - df + 0.5) / (df + 0.5)) *
+        |            (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 9) AS score_r
+        |  FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+        |       JOIN dl USING (doc_id), stats
+        |  GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, CAST(row_number() OVER
+        |  (PARTITION BY query_id ORDER BY score_r DESC, doc_id) AS INTEGER) AS rank
+        |  FROM scored)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, rank
+        |FROM r WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)) { (s, dir) =>
+      SearchOps.bm25TopK(T(s, dir, "documents"), "text", "doc_id",
+        queries = Seq((0L, "hash join"), (1L, "vector stream"), (2L, "merge sort line")),
+        k = 10)
+        .orderBy("query_id", "rank")
+    }
+
     // exact brute-force cosine top-k (baseline; first 5 vectors as queries).
     // DuckDB-oracled on the RANKING (query_id, corpus_id, rank): ranks are
     // robust to last-ulp cosine differences between engines (neighbor

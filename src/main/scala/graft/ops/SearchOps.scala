@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Keyword retrieval over a document corpus: BM25 (Lucene-style
+  * always-positive idf: ln(1 + (N - df + 0.5)/(df + 0.5))) with top-k per
+  * query — the lexical leg of a retrieval/dedup stack next to
+  * [[SimilarityOps]]' embedding ANN.
+  *
+  * Scale shape: the query-term set (user queries — tens, not billions) is
+  * BROADCAST and the posting list is filtered to matching terms before any
+  * aggregation, so the corpus side is one tokenize scan → map-side-combined
+  * (doc, term) tf agg → broadcast semi-filter → one groupBy (query, doc)
+  * shuffle → per-query top-k window. Corpus N / avgdl enter as a 1-row
+  * broadcast cross join. No UDFs; ranking is done on scores ROUNDED to 9
+  * decimals (with a doc-id tiebreak) so last-ulp float noise — summation
+  * order, libm ln differences — can never flip a rank across engines or
+  * plan shapes.
+  */
+object SearchOps {
+
+  /** BM25 top-k per query.
+    *
+    * @param queries (query_id, whitespace-separated keywords); duplicate
+    *                terms within one query count once (standard bag-of-
+    *                words-with-distinct-terms form)
+    * @return (query_id, doc_id, rank) — rank 1..k by descending rounded
+    *         score, doc id ascending on ties
+    */
+  def bm25TopK(df: DataFrame, textCol: String, keyCol: String,
+               queries: Seq[(Long, String)], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val toks = df.select(col(keyCol).as("doc"),
+      explode(split(trim(col(textCol)), "\\s+")).as("term"))
+    val tf = toks.groupBy($"doc", $"term").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy($"doc").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), avg($"dl").as("avgdl"))
+
+    val qterms = broadcast(
+      queries.flatMap { case (qid, text) =>
+        text.trim.split("\\s+").distinct.map(t => (qid, t))
+      }.toDF("query_id", "term"))
+
+    val dfreq = tf.join(qterms.select($"term").distinct(), Seq("term"))
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+
+    val scored = tf
+      .join(qterms, Seq("term"))
+      .join(dfreq, Seq("term"))
+      .join(dl, Seq("doc"))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        log(lit(1.0) + ($"n".cast("double") - $"df" + lit(0.5)) / ($"df" + lit(0.5))) *
+          ($"tf" * lit(k1 + 1.0)) /
+          ($"tf" + lit(k1) * (lit(1.0 - b) + lit(b) * $"dl".cast("double") / $"avgdl")))
+      .groupBy($"query_id", $"doc")
+      .agg(round(sum($"contrib"), 9).as("score_r"))
+
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"score_r".desc, $"doc")).cast("int"))
+      .filter($"rank" <= k)
+      .select($"query_id", $"doc".as("doc_id"), $"rank")
+  }
+}

@@ -229,28 +229,137 @@ final class LakeTable private (val root: Path, spark: SparkSession) {
     readAligned(mTo, files, target)
   }
 
-  /** Driver-side bucket assignment for a key — same xxhash64(seed 42) the
-    * Catalyst expression uses, evaluated via the expression itself.
+  /** Driver-side key hash — the same xxhash64(seed 42) the `xxhash64`
+    * Catalyst function computes, evaluated via the expression itself (so
+    * bucket routing and bloom membership agree with distributed plans
+    * bit-for-bit).
     */
-  def bucketOf(convId: String, numBuckets: Int): Int = {
-    val h = org.apache.spark.sql.catalyst.expressions.XxHash64(
+  def keyHash(convId: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64(
       Seq(org.apache.spark.sql.catalyst.expressions.Literal(
         org.apache.spark.unsafe.types.UTF8String.fromString(convId),
         org.apache.spark.sql.types.StringType)), 42L)
       .eval(null).asInstanceOf[Long]
-    java.lang.Math.floorMod(h, numBuckets.toLong).toInt
-  }
+
+  /** Driver-side bucket assignment for a key. */
+  def bucketOf(convId: String, numBuckets: Int): Int =
+    java.lang.Math.floorMod(keyHash(convId), numBuckets.toLong).toInt
+
+  // deserialized-bloom cache: a file path is annotated with at most one
+  // bloom over its (immutable) contents, so path-keyed caching is sound;
+  // bounded by clearing when manifests churn past the cap
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.util.sketch.BloomFilter]()
+
+  private def bloomFor(f: FileEntry): Option[org.apache.spark.util.sketch.BloomFilter] =
+    f.bloom.map { b64 =>
+      if (bloomCache.size > 8192) bloomCache.clear()
+      bloomCache.computeIfAbsent(f.path, _ =>
+        org.apache.spark.util.sketch.BloomFilter.readFrom(
+          java.util.Base64.getDecoder.decode(b64)))
+    }
 
   /** Files that can contain `convId`: bucket pruning + per-file
     * (minKey, maxKey) range pruning from the manifest (populated from
-    * parquet footer stats; key-sorted writes keep ranges tight).
+    * parquet footer stats; key-sorted writes keep ranges tight) + per-file
+    * bloom pruning where [[buildBlooms]] has annotated the file (delta
+    * files span their bucket's key range, so only the bloom can skip them).
     */
   def filesForConversation(convId: String): Seq[FileEntry] = {
     val m = manifest
+    val h = keyHash(convId)
     m.files.filter { f =>
       f.bucket == bucketOf(convId, m.numBuckets) &&
-        f.minKey.forall(_ <= convId) && f.maxKey.forall(_ >= convId)
+        f.minKey.forall(_ <= convId) && f.maxKey.forall(_ >= convId) &&
+        bloomFor(f).forall(_.mightContainLong(h))
     }
+  }
+
+  /** MAINTENANCE: annotate bloom-less files of the given kinds with a
+    * bloom filter over their keys' xxhash64, committed as a metadata-only
+    * manifest bump. Runs OFF the write hot path (the merge never pays for
+    * it); [[filesForConversation]] then skips delta files whose bloom
+    * excludes the key — the pruning leg range stats cannot provide, since
+    * every delta file spans its bucket's whole key range.
+    *
+    * Scale shape: one column-pruned distinct-count scan over the target
+    * files, then one bloom aggregation per file-size class (files grouped
+    * by power-of-4 distinct-key count so small files don't inherit a huge
+    * file's bit array — the aggregate's size parameters are plan
+    * constants). Bits are capped at `maxBloomBytes`; an over-full bloom
+    * degrades its false-positive rate, never correctness (no false
+    * negatives by construction).
+    *
+    * @return number of files annotated
+    */
+  def buildBlooms(fpp: Double = 0.05, maxBloomBytes: Long = 1L << 20,
+                  kinds: Set[String] = Set(FileEntry.DELTA)): Int = {
+    import org.apache.spark.sql.functions.{col, element_at, input_file_name, split => fsplit, xxhash64 => fxxhash64, approx_count_distinct}
+    val m0 = manifest
+    val targets = m0.files.filter(f =>
+      kinds.contains(f.kind) && f.bloom.isEmpty && f.rows > 0)
+    if (targets.isEmpty) return 0
+    val keyOnly = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("conv_id",
+        org.apache.spark.sql.types.StringType)))
+    def scanOf(fs: Seq[FileEntry]) = spark.read.schema(keyOnly)
+      .parquet(fs.map(f => root.resolve(f.path).toString): _*)
+      .select(element_at(fsplit(input_file_name(), "/"), -1).as("f"),
+        fxxhash64(col("conv_id")).as("h"))
+    val byName = targets.map(f => f.path.split('/').last -> f).toMap
+
+    val counts = scanOf(targets).groupBy("f")
+      .agg(approx_count_distinct("h").as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // size classes: power-of-4 ceilings on the distinct estimate (min 256)
+    val classes = targets.groupBy { f =>
+      val nd = math.max(256L, counts.getOrElse(f.path.split('/').last, f.rows))
+      var c = 256L; while (c < nd) c *= 4; c
+    }
+    val blooms = classes.flatMap { case (n, fs) =>
+      val bits = math.min(
+        org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(n, fpp),
+        maxBloomBytes * 8)
+      val aggExpr = new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        org.apache.spark.sql.graftglue.expression(col("h")),
+        org.apache.spark.sql.catalyst.expressions.Literal(n),
+        org.apache.spark.sql.catalyst.expressions.Literal(bits))
+        .toAggregateExpression()
+      scanOf(fs).groupBy("f")
+        .agg(org.apache.spark.sql.graftglue.column(aggExpr).as("bloom"))
+        .collect()
+        .toSeq
+        .map(r => r.getString(0) ->
+          java.util.Base64.getEncoder.encodeToString(r.getAs[Array[Byte]]("bloom")))
+    }.toMap
+
+    // metadata-only commit with CAS retry: annotate whatever of the target
+    // files is still present (a concurrent compaction may have folded some)
+    var attempt = 0
+    while (true) {
+      val cur = manifest
+      val updated = cur.files.map { f =>
+        val name = f.path.split('/').last
+        if (f.bloom.isEmpty && byName.contains(name) && blooms.contains(name))
+          f.copy(bloom = Some(blooms(name)))
+        else f
+      }
+      val annotated = updated.count(_.bloom.isDefined) - cur.files.count(_.bloom.isDefined)
+      if (annotated == 0) return 0
+      val m2 = cur.copy(
+        version = cur.version + 1,
+        files = updated,
+        lineage = (cur.lineage :+ CommitInfo(cur.version + 1, cur.lastEpoch,
+          0L, Nil, cur.maxLsn, 0L, System.currentTimeMillis())).takeRight(1000))
+      try {
+        commit(m2, cur.version)
+        return annotated
+      } catch {
+        case e: IllegalArgumentException if attempt < 8 => attempt += 1
+        case e: IllegalStateException if attempt < 8 => attempt += 1
+      }
+    }
+    0 // unreachable
   }
 
   /** Point-lookup read of one conversation — scans only the pruned file

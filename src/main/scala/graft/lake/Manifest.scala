@@ -31,7 +31,13 @@ final case class FileEntry(
     // a file written at depth P covers partitions {bucket + j*P} of any
     // later depth, so carried files stay readable without a rewrite.
     // None (all LakeTable files, pre-split store files) = current depth.
-    writePids: Option[Int] = None
+    writePids: Option[Int] = None,
+    // base64 Spark-sketch bloom over xxhash64(conv_id), built by
+    // LakeTable.buildBlooms (maintenance, never the write hot path):
+    // point lookups skip delta files whose bloom excludes the key —
+    // delta files span their bucket's whole key range, so (minKey,
+    // maxKey) range pruning can never skip them. None = no bloom (scan).
+    bloom: Option[String] = None
 )
 
 object FileEntry {
@@ -128,10 +134,17 @@ object Manifest {
   private def segDigest(entries: Seq[FileEntry]): String = {
     val md = java.security.MessageDigest.getInstance("MD5")
     entries.sortBy(_.path).foreach { f =>
-      // writePids appended only when set: existing manifests' segment
-      // addresses (and their content-addressed reuse) stay byte-stable
+      // writePids/bloom appended only when set: existing manifests' segment
+      // addresses (and their content-addressed reuse) stay byte-stable.
+      // The bloom enters via its OWN md5 (not the raw base64) — segment
+      // addresses must change when a bloom changes, but stay short.
       val wp = f.writePids.map(p => s"|$p").getOrElse("")
-      md.update(s"${f.path}|${f.bucket}|${f.rows}|${f.maxLsn}|${f.schemaId}|${f.kind}|${f.epoch}|${f.minKey.getOrElse("")}|${f.maxKey.getOrElse("")}$wp\n"
+      val bl = f.bloom.map { b =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(b.getBytes(StandardCharsets.UTF_8))
+        s"|B${h.map("%02x".format(_)).mkString}"
+      }.getOrElse("")
+      md.update(s"${f.path}|${f.bucket}|${f.rows}|${f.maxLsn}|${f.schemaId}|${f.kind}|${f.epoch}|${f.minKey.getOrElse("")}|${f.maxKey.getOrElse("")}$wp$bl\n"
         .getBytes(StandardCharsets.UTF_8))
     }
     md.digest().map("%02x".format(_)).mkString

@@ -27,6 +27,7 @@ object DataPipelineQueries {
     qualityRepetition()
     chunking()
     decontamination()
+    mixturesAndSplits()
     multimodal()
     benchVariants()
   }
@@ -729,6 +730,84 @@ object DataPipelineQueries {
       TableOps.hashSplit(T(s, dir, "documents"), "doc_id",
         Seq(("train", 80), ("val", 10), ("test", 10)))
         .select("doc_id", "split").orderBy("doc_id")
+    }
+  }
+
+  private def mixturesAndSplits(): Unit = {
+    // LEAKAGE-SAFE split: hash-split on the near-dup CLUSTER id so every
+    // member of a cluster lands in the same split (doc-id splits leak
+    // ~20% of each cluster's copies into val/test). Oracle = recursive-CTE
+    // clusters + the same portable md5 split on the component minimum.
+    register("q_split_leakage_safe", Some(
+      """WITH RECURSIVE d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |  list_distinct(CASE WHEN len(t) >= 3 THEN
+        |    list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+        |    ELSE [] END) AS s FROM d),
+        |pairs AS (SELECT a.doc_id AS key_a, b.doc_id AS key_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.5),
+        |edges AS (SELECT key_a AS a, key_b AS b FROM pairs
+        |          UNION SELECT key_b, key_a FROM pairs),
+        |reach(node, lab) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node),
+        |comp AS (SELECT node AS doc_id, MIN(lab) AS cluster_id FROM reach GROUP BY node)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id, cluster_id,
+        |  CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR) || ':split'), 1, 15)) AS BIGINT) % 100 AS b
+        |  FROM comp)
+        |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      val docs = T(s, dir, "documents")
+      val pairs = DedupOps.minhashLshPairs(docs, "text", "doc_id",
+        bands = 8, rowsPerBand = 4, minJaccard = 0.5)
+      GraphOps.leakageSafeSplit(docs, "doc_id", pairs,
+        Seq(("train", 80), ("val", 10), ("test", 10)))
+        .select("doc_id", "cluster_id", "split")
+        .orderBy("doc_id")
+    }
+
+    // deterministic training-mix composition: per-language keep rates via
+    // an INTEGER threshold compare in the md5-low-60 space (the exact
+    // pre-scaled literals are inlined into the oracle, so there is no
+    // float division to disagree across engines)
+    val mixRates = Seq("en" -> 0.3, "zh" -> 0.8)
+    val mixDefault = 0.6
+    val thresholds = mixRates.map { case (k, r) => k -> TableOps.rateThreshold(r) }
+    register("q_sample_mixture", Some(
+      s"""SELECT doc_id, lang FROM (SELECT doc_id, lang,
+        |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':mix'), 1, 15)) AS BIGINT) AS b
+        |  FROM documents)
+        |WHERE b < CASE lang ${thresholds.map { case (k, t) => s"WHEN '$k' THEN $t" }.mkString(" ")}
+        |  ELSE ${TableOps.rateThreshold(mixDefault)} END
+        |ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      TableOps.sampleMixture(T(s, dir, "documents"), "doc_id", "lang",
+        mixRates, mixDefault)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }
+
+    // corpus length-distribution profile: exact interpolated quantiles per
+    // language (Spark `percentile` and DuckDB `quantile_cont` share the
+    // linear-interpolation definition; ROUNDED to 6 decimals both sides so
+    // the compare never rides on a last-ulp interpolation difference)
+    register("q_length_quantiles", Some(
+      """SELECT lang,
+        |  round(quantile_cont(n_chars, 0.25), 6) AS p25,
+        |  round(quantile_cont(n_chars, 0.5), 6) AS p50,
+        |  round(quantile_cont(n_chars, 0.75), 6) AS p75,
+        |  round(quantile_cont(n_chars, 0.95), 6) AS p95
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)) { (s, dir) =>
+      T(s, dir, "documents").groupBy("lang")
+        .agg(
+          round(expr("percentile(n_chars, 0.25)"), 6).as("p25"),
+          round(expr("percentile(n_chars, 0.5)"), 6).as("p50"),
+          round(expr("percentile(n_chars, 0.75)"), 6).as("p75"),
+          round(expr("percentile(n_chars, 0.95)"), 6).as("p95"))
+        .orderBy("lang")
     }
   }
 

@@ -113,4 +113,18 @@ object GraphOps {
       .select(col("node").as(keyCol))
     df.join(drop, Seq(keyCol), "left_anti")
   }
+
+  /** LEAKAGE-SAFE train/val/test split: hash-split on the near-dup
+    * CLUSTER id, not the document id, so every member of a near-dup
+    * cluster lands in the same split — a near-copy of a training document
+    * can never leak into the eval split (splitting by doc id alone puts
+    * ~20% of each cluster's copies in val/test). Deterministic across
+    * engines, runs and cluster sizes (portable md5-bucket split on the
+    * component-minimum key).
+    */
+  def leakageSafeSplit(df: DataFrame, keyCol: String, pairs: DataFrame,
+                       splits: Seq[(String, Int)], salt: String = "split"): DataFrame = {
+    val assigned = clusterAssignments(df, keyCol, pairs)
+    TableOps.hashSplit(assigned, "cluster_id", splits, salt)
+  }
 }

@@ -218,4 +218,40 @@ object TableOps {
     }
     df.withColumn(outCol, expr)
   }
+
+  /** 2^60 — the md5-low-60 hash space; rate thresholds are pre-scaled into
+    * it so mixture sampling is an INTEGER compare (no float division to
+    * disagree across engines).
+    */
+  val HashSpace: Long = 1L << 60
+
+  /** Pre-scaled integer threshold for a sampling rate in the md5-low-60
+    * space — exposed so a cross-engine oracle can inline the exact
+    * literal.
+    */
+  def rateThreshold(rate: Double): Long = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate out of [0,1]: $rate")
+    math.min(HashSpace, (rate * HashSpace).toLong)
+  }
+
+  /** Deterministic per-stratum subsampling — the training-MIX composition
+    * step (e.g. keep 30% of English, all of the tail languages). A row
+    * survives iff its portable md5-low-60 key hash falls under its
+    * stratum's pre-scaled integer threshold: stable across runs, engines
+    * and cluster sizes, and UNIFORM within each stratum. Pure codegen'd
+    * filter — no shuffle, no RNG.
+    *
+    * @param rates (stratum value, keep rate in [0,1]); strata not listed
+    *              use `defaultRate`
+    */
+  def sampleMixture(df: DataFrame, keyCol: String, stratumCol: String,
+                    rates: Seq[(String, Double)], defaultRate: Double,
+                    salt: String = "mix"): DataFrame = {
+    val b = TextOps.md5Hash60(
+      org.apache.spark.sql.functions.concat(col(keyCol).cast("string"), lit(":" + salt)))
+    val thresh = rates.foldLeft(lit(rateThreshold(defaultRate))) {
+      case (acc, (k, r)) => when(col(stratumCol) === k, lit(rateThreshold(r))).otherwise(acc)
+    }
+    df.filter(b < thresh)
+  }
 }

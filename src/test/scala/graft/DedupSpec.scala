@@ -631,6 +631,29 @@ class DedupSpec extends SparkSpec {
       ops.TableOps.hashSplit(df, "id", Seq(("train", 70), ("val", 10))))
   }
 
+  test("sampleMixture: per-stratum rates hold, deterministic, rate edges exact") {
+    val df = spark.range(0, 4000)
+      .select(col("id"), (when(col("id") % 2 === 0, "en").otherwise("fr")).as("lang"))
+    val out = ops.TableOps.sampleMixture(df, "id", "lang", Seq("en" -> 0.25), 0.9)
+    val counts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("en") - 500L) < 100, counts)  // 2000 * 0.25
+    assert(math.abs(counts("fr") - 1800L) < 100, counts) // 2000 * 0.9
+    // deterministic: identical row set on re-run
+    val again = ops.TableOps.sampleMixture(df, "id", "lang", Seq("en" -> 0.25), 0.9)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    // rate 1.0 keeps everything, rate 0.0 keeps nothing
+    assert(ops.TableOps.sampleMixture(df, "id", "lang", Nil, 1.0).count() == 4000)
+    assert(ops.TableOps.sampleMixture(df, "id", "lang", Nil, 0.0).count() == 0)
+    // a sampled stratum is a SUBSET of a higher-rate sample (nested by
+    // construction: same hash, bigger threshold)
+    val half = ops.TableOps.sampleMixture(df, "id", "lang", Nil, 0.5)
+    val most = ops.TableOps.sampleMixture(df, "id", "lang", Nil, 0.8)
+    assert(half.exceptAll(most).isEmpty)
+    intercept[IllegalArgumentException](
+      ops.TableOps.sampleMixture(df, "id", "lang", Nil, 1.5))
+  }
+
   test("langid + quality + fingerprint are deterministic and sane") {
     val docs = Seq(
       (1L, "the cat and the dog of the house"),

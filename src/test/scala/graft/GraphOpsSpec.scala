@@ -72,6 +72,22 @@ class GraphOpsSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 4L, 5L, 6L, 7L, 9L, 10L))
   }
 
+  test("leakageSafeSplit: no near-dup cluster ever straddles a split") {
+    val docs = (1L to 200L).toDF("doc_id")
+    // 40 clusters of 3 + chains + singletons
+    val pairs = ((0 until 40).flatMap { c =>
+      val base = c * 5L + 1
+      Seq((base, base + 1), (base + 1, base + 2))
+    }).toDF("key_a", "key_b")
+    val out = graft.ops.GraphOps.leakageSafeSplit(docs, "doc_id", pairs,
+      Seq(("train", 80), ("val", 10), ("test", 10)))
+      .select("cluster_id", "split").as[(Long, String)].collect()
+    val byCluster = out.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(byCluster.values.forall(_.size == 1), "a cluster straddled splits")
+    // all three labels appear across the 200 docs
+    assert(out.map(_._2).toSet == Set("train", "val", "test"))
+  }
+
   test("empty pair set: no components, assignments all singleton") {
     val docs = (1L to 3L).toDF("doc_id")
     val empty = Seq.empty[(Long, Long)].toDF("key_a", "key_b")

@@ -51,11 +51,13 @@ object PiiOps {
     * text column with its redacted form.
     */
   def scrub(df: DataFrame, textCol: String): DataFrame = {
-    val withCounts = piiCounts(col(textCol)).foldLeft(df) {
+    val counts = piiCounts(col(textCol))
+    val withCounts = counts.foldLeft(df) {
       case (d, (name, c)) => d.withColumn(name, c)
     }
     withCounts
-      .withColumn("pii_total", piiTotal(col(textCol)))
+      // sum the JUST-ADDED count columns — don't re-run every regex
+      .withColumn("pii_total", counts.map { case (n, _) => col(n) }.reduce(_ + _))
       .withColumn(textCol, redactPii(col(textCol)))
   }
 

@@ -21,6 +21,10 @@ import graft.merge.Compactor
   *   OPTIMIZE <name>
   *     → fold every delta-bearing bucket back into per-key-resolved base
   *       files ([[Compactor.compact]]); returns (buckets_compacted, wall_ms).
+  *   OPTIMIZE <name> BLOOM
+  *     → annotate bloom-less delta files with key bloom filters
+  *       ([[graft.lake.LakeTable.buildBlooms]], metadata-only commit);
+  *       returns (files_annotated, wall_ms).
   *   VACUUM <name> [RETAIN <n> VERSIONS]
   *     → reclaim data files unreferenced by the last n (default 2)
   *       manifests, honoring consumer pins; then bound the metadata
@@ -40,7 +44,7 @@ import graft.merge.Compactor
 class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends ParserInterface {
 
   private val optimizeRe =
-    """(?is)\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_.]*)\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_.]*)(\s+BLOOM)?\s*;?\s*""".r
   private val vacuumRe =
     """(?is)\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_.]*)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
   private val describeHistoryRe =
@@ -71,13 +75,15 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
     def firstWord = body.takeWhile(!_.isWhitespace).toUpperCase
     firstWord match {
       case "OPTIMIZE" => body match {
-        case optimizeRe(name) => LakeCatalog.lookup(session, name) match {
-          case Some(dir) => GraftOptimizeCommand(dir)
+        case optimizeRe(name, bloom) => LakeCatalog.lookup(session, name) match {
+          case Some(dir) =>
+            if (bloom == null) GraftOptimizeCommand(dir) else GraftBloomCommand(dir)
           case None => throw new IllegalArgumentException(
             s"OPTIMIZE: '$name' is not a registered lake table")
         }
         case _ =>
-          throw new IllegalArgumentException("expected: OPTIMIZE <lake table name>")
+          throw new IllegalArgumentException(
+            "expected: OPTIMIZE <lake table name> [BLOOM]")
       }
       case "VACUUM" => body match {
         case vacuumRe(name, retain) => LakeCatalog.lookup(session, name) match {
@@ -141,6 +147,25 @@ case class GraftOptimizeCommand(tableDir: String) extends LeafRunnableCommand {
       case Some(r) => Seq(Row(r.compactedBuckets.size, r.wallMs))
       case None => Seq(Row(0, 0L)) // abandoned: a concurrent rewrite superseded this pass
     }
+  }
+}
+
+/** OPTIMIZE ... BLOOM: annotate bloom-less delta files with key bloom
+  * filters ([[LakeTable.buildBlooms]]) — a metadata-only commit that
+  * makes point lookups skip delta files between compactions. Kept
+  * separate from plain OPTIMIZE: compaction REMOVES the very delta files
+  * blooms index, so the two passes serve different table states.
+  */
+case class GraftBloomCommand(tableDir: String) extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("files_annotated", IntegerType, nullable = false)(),
+    AttributeReference("wall_ms", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val t0 = System.nanoTime()
+    val table = LakeTable.load(session, tableDir)
+    val n = table.buildBlooms()
+    Seq(Row(n, (System.nanoTime() - t0) / 1000000))
   }
 }
 

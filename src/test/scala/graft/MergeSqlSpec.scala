@@ -209,6 +209,16 @@ class MergeSqlSpec extends SparkSpec {
       val rowsBefore = table.snapshot().count()
       assert(table.manifest.files.exists(_.kind == graft.lake.FileEntry.DELTA))
 
+      // OPTIMIZE ... BLOOM annotates delta files (metadata-only commit)
+      val vPreBloom = table.currentVersion
+      val bloomed = s2.sql("OPTIMIZE lake_maint BLOOM").collect()(0)
+      assert(bloomed.getInt(0) > 0, "no files bloom-annotated")
+      assert(table.currentVersion == vPreBloom + 1)
+      assert(table.manifest.files
+        .filter(_.kind == graft.lake.FileEntry.DELTA).forall(_.bloom.isDefined))
+      // idempotent re-run: nothing left to annotate
+      assert(s2.sql("OPTIMIZE lake_maint BLOOM").collect()(0).getInt(0) == 0)
+
       // OPTIMIZE folds deltas into bases
       val opt = s2.sql("OPTIMIZE lake_maint").collect()(0)
       assert(opt.getInt(0) > 0, "no buckets compacted")

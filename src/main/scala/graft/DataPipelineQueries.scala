@@ -734,6 +734,27 @@ object DataPipelineQueries {
   }
 
   private def mixturesAndSplits(): Unit = {
+    // CCNet-style perplexity filter signal: mean NLL under a corpus-self-
+    // trained add-one bigram LM. FULLY oracled — counts are exact
+    // integers, the nll is rounded to 6 decimals on both sides so libm /
+    // summation-order ulps can't flip a value.
+    register("q_lm_perplexity", Some(
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+        |bgt AS (SELECT doc_id,
+        |  unnest(list_transform(generate_series(1, len(t)-1), i -> t[i])) AS w1,
+        |  unnest(list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1])) AS bg
+        |  FROM d WHERE len(t) >= 2),
+        |c12 AS (SELECT bg, COUNT(*) AS c12 FROM bgt GROUP BY 1),
+        |c1 AS (SELECT w1, COUNT(*) AS c1 FROM bgt GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT tok) AS v FROM (SELECT unnest(t) AS tok FROM d))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  round(-SUM(ln((c12 + 1.0) / (c1 + v))) / COUNT(*), 6) AS nll
+        |FROM bgt JOIN c12 USING (bg) JOIN c1 USING (w1), v
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)) { (s, dir) =>
+      QualityOps.lmPerplexityScore(T(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }
+
     // LEAKAGE-SAFE split: hash-split on the near-dup CLUSTER id so every
     // member of a cluster lands in the same split (doc-id splits leak
     // ~20% of each cluster's copies into val/test). Oracle = recursive-CTE

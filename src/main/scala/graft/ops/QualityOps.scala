@@ -61,4 +61,65 @@ object QualityOps {
         col("dup_gram_frac") <= maxDupGramFrac)
       .drop("dup_line_frac", "dup_gram_frac")
   }
+
+  /** CCNet-style language-model perplexity proxy (Wenzek et al. 2020
+    * train a KenLM and drop high-perplexity documents; here the LM is a
+    * corpus-self-trained add-one-smoothed BIGRAM model — deterministic,
+    * no external model file, same filtering semantics): per document, the
+    * mean negative log probability of its token bigrams,
+    *
+    *   nll(d) = -(1/N_d) Σ ln( (C(w1 w2) + 1) / (C(w1·) + V) )
+    *
+    * with C = corpus bigram/context counts and V = corpus vocabulary
+    * size. Gibberish and boilerplate-free word salad score HIGH (its
+    * bigrams are rare); templated/repetitive text scores LOW.
+    *
+    * Scale shape: one explode pass builds the per-doc bigram bag; corpus
+    * counts are two hash aggs with map-side partial combine; the count
+    * tables join back per-bigram (broadcast when `broadcastModel` — a
+    * natural-language bigram table is vocab²-bounded and heavy-tailed,
+    * usually megabytes; shuffle equi-join otherwise); one final per-doc
+    * agg. The nll is ROUNDED to 6 decimals so cross-engine libm/sum-order
+    * ulps can't flip a value (counts themselves are exact integers).
+    *
+    * Output: `idCol`, n_bigrams, nll — docs with < 2 tokens are absent
+    * (no bigram evidence; callers decide their fate).
+    */
+  def lmPerplexityScore(df: DataFrame, idCol: String, textCol: String,
+                        broadcastModel: Boolean = true): DataFrame = {
+    val toks = df.select(col(idCol),
+      split(trim(col(textCol)), "\\s+").as("t"))
+    // guard size >= 2 BEFORE sequence(): Spark's sequence(1, 0) counts
+    // DOWN ([1, 0]) rather than returning empty
+    val bigrams = toks.filter(size(col("t")) >= 2).select(col(idCol), explode(
+      expr("transform(sequence(1, size(t) - 1), i -> struct(t[i-1] as w1, concat(t[i-1], ' ', t[i]) as bg))"))
+      .as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.bg").as("bg"))
+    val c12raw = bigrams.groupBy("bg").agg(count(lit(1)).as("c12"))
+    val c1raw = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val (c12, c1) =
+      if (broadcastModel) (broadcast(c12raw), broadcast(c1raw)) else (c12raw, c1raw)
+    val vocab = toks.select(explode(col("t")).as("w")).agg(
+      countDistinct(col("w")).as("v"))
+    bigrams
+      .join(c12, "bg")
+      .join(c1, "w1")
+      .crossJoin(broadcast(vocab))
+      .groupBy(idCol)
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(-sum(log((col("c12") + lit(1.0)) / (col("c1") + col("v")))) /
+          count(lit(1)), 6).as("nll"))
+  }
+
+  /** Drop documents whose perplexity proxy exceeds `maxNll` — the CCNet
+    * filter form. Documents with < 2 tokens carry no bigram evidence and
+    * are KEPT (they are the short-doc gate's job, not the LM's).
+    */
+  def dropHighPerplexity(df: DataFrame, idCol: String, textCol: String,
+                         maxNll: Double): DataFrame =
+    df.join(
+      lmPerplexityScore(df, idCol, textCol).filter(col("nll") > maxNll)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
 }

@@ -654,6 +654,25 @@ class DedupSpec extends SparkSpec {
       ops.TableOps.sampleMixture(df, "id", "lang", Nil, 1.5))
   }
 
+  test("lmPerplexityScore: hand-computed add-one bigram NLL; filter keeps no-evidence docs") {
+    val docs = Seq(
+      (1L, "a b a b"), // bigrams: (a b)x2, (b a)
+      (2L, "a b"),     // bigram: (a b)
+      (3L, "x")        // no bigram — absent from scores, KEPT by the filter
+    ).toDF("doc_id", "text")
+    // corpus: C(a b)=3, C(b a)=1; C1(a)=3, C1(b)=1; V={a,b,x}=3
+    // P(a b)=(3+1)/(3+3)=2/3, P(b a)=(1+1)/(1+3)=1/2
+    val out = ops.QualityOps.lmPerplexityScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L)._1 == 3 && out(1L)._2 == r6((2 * -math.log(2.0 / 3) - math.log(0.5)) / 3))
+    assert(out(2L)._1 == 1 && out(2L)._2 == r6(-math.log(2.0 / 3)))
+    val kept = ops.QualityOps.dropHighPerplexity(docs, "doc_id", "text", maxNll = 0.45)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 3L)) // doc1 filtered; doc3 has no evidence → kept
+  }
+
   test("langid + quality + fingerprint are deterministic and sane") {
     val docs = Seq(
       (1L, "the cat and the dog of the house"),

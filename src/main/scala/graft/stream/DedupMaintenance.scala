@@ -108,7 +108,8 @@ object DedupMaintenance {
             bands: Int = 8, rowsPerBand: Int = 4, minJaccard: Double = 0.7,
             pollMs: Long = 200L, pinName: String = "dedup-maintenance",
             storeCheckpointDir: Option[String] = None,
-            checkpointEvery: Int = 8): Handle = {
+            checkpointEvery: Int = 8,
+            touchesDir: Option[String] = None): Handle = {
     val spark = table.snapshot().sparkSession
     val storeRef = new java.util.concurrent.atomic.AtomicReference[DataFrame](
       initialStore.getOrElse(IncrementalDedup.emptyStore(spark)))
@@ -139,6 +140,7 @@ object DedupMaintenance {
       val deleted = latest.filter(col(Schemas.DELETED_COL)).select("key")
       val upserts = latest.filter(!col(Schemas.DELETED_COL))
         .select(col("key"), col(textColumn).as("text"))
+      touchesDir.foreach(appendTouches(latest, _, toVersion))
       // skip the store-wide anti-join + checkpoint on tombstone-free
       // windows (the append-mostly common case) — remove() rewrites the
       // whole store eagerly, so it must run only when there IS a delete
@@ -165,6 +167,66 @@ object DedupMaintenance {
     }
     (new Handle(follower, storeRef, processedRef, liveKey), () => follower.isAlive)
     })
+  }
+
+  /** Append per-key touch records (key, deleted, to_version) for a
+    * consumed window — the retraction side-channel the append-only pair
+    * log lacks: a pair emitted at window v involving keys last touched at
+    * (ta, tb) is CURRENT iff v >= max(ta, tb) (any later touch of either
+    * endpoint re-emits the pair if it still holds, so a missing
+    * re-emission IS the retraction). At-least-once like the pair log:
+    * crash replays append identical rows; readers resolve latest-per-key.
+    */
+  private def appendTouches(latest: DataFrame, touchesDir: String,
+                            toVersion: Long): Unit =
+    latest.select(col("key"), col(Schemas.DELETED_COL).as("deleted"))
+      .withColumn("to_version", lit(toVersion))
+      .write.mode("append").partitionBy("to_version").parquet(touchesDir)
+
+  /** Live keys as of `version` from the touch log: latest touch per key,
+    * tombstoned keys dropped. Returns (key, last_touch).
+    */
+  def liveKeysAt(spark: org.apache.spark.sql.SparkSession, touchesDir: String,
+                 version: Long): DataFrame = {
+    if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(touchesDir)))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("key", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("last_touch", org.apache.spark.sql.types.LongType))))
+    spark.read.parquet(touchesDir)
+      .filter(col("to_version") <= version)
+      .groupBy("key")
+      .agg(max_by(struct(col("deleted"), col("to_version")), col("to_version")).as("__t"))
+      .filter(!col("__t.deleted"))
+      .select(col("key"), col("__t.to_version").as("last_touch"))
+  }
+
+  /** INCREMENTALLY-MAINTAINED near-dup cluster map as of `version`:
+    * connected components over the CURRENT pairs of the pair log — a pair
+    * is current iff both endpoints are live and its to_version is >= both
+    * endpoints' last touches (see [[appendTouches]]: a similarity-
+    * dissolving update simply never re-emits the pair, and the staleness
+    * rule drops the old one). Every live key gets a cluster (singletons =
+    * own key).
+    *
+    * Scale shape: the expensive leg (shingling + banded probing) was
+    * already paid incrementally per window; this consumer is two
+    * partition-pruned log scans, two equi-joins, and CC over the
+    * qualifying PAIRS (near-dup edge count, corpus-bounded but typically
+    * tiny relative to the corpus).
+    */
+  def clustersAt(spark: org.apache.spark.sql.SparkSession, pairsDir: String,
+                 touchesDir: String, version: Long,
+                 minJaccard: Double = 0.0): DataFrame = {
+    val live = liveKeysAt(spark, touchesDir, version)
+    val edges = pairsBetween(spark, pairsDir, 0L, version)
+      .filter(col("est_jaccard") >= minJaccard)
+      .join(live.select(col("key").as("key_a"), col("last_touch").as("__ta")), "key_a")
+      .join(live.select(col("key").as("key_b"), col("last_touch").as("__tb")), "key_b")
+      .filter(col("to_version") >= greatest(col("__ta"), col("__tb")))
+      .select("key_a", "key_b")
+    graft.ops.GraphOps.clusterAssignments(live.select("key"), "key", edges)
   }
 
   /** Read the pair log for windows in (fromVersion, toVersion] — the
@@ -239,7 +301,8 @@ object DedupMaintenance {
                 minJaccard: Double = 0.7, pollMs: Long = 200L,
                 pinName: String = "dedup-maintenance",
                 numPids: Int = 64, compactEvery: Int = 8,
-                maxRowsPerPid: Long = 1L << 19): LakeHandle = {
+                maxRowsPerPid: Long = 1L << 19,
+                touchesDir: Option[String] = None): LakeHandle = {
     val spark = table.snapshot().sparkSession
     registerLive(table, pinName, liveKey => {
       // EVERYTHING effectful sits after the singleton check — a REFUSED
@@ -258,6 +321,8 @@ object DedupMaintenance {
           ups.select("key").limit(0), minJaccard)
         plan.pairs.withColumn("to_version", lit(v))
           .write.mode("append").partitionBy("to_version").parquet(pairsDir)
+        touchesDir.foreach(appendTouches(
+          ups.select(col("key"), lit(false).as(Schemas.DELETED_COL)), _, v))
         plan.commit(v)
         from = v
       }
@@ -276,6 +341,7 @@ object DedupMaintenance {
         val deleted = latest.filter(col(Schemas.DELETED_COL)).select("key")
         val upserts = latest.filter(!col(Schemas.DELETED_COL))
           .select(col("key"), col(textColumn).as("text"))
+        touchesDir.foreach(appendTouches(latest, _, toVersion))
         val plan = store.planRefresh(upserts, deleted, minJaccard)
         plan.pairs.withColumn("to_version", lit(toVersion))
           .write.mode("append").partitionBy("to_version").parquet(pairsDir)

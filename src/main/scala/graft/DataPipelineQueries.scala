@@ -791,6 +791,35 @@ object DataPipelineQueries {
         .orderBy("doc_id")
     }
 
+    // URL provenance profile: plant deterministic URLs (the synthetic
+    // corpus has none), extract hosts, aggregate per domain, and apply a
+    // blocklist — the domain-level hygiene pass of a web-corpus pipeline.
+    // Oracled value-for-value: the URL regex lives in the Java∩RE2 subset.
+    register("q_url_domains", Some(
+      """WITH aug AS (SELECT doc_id,
+        |  text || ' see https://site' || CAST(doc_id % 20 AS VARCHAR) || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+        |       || CASE WHEN doc_id % 4 = 0 THEN ' and http://blocked.example.net/x' ELSE '' END AS t
+        |  FROM documents),
+        |u AS (SELECT doc_id,
+        |  unnest(regexp_extract_all(t, 'https?://([A-Za-z0-9.-]+)(?:/[^\s]*)?', 1)) AS domain
+        |  FROM aug)
+        |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_urls,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  domain = 'blocked.example.net' AS is_blocked
+        |FROM u GROUP BY domain ORDER BY domain""".stripMargin)) { (s, dir) =>
+      val aug = T(s, dir, "documents").select(col("doc_id"), concat(
+        col("text"), lit(" see https://site"), (col("doc_id") % 20).cast("string"),
+        lit(".example.org/p/"), col("doc_id").cast("string"),
+        when(col("doc_id") % 4 === 0, lit(" and http://blocked.example.net/x"))
+          .otherwise(lit(""))).as("text"))
+      aug.select(col("doc_id"), explode(TextOps.domains(col("text"))).as("domain"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          (first(col("domain")) === "blocked.example.net").as("is_blocked"))
+        .orderBy("domain")
+    }
+
     // deterministic training-mix composition: per-language keep rates via
     // an INTEGER threshold compare in the md5-low-60 space (the exact
     // pre-scaled literals are inlined into the oracle, so there is no

@@ -16,6 +16,34 @@ object TextOps {
   def tokenCountBpe(text: Column): Column =
     regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
 
+  /** URL pattern in the Java-regex ∩ RE2 subset (cross-engine oracle-able,
+    * like [[PiiOps.Patterns]]): scheme + host, optional path up to
+    * whitespace.
+    */
+  val UrlPattern = """https?://[A-Za-z0-9.-]+(?:/[^\s]*)?"""
+
+  /** All URLs in the text. */
+  def urls(text: Column): Column =
+    regexp_extract_all(text, lit(UrlPattern), lit(0))
+
+  /** All URL host names in the text (the provenance/blocklist key of a
+    * web-corpus pipeline).
+    */
+  def domains(text: Column): Column =
+    transform(urls(text),
+      u => regexp_extract(u, "https?://([A-Za-z0-9.-]+)", 1))
+
+  /** Drop documents containing a URL on any blocked domain (exact host
+    * match). Codegen'd filter, no shuffle; the blocklist is a plan
+    * literal (user blocklists are thousands of hosts, not billions —
+    * for a huge list, semi-join `explode(domains)` against a table
+    * instead).
+    */
+  def dropBlockedDomains(df: org.apache.spark.sql.DataFrame, textCol: String,
+                         blocked: Seq[String]): org.apache.spark.sql.DataFrame =
+    df.filter(!exists(domains(col(textCol)),
+      d => d.isInCollection(blocked)))
+
   /** Count of whole-word occurrences of `word`. */
   def wordCount(text: Column, word: String): Column =
     regexp_count(text, lit("\\b" + word + "\\b"))

@@ -673,6 +673,22 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(2L, 3L)) // doc1 filtered; doc3 has no evidence → kept
   }
 
+  test("url extraction + domain blocklist") {
+    val docs = Seq(
+      (1L, "intro https://a.example.org/x?q=1 mid http://b.example.net end"),
+      (2L, "no urls at all"),
+      (3L, "https://a.example.org plain and https://sub.b.example.net/deep/path")
+    ).toDF("doc_id", "text")
+    val doms = docs.select(col("doc_id"), TextOps.domains(col("text")).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+    assert(doms(1L) == List("a.example.org", "b.example.net"))
+    assert(doms(2L) == Nil)
+    assert(doms(3L) == List("a.example.org", "sub.b.example.net"))
+    val kept = TextOps.dropBlockedDomains(docs, "text", Seq("b.example.net"))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(2L, 3L)) // exact host match: subdomain survives
+  }
+
   test("langid + quality + fingerprint are deterministic and sane") {
     val docs = Seq(
       (1L, "the cat and the dog of the house"),

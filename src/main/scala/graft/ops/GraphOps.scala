@@ -35,8 +35,14 @@ object GraphOps {
     *         (singletons are absent; [[clusterAssignments]] coalesces them
     *         to self)
     */
+  /* maxIter: near-dup graphs converge in a handful of rounds (their
+   * components are band-join cliques and short chains); the proven worst
+   * case is O(log² n) rounds on adversarial path graphs, so the default
+   * ceiling is generous for any plausible input and the require() below
+   * fails LOUDLY (never silently-partial components) if something
+   * pathological exceeds it. */
   def connectedComponents(pairs: DataFrame, keyA: String = "key_a",
-                          keyB: String = "key_b", maxIter: Int = 64): DataFrame = {
+                          keyB: String = "key_b", maxIter: Int = 128): DataFrame = {
     val spark = pairs.sparkSession
     import spark.implicits._
 

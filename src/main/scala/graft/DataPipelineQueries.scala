@@ -432,8 +432,11 @@ object DataPipelineQueries {
     // RE2 subset, so DuckDB replicates match sets byte-for-byte; the
     // redacted text is compared via md5. Pure codegen'd regexp exprs — no
     // UDFs, no shuffle.
+    // patterns INTERPOLATED from PiiOps.Patterns (Java∩RE2 subset) so the
+    // oracle can never drift from the engine's regexes
+    val Seq(emailP, ccP, ssnP, phoneP, ipP) = PiiOps.Patterns.map(_._2)
     register("q_pii_redact", Some(
-      """WITH aug AS (SELECT doc_id,
+      s"""WITH aug AS (SELECT doc_id,
         |  text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
         |  || CASE WHEN doc_id % 2 = 0 THEN ' call 555-123-4567' ELSE '' END
         |  || CASE WHEN doc_id % 3 = 0 THEN ' from 10.0.' || CAST(doc_id % 200 AS VARCHAR) || '.15' ELSE '' END
@@ -441,22 +444,22 @@ object DataPipelineQueries {
         |  || CASE WHEN doc_id % 7 = 0 THEN ' card 4111 1111 1111 1111' ELSE '' END AS t
         |  FROM documents)
         |SELECT doc_id,
-        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
-        |  CAST(len(regexp_extract_all(t, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b')) AS BIGINT) AS n_cc,
-        |  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
-        |  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phone,
-        |  CAST(len(regexp_extract_all(t, '\b(?:\d{1,3}\.)(?:\d{1,3}\.)(?:\d{1,3}\.)\d{1,3}\b')) AS BIGINT) AS n_ipv4,
-        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-        |     + len(regexp_extract_all(t, '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b'))
-        |     + len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b'))
-        |     + len(regexp_extract_all(t, '\b\d{3}-\d{3}-\d{4}\b'))
-        |     + len(regexp_extract_all(t, '\b(?:\d{1,3}\.)(?:\d{1,3}\.)(?:\d{1,3}\.)\d{1,3}\b')) AS BIGINT) AS pii_total,
+        |  CAST(len(regexp_extract_all(t, '$emailP')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(t, '$ccP')) AS BIGINT) AS n_cc,
+        |  CAST(len(regexp_extract_all(t, '$ssnP')) AS BIGINT) AS n_ssn,
+        |  CAST(len(regexp_extract_all(t, '$phoneP')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(t, '$ipP')) AS BIGINT) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(t, '$emailP'))
+        |     + len(regexp_extract_all(t, '$ccP'))
+        |     + len(regexp_extract_all(t, '$ssnP'))
+        |     + len(regexp_extract_all(t, '$phoneP'))
+        |     + len(regexp_extract_all(t, '$ipP')) AS BIGINT) AS pii_total,
         |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b', '<CC>', 'g'),
-        |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
-        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
-        |    '\b(?:\d{1,3}\.)(?:\d{1,3}\.)(?:\d{1,3}\.)\d{1,3}\b', '<IP>', 'g')) AS redacted_md5
+        |    '$emailP', '<EMAIL>', 'g'),
+        |    '$ccP', '<CC>', 'g'),
+        |    '$ssnP', '<SSN>', 'g'),
+        |    '$phoneP', '<PHONE>', 'g'),
+        |    '$ipP', '<IP>', 'g')) AS redacted_md5
         |FROM aug ORDER BY doc_id""".stripMargin)) { (s, dir) =>
       val aug = T(s, dir, "documents").select(col("doc_id"), concat(
         col("text"), lit(" Contact user"), col("doc_id").cast("string"), lit("@example.com"),

@@ -650,6 +650,37 @@ object MultimodalOps {
     crc
   }
 
+  /** Header-only OGG format probe: (sampleRate, channels) from the FIRST
+    * page's Vorbis identification header alone — O(first page) ≈ 60 bytes,
+    * CRC-validating just that page. This is [[decode]]'s cheap path
+    * (mirroring `wavFormat`/`mp3Format`); the O(payload) full-stream walk
+    * with per-page CRC + EOS granule lives in [[oggInfo]] for the
+    * feature-extraction consumers that need duration/sample counts.
+    */
+  def oggFormat(p: Array[Byte]): Option[(Int, Int)] = {
+    if (p == null || p.length < 27) return None
+    def u8(j: Int): Int = p(j) & 0xff
+    def le32(j: Int): Long = u8(j) | (u8(j + 1) << 8) | (u8(j + 2) << 16) | (u8(j + 3).toLong << 24)
+    if (!(p(0) == 'O' && p(1) == 'g' && p(2) == 'g' && p(3) == 'S') || u8(4) != 0) return None
+    val headerType = u8(5)
+    val nSegs = u8(26)
+    if (27L + nSegs > p.length) return None
+    var bodyLen = 0
+    var s = 0
+    while (s < nSegs) { bodyLen += u8(27 + s); s += 1 }
+    val pageLen = 27 + nSegs + bodyLen
+    if (pageLen.toLong > p.length) return None
+    if (oggCrc(p, 0, pageLen, 22) != le32(22).toInt) return None
+    // beginning-of-stream page carrying the Vorbis ident:
+    // packet_type 0x01 + "vorbis" + version(4) + channels(1) + rate(4)
+    val b = 27 + nSegs
+    if ((headerType & 0x02) == 0 || bodyLen < 16 ||
+        u8(b) != 0x01 || new String(p, b + 1, 6, "US-ASCII") != "vorbis") return None
+    val channels = u8(b + 11)
+    val sampleRate = le32(b + 12).toInt
+    if (channels <= 0 || sampleRate <= 0) None else Some((sampleRate, channels))
+  }
+
   /** REAL OGG container parse: strict "OggS" page walk (version 0, lacing
     * table, body), VALIDATING each page's CRC — a flipped byte anywhere in
     * the stream returns None, stronger than the other parsers' structural
@@ -809,9 +840,12 @@ object MultimodalOps {
                   h = (be32(f3.toInt + dimOff + 4) >> 16).toInt
                 }
               } else if (t3 == "mdia") {
-                walk(f3, t3e) { (t4, f4, t4e) =>
-                  if (t4 == "minf") walk(f4, t4e) { (t5, f5, t5e) =>
-                    if (t5 == "stbl") walk(f5, t5e) { (t6, f6, t6e) =>
+                // every nested walk's Boolean propagates: a malformed
+                // child-box size anywhere under mdia is a torn payload
+                // (→ None), same contract as the trak/moov levels
+                if (!walk(f3, t3e) { (t4, f4, t4e) =>
+                  if (t4 == "minf") { if (!walk(f4, t4e) { (t5, f5, t5e) =>
+                    if (t5 == "stbl") { if (!walk(f5, t5e) { (t6, f6, t6e) =>
                       if (t6 == "stts" && t6e - f6 >= 8) {
                         val entries = be32(f6.toInt + 4)
                         if (8 + entries * 8 <= t6e - f6) {
@@ -822,11 +856,9 @@ object MultimodalOps {
                           }
                         } else torn = true
                       }
-                    }
-                  }
-                  ()
-                }
-                ()
+                    }) torn = true }
+                  }) torn = true }
+                }) torn = true
               }
             }) torn = true
             // video track = the first with nonzero tkhd dims
@@ -869,7 +901,7 @@ object MultimodalOps {
       be(width << 16, height << 16))
     val mdhd = full("mdhd", be(0, 0, timescale, durationTicks.toInt, 0x55c40000))
     val hdlr = full("hdlr", be(0) ++ "vide".getBytes("US-ASCII") ++ new Array[Byte](12) ++
-      "g ".getBytes("US-ASCII"))
+      Array[Byte]('g', 0))
     val stts = full("stts", be(sttsCounts.length) ++
       sttsCounts.toArray.flatMap(c => be(c, 512)))
     val stbl = box("stbl", stts)
@@ -929,8 +961,8 @@ object MultimodalOps {
           val (w, h) = imageDims(m.payload)
             .orElse(mp4.filter(i => i.width > 0 && i.height > 0).map(i => (i.width, i.height)))
             .getOrElse((sw, sh))
-          val realSr = wavFormat(m.payload).orElse(mp3Format(m.payload)).map(_._1)
-            .orElse(oggInfo(m.payload).map(_.sampleRate))
+          val realSr = wavFormat(m.payload).orElse(mp3Format(m.payload))
+            .orElse(oggFormat(m.payload)).map(_._1)
           val realNf = gifFrameCount(m.payload) // block walk, no decompression
             .orElse(mp4.map(_.nFrames).filter(_ > 0))
           MediaOut(m.media_id, m.modality, m.payload,

@@ -15,6 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object PiiOps {
 
+  /** A real IPv4 octet (0-255, no leading zeros) in the Java∩RE2 subset —
+    * `999.999.999.999` and version-ish strings with out-of-range octets no
+    * longer count as PII. DOCUMENTED residual over-match: the subset has
+    * no lookahead, so `\b` cannot exclude a valid dotted quad that is the
+    * PREFIX of a longer dotted run — `1.2.3.4.5` still redacts `1.2.3.4`
+    * (leaving `.5`) in both engines. Acceptable: over-redaction of
+    * version-like strings beats leaking an address, and the count
+    * inflation is bounded to runs whose first four fields are each 0-255.
+    */
+  private val Octet = """(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"""
+
   /** (name, pattern, replacement-token) — applied in this order; the
     * patterns are mutually non-overlapping on any one span (anchored by
     * `\b` at digit boundaries), so application order never changes the
@@ -25,7 +36,7 @@ object PiiOps {
     ("cc", """\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b""", "<CC>"),
     ("ssn", """\b\d{3}-\d{2}-\d{4}\b""", "<SSN>"),
     ("phone", """\b\d{3}-\d{3}-\d{4}\b""", "<PHONE>"),
-    ("ipv4", """\b(?:\d{1,3}\.)(?:\d{1,3}\.)(?:\d{1,3}\.)\d{1,3}\b""", "<IP>"))
+    ("ipv4", s"""\\b$Octet\\.$Octet\\.$Octet\\.$Octet\\b""", "<IP>"))
 
   /** Per-kind match counts, one column per pattern: `n_email`, `n_cc`,
     * `n_ssn`, `n_phone`, `n_ipv4`.

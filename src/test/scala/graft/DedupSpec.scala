@@ -481,6 +481,23 @@ class DedupSpec extends SparkSpec {
     assert(oggInfo(noIdent).isEmpty)
   }
 
+  test("multimodal containers: header-only oggFormat parses page-0 ident only") {
+    import MultimodalOps._
+    val ogg = oggBytes(22050, 1, 1000L, 2)
+    assert(oggFormat(ogg).contains((22050, 1)))
+    // page-0 CRC validated; LATER-page corruption is not scanned — that is
+    // the point of the header-only probe (the full walk still refuses)
+    val lateCorrupt = ogg.clone()
+    lateCorrupt(ogg.length - 1) = (lateCorrupt(ogg.length - 1) ^ 0x01).toByte
+    assert(oggFormat(lateCorrupt).contains((22050, 1)) && oggInfo(lateCorrupt).isEmpty)
+    // page-0 body corruption breaks its CRC → refused
+    val earlyCorrupt = ogg.clone()
+    earlyCorrupt(30) = (earlyCorrupt(30) ^ 0x01).toByte
+    assert(oggFormat(earlyCorrupt).isEmpty)
+    assert(oggFormat(null).isEmpty && oggFormat("OggSnope".getBytes).isEmpty)
+    assert(oggFormat(ogg.take(20)).isEmpty)
+  }
+
   test("multimodal containers: REAL MP4 box walk (dims, duration, stts sum)") {
     import MultimodalOps._
     val mp4 = mp4Bytes(640, 360, timescale = 30000, durationTicks = 1001L * 240,
@@ -507,6 +524,16 @@ class DedupSpec extends SparkSpec {
     assert(mp4Info(mp4.take(24)).isEmpty) // ftyp alone: no moov
     assert(mp4Info("ftypnope".getBytes).isEmpty)
     assert(mp4Info(null).isEmpty)
+    // a malformed child-box size UNDER mdia (nested-walk result was
+    // discarded pre-round-5) is a torn payload like every other level
+    val badMinf = mp4.clone()
+    val minfAt = badMinf.indexOfSlice("minf".getBytes("US-ASCII"))
+    badMinf(minfAt - 4) = 0x7f.toByte // minf size → huge: overruns mdia
+    assert(mp4Info(badMinf).isEmpty)
+    val badStts = mp4.clone()
+    val sttsAt = badStts.indexOfSlice("stts".getBytes("US-ASCII"))
+    badStts(sttsAt - 4) = 0x7f.toByte // stts size → huge: overruns stbl
+    assert(mp4Info(badStts).isEmpty)
   }
 
   test("multimodal resize: REAL NN resize matches the integer closed form; passthrough within bound") {

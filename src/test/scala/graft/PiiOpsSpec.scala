@@ -33,6 +33,22 @@ class PiiOpsSpec extends SparkSpec {
     assert(scrubOne("9555-123-45678")._1("n_phone") == 0)
   }
 
+  test("pii ipv4: octets bounded to 0-255; dotted-run prefix over-match documented") {
+    // out-of-range octets are not addresses
+    assert(scrubOne("at 999.999.999.999 and 256.1.1.1 and 1.2.3.999")._1("n_ipv4") == 0)
+    assert(scrubOne("edge 255.255.255.255 and 0.0.0.0")._1("n_ipv4") == 2)
+    // leading-zero octets are not the dotted-quad form
+    assert(scrubOne("not 10.0.01.5")._1("n_ipv4") == 0)
+    // DOCUMENTED residual (no lookahead in the Java∩RE2 subset): a valid
+    // quad that prefixes a longer dotted run still matches
+    val (c, r) = scrubOne("release 1.2.3.4.5 shipped")
+    assert(c("n_ipv4") == 1 && r == "release <IP>.5 shipped")
+    // …but a version string glued to a word char has no leading \b, so the
+    // match (if any) starts at the first dot-preceded octet
+    val (c2, r2) = scrubOne("v1.2.3.4.5 shipped")
+    assert(c2("n_ipv4") == 1 && r2 == "v1.<IP> shipped")
+  }
+
   test("dropHighPii filters by density; scrub on empty text is a no-op") {
     val df = Seq(
       (1L, "a@b.co c@d.co e@f.co"),                       // 3 PII / 20 chars

@@ -46,13 +46,30 @@ object GraphOps {
     val spark = pairs.sparkSession
     import spark.implicits._
 
+    // One job per round: a LAZY localCheckpoint is materialized by the
+    // (count, order-invariant checksum) aggregate that doubles as the
+    // convergence probe — the same action that truncates lineage yields
+    // the round's fingerprint, replacing the old eager-checkpoint job PLUS
+    // the full union-groupBy shuffle over both edge sets every round.
+    // Equal sets ⇒ equal (count, sum-of-hashes), so the probe never
+    // misses convergence; a probe HIT is confirmed by one authoritative
+    // except() on the final candidate round only (a 2^-64 hash collision
+    // would otherwise stop a round early — never silently-partial).
+    // Checksum sums in decimal(38,0): ANSI mode throws on long-sum
+    // overflow, and decimal is exact up to ~10^19 edges.
+    def fingerprint(df: DataFrame): (Long, Option[BigDecimal]) = {
+      val r = df.agg(count(lit(1)), sum(xxhash64($"src", $"dst").cast("decimal(38,0)"))).head()
+      (r.getLong(0), Option(r.getDecimal(1)).map(BigDecimal(_)))
+    }
+
     // canonical directed form: (hi → lo), self-loops dropped
     var edges = pairs
       .select(greatest(col(keyA), col(keyB)).as("src"),
               least(col(keyA), col(keyB)).as("dst"))
       .filter($"src" =!= $"dst")
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
+    var prev = fingerprint(edges)
 
     var converged = false
     var it = 0
@@ -78,14 +95,16 @@ object GraphOps {
         .select($"dst".as("src"), $"m".as("dst"))
         .unionAll(smallMins.select($"src", $"m".as("dst")))
         .distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(false)
 
-      // converged when the round was a no-op: every canonical edge appears
-      // in BOTH the old and new sets (each side is distinct, so any group
-      // with count != 2 is a one-sided edge)
-      converged = small.unionAll(edges).groupBy($"src", $"dst")
-        .agg(count(lit(1)).as("n")).filter($"n" =!= 2).limit(1).count() == 0
+      val cur = fingerprint(small)
+      // probe hit (equal count + checksum) → authoritative set equality:
+      // both sides are distinct and equal-sized, so an empty except()
+      // proves the round was a no-op
+      converged = cur == prev &&
+        small.except(edges).limit(1).count() == 0
       edges = small
+      prev = cur
       it += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
@@ -131,6 +150,31 @@ object GraphOps {
   def leakageSafeSplit(df: DataFrame, keyCol: String, pairs: DataFrame,
                        splits: Seq[(String, Int)], salt: String = "split"): DataFrame = {
     val assigned = clusterAssignments(df, keyCol, pairs)
+    TableOps.hashSplit(assigned, "cluster_id", splits, salt)
+  }
+
+  /** Leakage-safe split REUSING an already-maintained cluster map — e.g.
+    * [[graft.stream.DedupMaintenance.clustersAt]], whose expensive legs
+    * (shingling, banded probing, CC) were paid incrementally per
+    * maintenance window. The whole-corpus split pass then costs ONE left
+    * join + the hash projection instead of re-running LSH + CC over the
+    * corpus (the checksum-short-circuit philosophy of the reference's
+    * grapher upsert, `etl/grapher_import.py:287-289`, applied to cluster
+    * state). Documents absent from the map (never near-dup'd, or added
+    * after its version) fall back to singleton clusters — same contract
+    * as [[clusterAssignments]].
+    *
+    * @param clusterMap (key, cluster_id) — first column is matched to
+    *                   `keyCol` by POSITION so a map keyed `key` joins a
+    *                   corpus keyed `doc_id` without a rename dance
+    */
+  def leakageSafeSplitFromClusters(df: DataFrame, keyCol: String, clusterMap: DataFrame,
+                                   splits: Seq[(String, Int)],
+                                   salt: String = "split"): DataFrame = {
+    val cm = clusterMap.select(col(clusterMap.columns(0)).as(keyCol), col("cluster_id"))
+    val assigned = df.select(col(keyCol))
+      .join(cm, Seq(keyCol), "left")
+      .select(col(keyCol), coalesce(col("cluster_id"), col(keyCol)).as("cluster_id"))
     TableOps.hashSplit(assigned, "cluster_id", splits, salt)
   }
 }

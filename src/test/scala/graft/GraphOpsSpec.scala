@@ -88,6 +88,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(out.map(_._2).toSet == Set("train", "val", "test"))
   }
 
+  test("leakageSafeSplitFromClusters == pair-graph split; missing keys fall back to singleton") {
+    val docs = (1L to 200L).toDF("doc_id")
+    val pairs = ((0 until 40).flatMap { c =>
+      val base = c * 5L + 1
+      Seq((base, base + 1), (base + 1, base + 2))
+    }).toDF("key_a", "key_b")
+    val splits = Seq(("train", 80), ("val", 10), ("test", 10))
+    val viaPairs = GraphOps.leakageSafeSplit(docs, "doc_id", pairs, splits)
+      .select("doc_id", "cluster_id", "split").as[(Long, Long, String)].collect().sorted.toSeq
+    // a maintained map (different key-column name: positional match)
+    val cm = GraphOps.clusterAssignments(docs, "doc_id", pairs)
+      .withColumnRenamed("doc_id", "key")
+    val viaMap = GraphOps.leakageSafeSplitFromClusters(docs, "doc_id", cm, splits)
+      .select("doc_id", "cluster_id", "split").as[(Long, Long, String)].collect().sorted.toSeq
+    assert(viaMap == viaPairs)
+    // docs absent from the map become singleton clusters (their own id)
+    val partial = cm.filter(col("key") <= 100L)
+    val viaPartial = GraphOps.leakageSafeSplitFromClusters(docs, "doc_id", partial, splits)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert((101L to 200L).forall(k => viaPartial(k) == k))
+  }
+
   test("empty pair set: no components, assignments all singleton") {
     val docs = (1L to 3L).toDF("doc_id")
     val empty = Seq.empty[(Long, Long)].toDF("key_a", "key_b")

@@ -99,6 +99,22 @@ class IncrementalClusterSpec extends SparkSpec {
         CdcMerge.apply(table, df(Seq(turn("b", 8, base + " beta again"))), 4L)
         corpus += ("b#0" -> (base + " beta again"))
         checkAt(table.currentVersion)
+
+        // the split path REUSES the maintained map: a leakage-safe split
+        // from clustersAt equals the split from a from-scratch pair graph
+        // (no LSH, no CC re-run at split time)
+        val live = corpus.keys.toSeq.toDF("key")
+        val splits = Seq(("train", 80), ("val", 10), ("test", 10))
+        val viaMaintained = GraphOps.leakageSafeSplitFromClusters(live, "key",
+          DedupMaintenance.clustersAt(spark, s"$dir/pairs", s"$dir/touches",
+            table.currentVersion, minJ), splits)
+          .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+        val (_, batchPairs) = IncrementalDedup.refresh(
+          IncrementalDedup.emptyStore(spark),
+          corpus.toSeq.toDF("key", "text"), "text", "key", 8, 4, minJ)
+        val viaBatch = GraphOps.leakageSafeSplit(live, "key", batchPairs, splits)
+          .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+        assert(viaMaintained == viaBatch, "maintained-map split drifted from batch split")
       } finally h.close()
     } finally rmrf(dir)
   }

@@ -93,46 +93,84 @@ object ReshapeOps {
     "<%\\s*if\\s+([A-Za-z0-9_]+)\\s*(==|!=)\\s*(?:\"([^\"]*)\"|'([^']*)')\\s*%>".r
   private val ElseRe = "<%\\s*else\\s*%>".r
   private val EndifRe = "<%\\s*endif\\s*%>".r
+  private val ForRe =
+    "<%\\s*for\\s+([A-Za-z0-9_]+)\\s+in\\s+([A-Za-z0-9_]+)\\s*%>".r
+  private val EndforRe = "<%\\s*endfor\\s*%>".r
 
   def usesTemplate(s: String): Boolean = s.contains("<<") || s.contains("<%")
 
-  /** Evaluate the BOUNDED conditional subset
-    * `<% if dim == "value" %>…[<% else %>…]<% endif %>` (also `!=`;
-    * sequential blocks allowed) — the conditionals of the reference's
-    * `_expand_jinja` (`etl/grapher_helpers.py:194-232`) without shipping
-    * a template engine. Everything else — loops, nesting, filters, an
-    * unknown dimension — is rejected LOUDLY: a raw control tag leaking
-    * into published metadata is worse than an error.
+  /** Evaluate the BOUNDED control subset — the conditionals and loops of
+    * the reference's `_expand_jinja` (`etl/grapher_helpers.py:194-232`)
+    * without shipping a template engine:
+    *
+    *   - `<% if dim == "value" %>…[<% else %>…]<% endif %>` (also `!=`)
+    *   - `<% for v in <dim>_values %>…<<v>>…<% endfor %>` over the
+    *     dimension's OBSERVED values (`lists`), the loop body rendered
+    *     once per value with `<<v>>` bound (with exactly one dimension,
+    *     plain `values` also resolves)
+    *
+    * Sequential blocks are allowed; everything else — nesting, filters,
+    * an unknown dimension or iterable, a loop variable shadowing a
+    * dimension — is rejected LOUDLY: a raw control tag leaking into
+    * published metadata is worse than an error.
     */
-  private[ops] def evalControlBlocks(text: String, dims: Map[String, String]): String = {
+  private[ops] def evalControlBlocks(text: String, dims: Map[String, String],
+                                     lists: Map[String, Seq[String]] = Map.empty): String = {
     val sb = new StringBuilder
     var rest = text
     while (rest.contains("<%")) {
       val at = rest.indexOf("<%")
       sb.append(rest.substring(0, at))
       val tail = rest.substring(at)
-      val m = IfRe.findPrefixMatchOf(tail).getOrElse(throw new IllegalArgumentException(
-        "unsupported template control block (supported subset: " +
-        "<% if dim == \"value\" %>…<% else %>…<% endif %>): " +
-        s"'${tail.take(48)}' in template '$text'"))
-      val dim = m.group(1)
-      val value = Option(m.group(3)).getOrElse(m.group(4))
-      val have = dims.getOrElse(dim, throw new IllegalArgumentException(
-        s"unknown dimension '$dim' in template condition '${m.matched}'; " +
-        s"have: ${dims.keys.toSeq.sorted.mkString(", ")}"))
-      val afterIf = tail.substring(m.end)
-      val endif = EndifRe.findFirstMatchIn(afterIf).getOrElse(
-        throw new IllegalArgumentException(s"missing <% endif %> in template '$text'"))
-      val inner = afterIf.substring(0, endif.start)
-      if (IfRe.findFirstIn(inner).isDefined) throw new IllegalArgumentException(
-        s"nested <% if %> blocks are not supported: '$text'")
-      val (thenB, elseB) = ElseRe.findFirstMatchIn(inner) match {
-        case Some(e) => (inner.substring(0, e.start), inner.substring(e.end))
-        case None => (inner, "")
+      (IfRe.findPrefixMatchOf(tail), ForRe.findPrefixMatchOf(tail)) match {
+        case (Some(m), _) =>
+          val dim = m.group(1)
+          val value = Option(m.group(3)).getOrElse(m.group(4))
+          val have = dims.getOrElse(dim, throw new IllegalArgumentException(
+            s"unknown dimension '$dim' in template condition '${m.matched}'; " +
+            s"have: ${dims.keys.toSeq.sorted.mkString(", ")}"))
+          val afterIf = tail.substring(m.end)
+          val endif = EndifRe.findFirstMatchIn(afterIf).getOrElse(
+            throw new IllegalArgumentException(s"missing <% endif %> in template '$text'"))
+          val inner = afterIf.substring(0, endif.start)
+          val (thenB, elseB) = ElseRe.findFirstMatchIn(inner) match {
+            case Some(e) => (inner.substring(0, e.start), inner.substring(e.end))
+            case None => (inner, "")
+          }
+          // the single else tag is consumed above; ANY other tag inside a
+          // branch (nested if/for, a second else, a stray endfor) is loud
+          if (thenB.contains("<%") || elseB.contains("<%"))
+            throw new IllegalArgumentException(
+              s"nested template control blocks are not supported: '$text'")
+          val cond = if (m.group(2) == "==") have == value else have != value
+          sb.append(if (cond) thenB else elseB)
+          rest = afterIf.substring(endif.end)
+        case (None, Some(m)) =>
+          val loopVar = m.group(1)
+          val iterable = m.group(2)
+          require(!dims.contains(loopVar),
+            s"loop variable '$loopVar' shadows a dimension in template '$text'")
+          val vals = lists.getOrElse(iterable, throw new IllegalArgumentException(
+            s"unknown iterable '$iterable' in template loop '${m.matched}'; " +
+            s"have: ${lists.keys.toSeq.sorted.mkString(", ")}"))
+          val afterFor = tail.substring(m.end)
+          val endfor = EndforRe.findFirstMatchIn(afterFor).getOrElse(
+            throw new IllegalArgumentException(s"missing <% endfor %> in template '$text'"))
+          val inner = afterFor.substring(0, endfor.start)
+          if (inner.contains("<%")) throw new IllegalArgumentException(
+            s"nested template control blocks are not supported: '$text'")
+          // bind ONLY the loop variable per iteration; other placeholders
+          // stay for the later <<dim>> pass
+          val varRe = ("<<\\s*" + java.util.regex.Pattern.quote(loopVar) + "\\s*>>").r
+          vals.foreach(v =>
+            sb.append(varRe.replaceAllIn(inner, java.util.regex.Matcher.quoteReplacement(v))))
+          rest = afterFor.substring(endfor.end)
+        case (None, None) => throw new IllegalArgumentException(
+          "unsupported template control block (supported subset: " +
+          "<% if dim == \"value\" %>…<% else %>…<% endif %>, " +
+          "<% for v in <dim>_values %>…<% endfor %>): " +
+          s"'${tail.take(48)}' in template '$text'")
       }
-      val cond = if (m.group(2) == "==") have == value else have != value
-      sb.append(if (cond) thenB else elseB)
-      rest = afterIf.substring(endif.end)
     }
     sb.append(rest)
     val out = sb.toString
@@ -143,11 +181,12 @@ object ReshapeOps {
     out
   }
 
-  /** Expand a template: bounded `<% if %>` conditionals first, then
-    * `<<dim>>` substitution; unknown placeholders fail loudly.
+  /** Expand a template: bounded `<% if %>`/`<% for %>` control blocks
+    * first, then `<<dim>>` substitution; unknown placeholders fail loudly.
     */
-  def expandTemplate(text: String, dims: Map[String, String]): String = {
-    val resolved = evalControlBlocks(text, dims)
+  def expandTemplate(text: String, dims: Map[String, String],
+                     lists: Map[String, Seq[String]] = Map.empty): String = {
+    val resolved = evalControlBlocks(text, dims, lists)
     PlaceholderRe.replaceAllIn(resolved, m => {
       val k = m.group(1)
       java.util.regex.Matcher.quoteReplacement(dims.getOrElse(k,
@@ -169,11 +208,16 @@ object ReshapeOps {
     * the expansion in the processing log.
     */
   def expandDimensionMeta(meta: VariableMeta, variable: String,
-                          dims: Seq[(String, String)]): VariableMeta = {
+                          dims: Seq[(String, String)],
+                          observed: Map[String, Seq[String]] = Map.empty): VariableMeta = {
     val dmap = dims.toMap
-    def exp(o: Option[String]) = o.map(t => if (usesTemplate(t)) expandTemplate(t, dmap) else t)
+    // loop iterables: each dimension's observed value list as
+    // `<dim>_values`; with exactly ONE dimension, plain `values` too
+    val lists = observed.map { case (d, vs) => s"${d}_values" -> vs } ++
+      (if (observed.size == 1) Map("values" -> observed.head._2) else Map.empty)
+    def exp(o: Option[String]) = o.map(t => if (usesTemplate(t)) expandTemplate(t, dmap, lists) else t)
     val title = meta.title.map(t =>
-      if (usesTemplate(t)) expandTemplate(t, dmap) else titleWithDims(t, dims))
+      if (usesTemplate(t)) expandTemplate(t, dmap, lists) else titleWithDims(t, dims))
     meta.copy(title = title, unit = exp(meta.unit), shortUnit = exp(meta.shortUnit),
         description = exp(meta.description))
       .logOp(variable, "expand_dims", List(meta.parentRef(variable)),
@@ -218,6 +262,12 @@ object ReshapeOps {
       MetaOps.varMeta(df, valueCol) match {
         case None => pruned
         case Some(m) =>
+          // per-dimension OBSERVED value lists (sorted, nulls out) — the
+          // iterables a `<% for v in <dim>_values %>` template loops over;
+          // derived from the SAME combos pass, no extra job
+          val observed = dims.zipWithIndex.map { case (d, i) =>
+            d -> combos.flatMap(r => Option(r.getString(i + 1))).distinct.sorted.toSeq
+          }.toMap
           combos.filter(r => keep.contains(r.getString(0))).foldLeft(pruned) { (acc, r) =>
             val name = r.getString(0)
             // a NULL dimension value was skipped by concat_ws in the NAME;
@@ -225,7 +275,7 @@ object ReshapeOps {
             // (and so templates referencing it fail loudly as unknown)
             val dimVals = dims.zipWithIndex.flatMap { case (d, i) =>
               Option(r.getString(i + 1)).map(d -> _) }
-            MetaOps.withVarMeta(acc, name, expandDimensionMeta(m, name, dimVals))
+            MetaOps.withVarMeta(acc, name, expandDimensionMeta(m, name, dimVals, observed))
           }
       }
     } finally long.unpersist()

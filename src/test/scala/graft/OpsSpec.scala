@@ -334,10 +334,10 @@ class OpsSpec extends SparkSpec {
     assert(ReshapeOps.expandTemplate(
       "<% if a == 'x' %>X<% endif %>-<% if b == 'y' %>Y<% else %>Z<% endif %>",
       Map("a" -> "x", "b" -> "n")) == "X-Z")
-    // loud: loops, nesting, unknown dimension, tag smuggled in a branch
+    // loud: unknown iterable, nesting, unknown dimension, tag smuggled in a branch
     assert(intercept[IllegalArgumentException](ReshapeOps.expandTemplate(
-      "<% for x in xs %>hm<% endfor %>", Map("x" -> "1")))
-      .getMessage.contains("unsupported template control block"))
+      "<% for x in xs %>hm<% endfor %>", Map("y" -> "1")))
+      .getMessage.contains("unknown iterable"))
     assert(intercept[IllegalArgumentException](ReshapeOps.expandTemplate(
       "<% if a == 'b' %><% if c == 'd' %>x<% endif %><% endif %>",
       Map("a" -> "b", "c" -> "d")))
@@ -347,6 +347,43 @@ class OpsSpec extends SparkSpec {
       .getMessage.contains("unknown dimension"))
     assert(intercept[IllegalArgumentException](ReshapeOps.expandTemplate(
       "<% if a == 'b' %>keep <% endfor %> this<% endif %>", Map("a" -> "b")))
-      .getMessage.contains("survived expansion"))
+      .getMessage.contains("nested"))
+  }
+
+  test("bounded jinja for-loops over a dimension's observed values; beyond the subset is loud") {
+    val lists = Map("sex_values" -> Seq("female", "male"), "age_values" -> Seq("10", "12"))
+    // loop body rendered once per observed value, loop var bound per pass
+    assert(ReshapeOps.expandTemplate(
+      "Sexes:<% for v in sex_values %> [<<v>>]<% endfor %> of <<age>>",
+      Map("sex" -> "male", "age" -> "10"), lists) == "Sexes: [female] [male] of 10")
+    // sequential blocks; if + for mix at top level
+    assert(ReshapeOps.expandTemplate(
+      "<% if sex == 'male' %>M<% endif %><% for v in age_values %>-<<v>><% endfor %>",
+      Map("sex" -> "male"), lists) == "M-10-12")
+    // the golden path: a looped description through expandDimensionMeta
+    val m = VariableMeta(title = Some("Deaths"),
+      description = Some("Deaths at <<age>>; ages covered:<% for a in age_values %> <<a>><% endfor %>"))
+    val out = ReshapeOps.expandDimensionMeta(m, "deaths__age_10",
+      Seq("age" -> "10"), observed = Map("age" -> Seq("10", "12")))
+    assert(out.description.contains("Deaths at 10; ages covered: 10 12"), out.description)
+    // exactly one dimension: plain `values` resolves too
+    val single = ReshapeOps.expandDimensionMeta(
+      VariableMeta(title = Some("T"), description = Some("<% for v in values %>(<<v>>)<% endfor %>")),
+      "t__age_10", Seq("age" -> "10"), observed = Map("age" -> Seq("10", "12")))
+    assert(single.description.contains("(10)(12)"), single.description)
+    // loud: nested loops, loop var shadowing a dim, missing endfor,
+    // unresolved loop var leaking past the loop
+    assert(intercept[IllegalArgumentException](ReshapeOps.expandTemplate(
+      "<% for a in sex_values %><% for b in sex_values %>x<% endfor %><% endfor %>",
+      Map.empty, lists)).getMessage.contains("nested"))
+    assert(intercept[IllegalArgumentException](ReshapeOps.expandTemplate(
+      "<% for sex in sex_values %>x<% endfor %>", Map("sex" -> "m"), lists))
+      .getMessage.contains("shadows"))
+    assert(intercept[IllegalArgumentException](ReshapeOps.expandTemplate(
+      "<% for v in sex_values %>x", Map.empty, lists))
+      .getMessage.contains("missing <% endfor %>"))
+    assert(intercept[IllegalArgumentException](ReshapeOps.expandTemplate(
+      "<% for v in sex_values %>x<% endfor %> then <<v>>", Map("sex" -> "m"), lists))
+      .getMessage.contains("unknown dimension"))
   }
 }

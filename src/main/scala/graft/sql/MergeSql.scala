@@ -126,15 +126,28 @@ object LakeCatalog {
 
 /** Analyzer rule: MERGE INTO <registered lake table> → [[GraftMergeIntoCommand]].
   *
-  * The statement's shape is VALIDATED, not ignored: only the canonical CDC
-  * upsert — `ON` equating exactly the key columns, `WHEN MATCHED THEN
-  * UPDATE SET *`, `WHEN NOT MATCHED THEN INSERT *`, no other clauses — is
-  * accepted; anything else (DELETE actions, partial SET lists, extra
+  * The statement's shape is VALIDATED, not ignored: exactly the CDC
+  * shapes below are accepted; anything else (partial SET lists, extra
   * conditions, non-key ON) fails loudly instead of silently executing
   * different semantics than the user wrote.
+  *
+  *   1. `WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`
+  *      — the upsert; op/lsn columns in the source drive deletes + order.
+  *   2. `WHEN MATCHED AND <src-cond> THEN DELETE WHEN MATCHED THEN UPDATE
+  *      SET * WHEN NOT MATCHED THEN INSERT *` — the Delta/Iceberg
+  *      CDC-apply form: source rows satisfying `<src-cond>` (which must
+  *      reference ONLY source columns) become tombstones, the rest
+  *      upsert. DOCUMENTED divergence from strict SQL MERGE, same family
+  *      as the existing multi-match LSN resolution: a condition-matching
+  *      row whose key is ABSENT from the target is a tombstone no-op,
+  *      never re-routed to the INSERT clause (re-inserting delete events
+  *      is the classic CDC MERGE footgun).
+  *   3. `WHEN MATCHED THEN DELETE` (no other clauses) — pure delete:
+  *      every source row becomes a tombstone for its key; absent keys
+  *      are no-ops.
   */
 case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
-  import org.apache.spark.sql.catalyst.plans.logical.{InsertStarAction, UpdateStarAction}
+  import org.apache.spark.sql.catalyst.plans.logical.{DeleteAction, InsertStarAction, UpdateStarAction}
 
   import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
 
@@ -172,18 +185,56 @@ case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
     if (pairs.forall(_.isDefined)) Some(pairs.flatten.toSet) else None
   }
 
-  private def validate(m: MergeIntoTable, name: String): Unit = {
+  /** Validated statement shape: an optional source-side DELETE condition
+    * (shape 2) or a pure delete (shape 3).
+    */
+  private case class MergeShape(deleteCond: Option[Expression], pureDelete: Boolean)
+
+  private def validate(m: MergeIntoTable, name: String): MergeShape = {
     def fail(why: String): Nothing = throw new IllegalArgumentException(
       s"MERGE INTO lake table '$name': $why — the lake MERGE surface supports exactly " +
-      "the CDC upsert shape: ON <key equality> WHEN MATCHED THEN UPDATE SET * " +
-      "WHEN NOT MATCHED THEN INSERT * (op/lsn columns in the source drive deletes + ordering)")
-    m.matchedActions match {
-      case Seq(UpdateStarAction(None)) =>
+      "the CDC shapes: ON <key equality> with WHEN MATCHED THEN UPDATE SET * " +
+      "WHEN NOT MATCHED THEN INSERT * (optionally preceded by WHEN MATCHED AND " +
+      "<source condition> THEN DELETE), or WHEN MATCHED THEN DELETE alone " +
+      "(op/lsn columns in the source drive deletes + ordering)")
+
+    // a DELETE condition runs against the SOURCE rows (tombstone routing);
+    // it must therefore reference only source columns — a target-side
+    // predicate (t.ts < s.ts) cannot be evaluated pre-merge and is loud
+    def sourceOnly(cond: Expression): Expression = {
+      val srcAlias = m.sourceTable match {
+        case org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(id, _) =>
+          Some(id.name.toLowerCase)
+        case _ => None
+      }
+      val srcCols = m.sourceTable.output.map(_.name.toLowerCase).toSet
+      cond.transform {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          val parts = a.nameParts
+          val ok = (parts.size == 1 && srcCols.contains(parts.head.toLowerCase)) ||
+            (parts.size == 2 && srcAlias.contains(parts.head.toLowerCase) &&
+              srcCols.contains(parts.last.toLowerCase))
+          if (!ok) fail(s"DELETE condition must reference only source columns " +
+            s"(${srcCols.toSeq.sorted.mkString(", ")}); found '${a.sql}'")
+          org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute(Seq(parts.last))
+        case a: Attribute if !m.sourceTable.outputSet.contains(a) =>
+          fail(s"DELETE condition must reference only source columns; found '${a.sql}'")
+      }
+    }
+
+    val shape = m.matchedActions match {
+      case Seq(UpdateStarAction(None)) => MergeShape(None, pureDelete = false)
+      case Seq(DeleteAction(Some(c)), UpdateStarAction(None)) =>
+        MergeShape(Some(sourceOnly(c)), pureDelete = false)
+      case Seq(DeleteAction(None)) => MergeShape(None, pureDelete = true)
       case other => fail(s"unsupported WHEN MATCHED actions $other")
     }
-    m.notMatchedActions match {
-      case Seq(InsertStarAction(None)) =>
-      case other => fail(s"unsupported WHEN NOT MATCHED actions $other")
+    (m.notMatchedActions, shape.pureDelete) match {
+      case (Seq(InsertStarAction(None)), false) =>
+      case (Seq(), true) =>
+      case (other, true) => fail(s"WHEN MATCHED THEN DELETE (pure delete) cannot be " +
+        s"combined with NOT MATCHED actions $other")
+      case (other, false) => fail(s"unsupported WHEN NOT MATCHED actions $other")
     }
     if (m.notMatchedBySourceActions.nonEmpty)
       fail("WHEN NOT MATCHED BY SOURCE is not supported")
@@ -197,6 +248,7 @@ case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
         fail("ON condition must be a conjunction of same-name key equalities " +
           s"(t.k = s.k for k in ${keys.mkString(", ")}); found: ${m.mergeCondition.sql}")
     }
+    shape
   }
 
   /** `MERGE INTO t AS x` parses as SubqueryAlias(x, UnresolvedRelation(t))
@@ -216,16 +268,32 @@ case class GraftMergeRule(session: SparkSession) extends Rule[LogicalPlan] {
         case Some(u) if m.sourceTable.resolved &&
             LakeCatalog.lookup(session, u.multipartIdentifier.mkString(".")).isDefined =>
           val name = u.multipartIdentifier.mkString(".")
-          validate(m, name)
-          GraftMergeIntoCommand(LakeCatalog.lookup(session, name).get, m.sourceTable)
+          val shape = validate(m, name)
+          GraftMergeIntoCommand(LakeCatalog.lookup(session, name).get, m.sourceTable,
+            shape.deleteCond.map(org.apache.spark.sql.graftglue.column),
+            shape.pureDelete)
         case _ => m
       }
   }
 }
 
-/** Eagerly-executed command carrying the resolved source plan. */
-case class GraftMergeIntoCommand(tableDir: String, source: LogicalPlan)
+/** Eagerly-executed command carrying the resolved source plan.
+  *
+  * `deleteCond` (shape 2) routes the source rows satisfying it to
+  * `op = 'D'`; `pureDelete` (shape 3) tombstones every source row. Both
+  * ride the engine's existing delete semantics — max-LSN resolution,
+  * absent-key tombstones as no-ops.
+  */
+case class GraftMergeIntoCommand(
+    tableDir: String, source: LogicalPlan,
+    // the DELETE routing condition rides as a Column, NOT a catalyst
+    // Expression field: an Expression field on a LEAF command is swept by
+    // CheckAnalysis (no children to resolve against) and fails analysis;
+    // the Column resolves naturally inside run()'s withColumn
+    deleteCond: Option[org.apache.spark.sql.Column] = None,
+    pureDelete: Boolean = false)
     extends LeafRunnableCommand {
+  import org.apache.spark.sql.functions.{col, lit, when}
 
   override def output: Seq[Attribute] = Seq(
     AttributeReference("epoch", LongType, nullable = false)(),
@@ -237,7 +305,18 @@ case class GraftMergeIntoCommand(tableDir: String, source: LogicalPlan)
 
   override def run(session: SparkSession): Seq[Row] = {
     val table = LakeTable.load(session, tableDir)
-    val df = org.apache.spark.sql.graftglue.ofRows(session, source)
+    val df0 = org.apache.spark.sql.graftglue.ofRows(session, source)
+    val df =
+      if (pureDelete) df0.withColumn("op", lit("D"))
+      else deleteCond match {
+        case Some(c) =>
+          // rows satisfying the DELETE clause become tombstones; the rest
+          // keep their source op (or upsert when the source carries none)
+          val fallback = if (df0.columns.exists(_.equalsIgnoreCase("op"))) col("op")
+                         else lit("U")
+          df0.withColumn("op", when(c, lit("D")).otherwise(fallback))
+        case None => df0
+      }
     val epoch = table.manifest.lastEpoch + 1
     val stats = CdcMerge.apply(table, df, epoch, streamId = "sql")
     Seq(Row(stats.epoch, stats.applied, stats.batchRows, stats.affectedBuckets))

@@ -57,13 +57,25 @@ class MergeSqlSpec extends SparkSpec {
         err.getMessage.toLowerCase.contains("table"))
 
       // statements whose semantics the CDC upsert would NOT honor are
-      // REJECTED loudly, never silently executed as an upsert
-      val del = intercept[Exception](s2.sql(
+      // REJECTED loudly, never silently executed as an upsert:
+      // pure delete combined with INSERT (can't insert tombstoned rows)
+      val delIns = intercept[Exception](s2.sql(
         """MERGE INTO lake_transcripts USING changes
           |ON lake_transcripts.conv_id = changes.conv_id
           |   AND lake_transcripts.turn_idx = changes.turn_idx
-          |WHEN MATCHED THEN DELETE""".stripMargin).collect())
-      assert(del.getMessage.contains("WHEN MATCHED"), del.getMessage)
+          |WHEN MATCHED THEN DELETE
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect())
+      assert(delIns.getMessage.contains("cannot be combined"), delIns.getMessage)
+      // DELETE condition referencing TARGET columns (not evaluable
+      // source-side) is loud, not silently mis-routed
+      val delTgt = intercept[Exception](s2.sql(
+        """MERGE INTO lake_transcripts USING changes
+          |ON lake_transcripts.conv_id = changes.conv_id
+          |   AND lake_transcripts.turn_idx = changes.turn_idx
+          |WHEN MATCHED AND lake_transcripts.text = 'x' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect())
+      assert(delTgt.getMessage.contains("source columns"), delTgt.getMessage)
       val badOn = intercept[Exception](s2.sql(
         """MERGE INTO lake_transcripts USING changes
           |ON lake_transcripts.conv_id = changes.conv_id
@@ -101,6 +113,71 @@ class MergeSqlSpec extends SparkSpec {
         nonEq.getMessage)
     } finally {
       LakeCatalog.unregister("lake_transcripts")
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+      rmrf(dir)
+    }
+  }
+
+  test("MERGE INTO SQL: WHEN MATCHED [AND cond] THEN DELETE maps to tombstones, == CdcMerge batch") {
+    val dir = tmpDir("mergesqldel")
+    spark.sparkContext
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      import s2.implicits._
+      def rows(rs: Seq[(String, String, String, Long)]) = rs.map { case (c, text, op, lsn) =>
+        (c, 0, "assistant", text, null.asInstanceOf[String],
+          new java.sql.Timestamp(1700000000000L + lsn), op, lsn)
+      }.toDF("conv_id", "turn_idx", "role", "text", "tool", "ts", "op", "lsn")
+      LakeTable.create(s2, s"$dir/t", Schemas.transcript, numBuckets = 2)
+      LakeCatalog.register("lake_del", s"$dir/t")
+      val twin = LakeTable.create(s2, s"$dir/twin", Schemas.transcript, numBuckets = 2)
+
+      rows(Seq(("a", "old a", "U", 1), ("b", "old b", "U", 2), ("c", "old c", "U", 3)))
+        .createOrReplaceTempView("seed")
+      s2.sql(
+        """MERGE INTO lake_del USING seed
+          |ON lake_del.conv_id = seed.conv_id AND lake_del.turn_idx = seed.turn_idx
+          |WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+
+      // conditional DELETE on a NON-op source column: 'a' is purged even
+      // though its op is 'U'; 'b' updates; 'd' inserts
+      val batch2 = rows(Seq(("a", "<purge>", "U", 10), ("b", "fresh b", "U", 11),
+        ("d", "new d", "U", 12)))
+      batch2.createOrReplaceTempView("changes2")
+      s2.sql(
+        """MERGE INTO lake_del USING changes2
+          |ON lake_del.conv_id = changes2.conv_id AND lake_del.turn_idx = changes2.turn_idx
+          |WHEN MATCHED AND changes2.text = '<purge>' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+      val table = LakeTable.load(s2, s"$dir/t")
+      def state(t: LakeTable) = t.snapshot().select("conv_id", "text")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(state(table) == Map("b" -> "fresh b", "c" -> "old c", "d" -> "new d"))
+
+      // the equivalent CdcMerge batches (DELETE clause == op-routed rows)
+      graft.merge.CdcMerge.apply(twin,
+        rows(Seq(("a", "old a", "U", 1), ("b", "old b", "U", 2), ("c", "old c", "U", 3))), 1L)
+      graft.merge.CdcMerge.apply(twin, batch2.withColumn("op",
+        when(col("text") === "<purge>", lit("D")).otherwise(col("op"))), 2L)
+      assert(state(LakeTable.load(s2, s"$dir/twin")) == state(table),
+        "SQL DELETE clause drifted from the equivalent CdcMerge batch")
+
+      // pure delete: matched keys tombstoned, ghost keys are no-ops
+      rows(Seq(("b", "", "U", 20), ("ghost", "", "U", 21)))
+        .createOrReplaceTempView("changes3")
+      s2.sql(
+        """MERGE INTO lake_del USING changes3
+          |ON lake_del.conv_id = changes3.conv_id AND lake_del.turn_idx = changes3.turn_idx
+          |WHEN MATCHED THEN DELETE""".stripMargin).collect()
+      assert(state(LakeTable.load(s2, s"$dir/t")) == Map("c" -> "old c", "d" -> "new d"))
+    } finally {
+      LakeCatalog.unregister("lake_del")
       SparkSession.setActiveSession(spark)
       SparkSession.setDefaultSession(spark)
       rmrf(dir)

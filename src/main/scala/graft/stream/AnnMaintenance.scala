@@ -96,12 +96,7 @@ object AnnMaintenance {
     table.pin(pinName, from)
     val follower = ChangelogFollower.follow(table, from, pollMs,
       pinName = Some(pinName)) { (changes, toVersion) =>
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(Schemas.KEY_COLS.map(col): _*)
-        .orderBy(LakeTable.resolveOrder(changes): _*)
-      val latest = keyed(changes.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn"))
-        .localCheckpoint(true)
+      val latest = DedupMaintenance.windowLatest(changes, "id")
       // tombstones AND null-embedding upserts both leave the index
       val removed = latest.filter(
         col(Schemas.DELETED_COL) || col(embedColumn).isNull).select("id")

@@ -63,6 +63,24 @@ object DedupMaintenance {
 
   private type AtomicLong = java.util.concurrent.atomic.AtomicLong
 
+  /** Per-key latest rows of a changelog window, keyed by the concatenated
+    * primary key — THE ONE window-resolve shared by every maintenance
+    * consumer (both dedup modes and the ANN loop), so the pick can never
+    * drift between them. Resolution order is [[LakeTable.resolveOrder]]
+    * (lsn, non-delete, payload-hash) — identical to the MOR read path even
+    * on contract-violating duplicate-LSN input. Eagerly checkpointed: each
+    * consumer derives several frames from it.
+    */
+  private[stream] def windowLatest(changes: DataFrame, keyName: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(Schemas.KEY_COLS.map(col): _*)
+      .orderBy(LakeTable.resolveOrder(changes): _*)
+    changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .withColumn(keyName, concat_ws("#", Schemas.KEY_COLS.map(col): _*))
+      .localCheckpoint(true)
+  }
+
   /** Store-checkpoint marker: the version the persisted store reflects
     * PLUS the LSH parameters it was built with — resuming with different
     * parameters against a stored signature set would silently miss every
@@ -102,6 +120,9 @@ object DedupMaintenance {
     * vacuum must retain the whole (checkpoint, current] replay window,
     * which is exactly what resume will re-read.
     */
+  @deprecated("in-memory store + marker-file resume is superseded by startLake: " +
+    "the lake-backed store holds O(batch) refreshes, partition-pruned probes and " +
+    "its own atomic watermark (one resume protocol, no side-channel markers)", "round-5")
   def start(table: LakeTable, textColumn: String, pairsDir: String,
             fromVersion: Long = 0L,
             initialStore: Option[DataFrame] = None,
@@ -127,16 +148,8 @@ object DedupMaintenance {
     val follower = ChangelogFollower.follow(table, fromVersion, pollMs,
       pinName = followerPin) { (changes, toVersion) =>
       // resolve latest-per-key INSIDE the window (a window can span
-      // several epochs of the same key). The shared LakeTable.resolveOrder
-      // keeps this pick identical to MOR resolve even on contract-violating
-      // duplicate-LSN input (non-delete first, then payload-hash).
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(Schemas.KEY_COLS.map(col): _*)
-        .orderBy(LakeTable.resolveOrder(changes): _*)
-      val latest = changes.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn")
-        .withColumn("key", concat_ws("#", Schemas.KEY_COLS.map(col): _*))
-        .localCheckpoint(true)
+      // several epochs of the same key) — the shared windowLatest
+      val latest = windowLatest(changes, "key")
       val deleted = latest.filter(col(Schemas.DELETED_COL)).select("key")
       val upserts = latest.filter(!col(Schemas.DELETED_COL))
         .select(col("key"), col(textColumn).as("text"))
@@ -331,13 +344,7 @@ object DedupMaintenance {
       val windows = new AtomicLong(0L)
       val follower = ChangelogFollower.follow(table, from, pollMs,
         pinName = Some(pinName)) { (changes, toVersion) =>
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(Schemas.KEY_COLS.map(col): _*)
-          .orderBy(LakeTable.resolveOrder(changes): _*)
-        val latest = changes.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
-          .withColumn("key", concat_ws("#", Schemas.KEY_COLS.map(col): _*))
-          .localCheckpoint(true)
+        val latest = windowLatest(changes, "key")
         val deleted = latest.filter(col(Schemas.DELETED_COL)).select("key")
         val upserts = latest.filter(!col(Schemas.DELETED_COL))
           .select(col("key"), col(textColumn).as("text"))
@@ -372,6 +379,7 @@ object DedupMaintenance {
     * pin in one atomic commit (the lake-table-backed store of NOTES
     * round-4 item 6 gets this for free).
     */
+  @deprecated("see start: startLake resumes from the store's own watermark", "round-5")
   def resume(table: LakeTable, textColumn: String, pairsDir: String,
              bands: Int = 8, rowsPerBand: Int = 4, minJaccard: Double = 0.7,
              pollMs: Long = 200L, pinName: String = "dedup-maintenance",

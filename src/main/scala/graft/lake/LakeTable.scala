@@ -199,6 +199,52 @@ final class LakeTable private (val root: Path, spark: SparkSession) {
     }
   }
 
+  /** RESTORE: make the live table state equal an earlier version's, as a
+    * NEW commit — history is preserved (Delta-style RESTORE semantics):
+    * time travel to any pre-restore version still works, and the restore
+    * itself appears in DESCRIBE HISTORY with op='restore'. The restored
+    * manifest re-references the source version's exact file set (content
+    * addressing makes this free — no data is copied or rewritten), keeps
+    * the FULL schema history (so pre-restore snapshots stay readable) but
+    * points currentSchemaId back at the source version's schema, and
+    * keeps the CURRENT stream txn watermark (streamId/lastSourceEpoch):
+    * restore is an admin op, not a source rewind — a live writer resumes
+    * exactly-once on top of the restored state without re-applying or
+    * skipping source batches.
+    *
+    * A restore is NOT representable as delta rows, so [[changesBetween]]
+    * refuses ranges that cross one (loud, never silently-partial) —
+    * changelog followers re-sync from a snapshot.
+    *
+    * Returns the NEW version. Fails loudly if `version`'s manifest is
+    * past the metadata-vacuum horizon or any of its data files were
+    * vacuumed.
+    */
+  def restoreTo(version: Long): Long = LakeTable.pathLock(root).synchronized {
+    val cur = currentVersion
+    require(version >= 1 && version < cur,
+      s"RESTORE: version $version is not an earlier version of this table (current=$cur)")
+    val src = scala.util.Try(manifestAt(version)).getOrElse(throw new IllegalStateException(
+      s"RESTORE: version $version's manifest is past the metadata-vacuum horizon"))
+    src.files.filterNot(f => Files.exists(root.resolve(f.path))) match {
+      case missing if missing.nonEmpty => throw new IllegalStateException(
+        s"RESTORE to version $version needs ${missing.size} data file(s) that were " +
+        s"vacuumed (e.g. ${missing.head.path}); raise vacuum keepVersions")
+      case _ =>
+    }
+    val curM = manifest
+    val restored = curM.copy(
+      version = cur + 1,
+      currentSchemaId = src.currentSchemaId,
+      files = src.files,
+      totalRows = src.totalRows,
+      maxLsn = src.maxLsn,
+      lineage = (curM.lineage :+ CommitInfo(cur + 1, curM.lastEpoch, 0L, Nil,
+        src.maxLsn, 0L, System.currentTimeMillis(), op = "restore")).takeRight(1000))
+    commit(restored, cur)
+    cur + 1
+  }
+
   /** Incremental changelog read: the change rows (including tombstones as
     * `_deleted = true`) committed in manifest versions (fromVersion,
     * toVersion] — i.e. the DELTA files those commits added. Compaction
@@ -214,7 +260,15 @@ final class LakeTable private (val root: Path, spark: SparkSession) {
     // compaction inside the range are still found (files must not have
     // been vacuumed yet — changelog retention == vacuum retention)
     val files = (fromVersion + 1 to toVersion).flatMap { v =>
-      manifestAt(v).files.filter(f => f.kind == FileEntry.DELTA && f.epoch > fromEpoch)
+      val mv = manifestAt(v)
+      // a RESTORE rolls state back by re-referencing OLD files — there are
+      // no delta rows that represent it, so a follower crossing it would
+      // silently miss the rollback. Refuse loudly; re-sync from a snapshot.
+      if (mv.lineage.lastOption.exists(ci => ci.version == v && ci.op == "restore"))
+        throw new IllegalStateException(
+          s"changelog read ($fromVersion, $toVersion] crosses a RESTORE at version $v, " +
+          "which is not representable as delta rows — re-sync the follower from a snapshot")
+      mv.files.filter(f => f.kind == FileEntry.DELTA && f.epoch > fromEpoch)
     }.distinctBy(_.path)
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)

@@ -58,7 +58,12 @@ final case class CommitInfo(
     upsertedBuckets: Seq[Int],
     maxLsn: Long,
     wallMs: Long,
-    committedAtMs: Long
+    committedAtMs: Long,
+    // commit kind for operations a changelog CANNOT represent as delta
+    // rows ("restore"); "" = ordinary write/compaction/metadata commit.
+    // Default keeps pre-field manifest JSON readable (json4s fills
+    // constructor defaults for absent fields).
+    op: String = ""
 )
 
 /** Snapshot manifest of a [[LakeTable]]. The manifest is the ONLY source of

@@ -49,6 +49,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
     """(?is)\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_.]*)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
   private val describeHistoryRe =
     """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+([A-Za-z_][A-Za-z0-9_.]*)(?:\s+LIMIT\s+(\d+))?\s*;?\s*""".r
+  private val restoreRe =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?([A-Za-z_][A-Za-z0-9_.]*)\s+(?:TO\s+)?(VERSION|TIMESTAMP)\s+AS\s+OF\s+(.+?)\s*;?\s*""".r
 
   /** First keyword AFTER leading whitespace and comments — a scheduler's
     * "-- nightly\nOPTIMIZE t" must reach the recognizer, not fall through
@@ -96,6 +98,22 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
           throw new IllegalArgumentException(
             "expected: VACUUM <lake table name> [RETAIN <n> VERSIONS]")
       }
+      case "RESTORE" => body match {
+        case restoreRe(name, kind, operand) => LakeCatalog.lookup(session, name) match {
+          case Some(dir) =>
+            if (kind.equalsIgnoreCase("VERSION")) {
+              val v = try operand.trim.toLong catch { case _: NumberFormatException =>
+                throw new IllegalArgumentException(
+                  s"RESTORE: VERSION AS OF expects a numeric manifest version (got '$operand')") }
+              GraftRestoreCommand(dir, Some(v), None)
+            } else GraftRestoreCommand(dir, None, Some(operand.trim))
+          case None => throw new IllegalArgumentException(
+            s"RESTORE: '$name' is not a registered lake table")
+        }
+        case _ =>
+          throw new IllegalArgumentException(
+            "expected: RESTORE [TABLE] <lake table name> [TO] VERSION AS OF <v> | TIMESTAMP AS OF <ts>")
+      }
       case "DESCRIBE" | "DESC" => body match {
         // ONLY the exact HISTORY form is ours. Everything else — plain
         // DESCRIBE <table> (including a table literally named `history`),
@@ -110,7 +128,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
         }
         case _ => delegate.parsePlan(sqlText)
       }
-      case _ => delegate.parsePlan(sqlText)
+      case _ => LakeChangesTvf.rewrite(session, delegate.parsePlan(sqlText))
     }
   }
 
@@ -169,6 +187,44 @@ case class GraftBloomCommand(tableDir: String) extends LeafRunnableCommand {
   }
 }
 
+/** RESTORE [TABLE] t [TO] VERSION AS OF v | TIMESTAMP AS OF ts — roll the
+  * live table state back to an earlier version as a NEW commit
+  * ([[LakeTable.restoreTo]]: history preserved, no data copied, changelog
+  * reads across the restore refuse loudly). The TIMESTAMP form resolves
+  * through commit lineage wall-clock exactly like SELECT's TIMESTAMP AS
+  * OF. The timestamp operand travels as its SQL TEXT and is parsed +
+  * Cast-evaluated at run time — an Expression field on a leaf command
+  * would trip CheckAnalysis while unresolved.
+  */
+case class GraftRestoreCommand(tableDir: String, version: Option[Long],
+                               tsSql: Option[String]) extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("restored_to_version", LongType, nullable = false)(),
+    AttributeReference("new_version", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val table = LakeTable.load(session, tableDir)
+    val target = version.getOrElse {
+      // evaluate through the full analyzer (a parse-time Expression may be
+      // an unresolved function call like timestamp_millis(...)); the cast
+      // runs in the session time zone like SELECT's TIMESTAMP AS OF
+      val millis = try {
+        val row = session.sql(s"SELECT CAST((${tsSql.get}) AS TIMESTAMP)").collect()(0)
+        if (row.isNullAt(0)) throw new IllegalArgumentException(
+          s"RESTORE: '${tsSql.get}' is not a timestamp")
+        row.getTimestamp(0).getTime
+      } catch {
+        case ia: IllegalArgumentException => throw ia
+        case other: Exception => throw new IllegalArgumentException(
+          s"RESTORE: TIMESTAMP AS OF operand '${tsSql.get}' did not evaluate to a timestamp", other)
+      }
+      table.versionAtTimestamp(millis)
+    }
+    val newV = table.restoreTo(target)
+    Seq(Row(target, newV))
+  }
+}
+
 /** DESCRIBE HISTORY: the commit lineage newest-first. Reads the CURRENT
   * manifest's lineage window (capped at the manifest's retained entries;
   * older commits live in older manifests until the metadata vacuum
@@ -183,14 +239,16 @@ case class GraftDescribeHistoryCommand(tableDir: String, limit: Option[Int])
     AttributeReference("batch_rows", LongType, nullable = false)(),
     AttributeReference("upserted_buckets", IntegerType, nullable = false)(),
     AttributeReference("max_lsn", LongType, nullable = false)(),
-    AttributeReference("wall_ms", LongType, nullable = false)())
+    AttributeReference("wall_ms", LongType, nullable = false)(),
+    AttributeReference("op", org.apache.spark.sql.types.StringType, nullable = false)())
 
   override def run(session: SparkSession): Seq[Row] = {
     val table = LakeTable.load(session, tableDir)
     val entries = table.manifest.lineage.sortBy(-_.version)
     limit.fold(entries)(entries.take(_)).map(c => Row(
       c.version, new java.sql.Timestamp(c.committedAtMs), c.epoch, c.batchRows,
-      c.upsertedBuckets.size, c.maxLsn, c.wallMs))
+      c.upsertedBuckets.size, c.maxLsn, c.wallMs,
+      if (c.op.isEmpty) "write" else c.op))
   }
 }
 

@@ -105,3 +105,50 @@ case class GraftSelectRule(session: SparkSession) extends Rule[LogicalPlan] {
     Math.floorDiv(micros, 1000L)
   }
 }
+
+/** Changelog as a table-valued function — the "read the lake table as a
+  * CDC feed" API on the SQL surface (Delta's `table_changes` shape):
+  *
+  *   SELECT * FROM lake_changes('t', <fromVersion> [, <toVersion>])
+  *
+  * Rows are the delta rows committed in (from, to] including tombstones
+  * (`_deleted` = true); refuses ranges crossing a RESTORE or vacuumed
+  * deltas, exactly like [[LakeTable.changesBetween]].
+  *
+  * Resolved at PARSE time ([[GraftSqlParser]] rewrites the node in the
+  * freshly parsed plan): the analyzer's own ResolveFunctions rule
+  * fail-fasts on unknown table-valued functions BEFORE injected
+  * resolution rules run, so an analyzer rule never sees the node.
+  */
+object LakeChangesTvf {
+  import org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+  import org.apache.spark.sql.catalyst.expressions.Expression
+
+  def rewrite(session: SparkSession, plan: LogicalPlan): LogicalPlan =
+    plan.transformUp {
+      case tvf: UnresolvedTableValuedFunction
+          if tvf.name.map(_.toLowerCase) == Seq("lake_changes") =>
+        val args = tvf.functionArgs
+        require(args.size == 2 || args.size == 3,
+          "lake_changes(<table name>, <fromVersion> [, <toVersion>]) takes 2 or 3 arguments")
+        def evalStr(e: Expression): String = e.eval(null) match {
+          case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+          case other => throw new IllegalArgumentException(
+            s"lake_changes: expected a string table name, got '${e.sql}' ($other)")
+        }
+        def evalLong(e: Expression): Long = e.eval(null) match {
+          case i: Int => i.toLong
+          case l: Long => l
+          case other => throw new IllegalArgumentException(
+            s"lake_changes: expected a numeric version, got '${e.sql}' ($other)")
+        }
+        val name = evalStr(args.head)
+        val dir = LakeCatalog.lookup(session, name).getOrElse(
+          throw new IllegalArgumentException(
+            s"lake_changes: '$name' is not a registered lake table"))
+        val table = LakeTable.load(session, dir)
+        val from = evalLong(args(1))
+        val to = if (args.size == 3) evalLong(args(2)) else table.currentVersion
+        table.changesBetween(from, to).queryExecution.analyzed
+    }
+}

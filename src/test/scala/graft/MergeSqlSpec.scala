@@ -424,4 +424,78 @@ class MergeSqlSpec extends SparkSpec {
       rmrf(dir)
     }
   }
+
+  test("RESTORE TABLE statement, lake_changes TVF, and DESCRIBE HISTORY op column") {
+    val dir = tmpDir("restoresql")
+    spark.sparkContext
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      val cfg = WalGen.Config(numEvents = 4000, numConvs = 40)
+      val table = LakeTable.create(s2, s"$dir/t", Schemas.transcript, numBuckets = 2)
+      LakeCatalog.register("lake_rest", s"$dir/t")
+      graft.merge.CdcMerge.apply(table, WalGen.events(s2, cfg, 0, 2000).toDF(), 0L)
+      val v1 = table.currentVersion
+      val rowsV1 = table.snapshot().count()
+      Thread.sleep(10)
+      graft.merge.CdcMerge.apply(table, WalGen.events(s2, cfg, 2000, 4000).toDF(), 1L)
+      val v2 = table.currentVersion
+      val rowsV2 = table.snapshot().count()
+
+      // changelog TVF: (0, v1] = batch-0 deltas; joins/aggregates like any relation
+      val ch1 = s2.sql(s"SELECT count(*) AS n FROM lake_changes('lake_rest', 0, $v1)")
+        .collect()(0).getLong(0)
+      assert(ch1 > 0)
+      val tomb = s2.sql(
+        s"SELECT count(*) AS n FROM lake_changes('lake_rest', 0, $v2) WHERE _deleted")
+        .collect()(0).getLong(0)
+      assert(tomb > 0) // tombstones surface as _deleted rows
+      // 2-arg form defaults toVersion to the current version
+      assert(s2.sql(s"SELECT count(*) AS n FROM lake_changes('lake_rest', 0)")
+        .collect()(0).getLong(0) ==
+        s2.sql(s"SELECT count(*) AS n FROM lake_changes('lake_rest', 0, $v2)")
+          .collect()(0).getLong(0))
+      val unknown = intercept[Exception](
+        s2.sql("SELECT * FROM lake_changes('nope', 0)").collect())
+      assert(unknown.getMessage.contains("not a registered"), unknown.getMessage)
+
+      // RESTORE ... VERSION AS OF: rolls back as a NEW commit
+      val res = s2.sql(s"RESTORE TABLE lake_rest TO VERSION AS OF $v1").collect()(0)
+      assert(res.getLong(0) == v1 && res.getLong(1) == v2 + 1)
+      assert(s2.sql("SELECT count(*) FROM lake_rest").collect()(0).getLong(0) == rowsV1)
+      // pre-restore state still time-travelable through SQL
+      assert(s2.sql(s"SELECT count(*) FROM lake_rest VERSION AS OF $v2")
+        .collect()(0).getLong(0) == rowsV2)
+      // DESCRIBE HISTORY marks the restore
+      val hist = s2.sql("DESCRIBE HISTORY lake_rest LIMIT 1").collect()(0)
+      assert(hist.getLong(hist.fieldIndex("version")) == v2 + 1)
+      assert(hist.getString(hist.fieldIndex("op")) == "restore")
+      // a changelog range crossing the restore is refused loudly
+      val cross = intercept[Exception](
+        s2.sql(s"SELECT * FROM lake_changes('lake_rest', $v2)").collect())
+      assert(cross.getMessage.contains("RESTORE"), cross.getMessage)
+
+      // RESTORE ... TIMESTAMP AS OF resolves through commit wall-clock:
+      // an instant just before v2's commit restores v1's state again
+      graft.merge.CdcMerge.apply(table, WalGen.events(s2, cfg, 2000, 4000).toDF(), 2L)
+      assert(s2.sql("SELECT count(*) FROM lake_rest").collect()(0).getLong(0) == rowsV2)
+      val tV2 = table.manifest.lineage.find(_.version == v2).get.committedAtMs
+      s2.sql(s"RESTORE lake_rest TIMESTAMP AS OF timestamp_millis(${tV2 - 1})").collect()
+      assert(s2.sql("SELECT count(*) FROM lake_rest").collect()(0).getLong(0) == rowsV1)
+
+      // malformed / unknown-table forms fail with the expected shapes
+      val badV = intercept[Exception](s2.sql("RESTORE lake_rest VERSION AS OF abc").collect())
+      assert(badV.getMessage.contains("numeric"), badV.getMessage)
+      val noTable = intercept[Exception](s2.sql("RESTORE nope VERSION AS OF 1").collect())
+      assert(noTable.getMessage.contains("not a registered"), noTable.getMessage)
+    } finally {
+      LakeCatalog.unregister("lake_rest")
+      SparkSession.setActiveSession(spark)
+      SparkSession.setDefaultSession(spark)
+      rmrf(dir)
+    }
+  }
 }

@@ -161,4 +161,49 @@ class TimeTravelSpec extends SparkSpec {
       assert(table.pins.contains("ivm"))
     } finally rmrf(dir)
   }
+
+  test("restoreTo rolls the live state back as a NEW commit; history preserved; changelog refuses to cross it") {
+    val dir = tmpDir("ttr")
+    val cfg = WalGen.Config(numEvents = 6000, numConvs = 60)
+    try {
+      val table = LakeTable.create(spark, s"$dir/t", Schemas.transcript, numBuckets = 4)
+      val versionAfter = (0 until 3).map { b =>
+        CdcMerge.apply(table, WalGen.events(spark, cfg, b * 2000L, (b + 1) * 2000L).toDF(), b.toLong)
+        table.currentVersion
+      }
+      val (v1, v3) = (versionAfter(0), versionAfter(2))
+      def state(df: org.apache.spark.sql.DataFrame) =
+        df.select("conv_id", "turn_idx", "text").collect()
+          .map(r => ((r.getString(0), r.getInt(1)), r.getString(2))).toMap
+      val stateV1 = state(table.snapshotAt(v1))
+      val stateV3 = state(table.snapshotAt(v3))
+
+      val newV = table.restoreTo(v1)
+      assert(newV == v3 + 1 && table.currentVersion == newV)
+      // live state == v1's, without copying data (same file paths re-referenced)
+      assert(state(table.snapshot()) == stateV1)
+      assert(table.manifest.files.map(_.path).toSet ==
+        table.manifestAt(v1).files.map(_.path).toSet)
+      // history preserved: the pre-restore state is still readable
+      assert(state(table.snapshotAt(v3)) == stateV3)
+      // the restore is a first-class lineage entry
+      assert(table.manifest.lineage.last.op == "restore")
+      assert(table.manifest.lineage.last.version == newV)
+      // a changelog range crossing the restore refuses loudly
+      val ex = intercept[IllegalStateException](table.changesBetween(v3, newV).count())
+      assert(ex.getMessage.contains("RESTORE"), ex.getMessage)
+      // ranges entirely before it still read
+      assert(table.changesBetween(v1, v3).count() > 0)
+      // writes continue on top of the restored state with exactly-once
+      // tracking intact: replaying batch 1 reconverges to the 4000-event oracle
+      CdcMerge.apply(table, WalGen.events(spark, cfg, 2000L, 4000L).toDF(), 10L)
+      val oracle4 = WalGen.oracleState(cfg.copy(numEvents = 4000))
+      assert(state(table.snapshot()) == oracle4.map { case (k, e) => k -> e.text })
+      // changelog AFTER the restore reads the new deltas only
+      assert(table.changesBetween(newV, table.currentVersion).count() > 0)
+      // restore targets must be strictly earlier, existing versions
+      intercept[IllegalArgumentException](table.restoreTo(table.currentVersion))
+      intercept[Exception](table.restoreTo(0L))
+    } finally rmrf(dir)
+  }
 }

@@ -61,12 +61,17 @@ object BenchHistory {
   }
 
   /** Per-query min seconds from the PREVIOUS full run's BENCH/BENCH.json —
-    * the reference point for the outlier re-measure pass. */
-  def priorQueryMins(): Map[String, Double] = {
+    * the reference point for the outlier re-measure pass. Empty when the
+    * prior run used a different scale factor (not comparable). */
+  def priorQueryMins(sfDir: String): Map[String, Double] = {
     val p = Paths.get("BENCH/BENCH.json")
     if (!Files.exists(p)) Map.empty
     else try {
       val j = JsonMethods.parse(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+      (j \ "sf") match {
+        case org.json4s.JString(s) if s != sfDir => return Map.empty
+        case _ =>
+      }
       (j \ "queries") match {
         case org.json4s.JObject(fields) => fields.collect {
           case (k, org.json4s.JDouble(v)) => k -> v
@@ -204,7 +209,7 @@ object Bench {
     // recorded min (BENCH/BENCH.json from the last run) gets one more
     // isolated measurement; the min of three is reported and the query is
     // listed under `remeasured` so the number's provenance is explicit.
-    val priorMins = BenchHistory.priorQueryMins()
+    val priorMins = BenchHistory.priorQueryMins(sfDir)
     val remeasured = scala.collection.mutable.ArrayBuffer.empty[String]
     val results2 = results.map { case (name, t) =>
       val prior = priorMins.get(name)

@@ -88,7 +88,10 @@ object ReshapeOps {
   // loudly — a raw template leaking into published metadata is worse
   // than an error.
 
-  private val PlaceholderRe = "<<\\s*([A-Za-z0-9_]+)\\s*>>".r
+  private val PlaceholderRe =
+    "<<\\s*([A-Za-z0-9_]+)\\s*((?:\\|\\s*[A-Za-z_]+(?:\\([^)]*\\))?\\s*)*)>>".r
+  private val FilterRe = "\\|\\s*([A-Za-z_]+)(?:\\(([^)]*)\\))?".r
+  private val FilterArgRe = "\"([^\"]*)\"|'([^']*)'".r
   private val IfRe =
     "<%\\s*if\\s+([A-Za-z0-9_]+)\\s*(==|!=)\\s*(?:\"([^\"]*)\"|'([^']*)')\\s*%>".r
   private val ElseRe = "<%\\s*else\\s*%>".r
@@ -97,7 +100,70 @@ object ReshapeOps {
     "<%\\s*for\\s+([A-Za-z0-9_]+)\\s+in\\s+([A-Za-z0-9_]+)\\s*%>".r
   private val EndforRe = "<%\\s*endfor\\s*%>".r
 
-  def usesTemplate(s: String): Boolean = s.contains("<<") || s.contains("<%")
+  def usesTemplate(s: String): Boolean =
+    s.contains("<<") || s.contains("<%") || s.contains("<#")
+
+  /** Strip `<# … #>` comment blocks — the comment delimiters the
+    * reference's jinja environment configures (`grapher_helpers.py:26-34`).
+    * Stripped FIRST, so a commented-out control tag is gone before the
+    * control scan (jinja semantics). Unterminated comments are loud.
+    */
+  private def stripComments(text: String): String = {
+    if (!text.contains("<#")) return text
+    val sb = new StringBuilder
+    var rest = text
+    while (rest.contains("<#")) {
+      val at = rest.indexOf("<#")
+      sb.append(rest.substring(0, at))
+      val end = rest.indexOf("#>", at + 2)
+      require(end >= 0, s"unterminated comment '<#' in template '$text'")
+      rest = rest.substring(end + 2)
+    }
+    sb.append(rest)
+    sb.toString
+  }
+
+  /** Apply a `| filter | filter(args)` chain — the small jinja filter set
+    * metadata templates actually use. `value` is None for an UNDEFINED
+    * placeholder, which only `default(...)` may resolve; any other filter
+    * on an undefined name stays loud. Unknown filters are rejected by
+    * name — a raw filter leaking into published metadata is worse than an
+    * error.
+    */
+  private def applyFilters(value: Option[String], chain: String,
+                           name: String, template: String): String = {
+    var v = value
+    for (m <- FilterRe.findAllMatchIn(chain)) {
+      val fn = m.group(1)
+      val args = Option(m.group(2)).toSeq.flatMap(raw =>
+        FilterArgRe.findAllMatchIn(raw).map(am =>
+          Option(am.group(1)).getOrElse(am.group(2))).toSeq)
+      (fn, v) match {
+        case ("default", None) => v = Some(args.headOption.getOrElse(""))
+        case ("default", Some(_)) => () // defined: jinja keeps the value
+        case (_, None) => throw new IllegalArgumentException(
+          s"unknown dimension '<<$name>>' in template '$template' " +
+          s"(only '| default(...)' may resolve an undefined name)")
+        case ("upper", Some(x)) => v = Some(x.toUpperCase)
+        case ("lower", Some(x)) => v = Some(x.toLowerCase)
+        case ("capitalize", Some(x)) =>
+          v = Some(x.take(1).toUpperCase + x.drop(1).toLowerCase)
+        case ("title", Some(x)) =>
+          v = Some(x.split(" ", -1).map(w =>
+            w.take(1).toUpperCase + w.drop(1).toLowerCase).mkString(" "))
+        case ("trim", Some(x)) => v = Some(x.trim)
+        case ("replace", Some(x)) =>
+          require(args.size == 2,
+            s"'| replace' takes two quoted arguments in template '$template'")
+          v = Some(x.replace(args(0), args(1)))
+        case (other, Some(_)) => throw new IllegalArgumentException(
+          s"unsupported template filter '| $other' in template '$template' " +
+          "(supported: default, upper, lower, capitalize, title, trim, replace)")
+      }
+    }
+    v.getOrElse(throw new IllegalArgumentException(
+      s"unknown dimension '<<$name>>' in template '$template'"))
+  }
 
   /** Evaluate the BOUNDED control subset — the conditionals and loops of
     * the reference's `_expand_jinja` (`etl/grapher_helpers.py:194-232`)
@@ -161,9 +227,12 @@ object ReshapeOps {
             s"nested template control blocks are not supported: '$text'")
           // bind ONLY the loop variable per iteration; other placeholders
           // stay for the later <<dim>> pass
-          val varRe = ("<<\\s*" + java.util.regex.Pattern.quote(loopVar) + "\\s*>>").r
+          val varRe = ("<<\\s*" + java.util.regex.Pattern.quote(loopVar) +
+            "\\s*((?:\\|\\s*[A-Za-z_]+(?:\\([^)]*\\))?\\s*)*)>>").r
           vals.foreach(v =>
-            sb.append(varRe.replaceAllIn(inner, java.util.regex.Matcher.quoteReplacement(v))))
+            sb.append(varRe.replaceAllIn(inner, mm =>
+              java.util.regex.Matcher.quoteReplacement(
+                applyFilters(Some(v), Option(mm.group(1)).getOrElse(""), loopVar, text)))))
           rest = afterFor.substring(endfor.end)
         case (None, None) => throw new IllegalArgumentException(
           "unsupported template control block (supported subset: " +
@@ -186,13 +255,16 @@ object ReshapeOps {
     */
   def expandTemplate(text: String, dims: Map[String, String],
                      lists: Map[String, Seq[String]] = Map.empty): String = {
-    val resolved = evalControlBlocks(text, dims, lists)
+    val resolved = evalControlBlocks(stripComments(text), dims, lists)
     PlaceholderRe.replaceAllIn(resolved, m => {
       val k = m.group(1)
-      java.util.regex.Matcher.quoteReplacement(dims.getOrElse(k,
+      val chain = Option(m.group(2)).getOrElse("")
+      val base = dims.get(k)
+      if (base.isEmpty && !chain.contains("default"))
         throw new IllegalArgumentException(
           s"unknown dimension '<<$k>>' in template '$text'; " +
-          s"have: ${dims.keys.toSeq.sorted.mkString(", ")}")))
+          s"have: ${dims.keys.toSeq.sorted.mkString(", ")}")
+      java.util.regex.Matcher.quoteReplacement(applyFilters(base, chain, k, text))
     })
   }
 

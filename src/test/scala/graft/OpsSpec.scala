@@ -386,4 +386,38 @@ class OpsSpec extends SparkSpec {
       "<% for v in sex_values %>x<% endfor %> then <<v>>", Map("sex" -> "m"), lists))
       .getMessage.contains("unknown dimension"))
   }
+
+  test("jinja comments and the bounded filter set in templates; unknown filters are loud") {
+    val dims = Map("sex" -> "male", "age" -> "10-18")
+    // comments vanish, including commented-out control tags (stripped
+    // BEFORE the control scan — jinja semantics)
+    assert(ReshapeOps.expandTemplate("a<# hidden #>b", dims) == "ab")
+    assert(ReshapeOps.expandTemplate(
+      "<# <% if sex == 'x' %>never<% endif %> #>kept <<sex>>", dims) == "kept male")
+    assert(intercept[IllegalArgumentException](ReshapeOps.expandTemplate(
+      "a<# open", dims)).getMessage.contains("unterminated"))
+    // the filter chain: upper/lower/capitalize/title/trim/replace compose
+    assert(ReshapeOps.expandTemplate("<<sex | upper>>", dims) == "MALE")
+    assert(ReshapeOps.expandTemplate("<<sex | capitalize>>", dims) == "Male")
+    assert(ReshapeOps.expandTemplate(
+      "<<age | replace(\"-\", \" to \")>> years", dims) == "10 to 18 years")
+    assert(ReshapeOps.expandTemplate(
+      "<<sex | upper | replace('MALE', 'M')>>", dims) == "M")
+    assert(ReshapeOps.expandTemplate(
+      "<<cause | default('all causes') | title>>", dims) == "All Causes")
+    // defined value: default is a no-op (jinja semantics)
+    assert(ReshapeOps.expandTemplate("<<sex | default('none')>>", dims) == "male")
+    // filters bind on loop variables too
+    assert(ReshapeOps.expandTemplate(
+      "<% for v in sex_values %>[<<v | upper>>]<% endfor %>",
+      dims, Map("sex_values" -> Seq("female", "male"))) == "[FEMALE][MALE]")
+    // loud: unknown filter, non-default filter on an undefined name,
+    // undefined name without a default
+    assert(intercept[IllegalArgumentException](ReshapeOps.expandTemplate(
+      "<<sex | shout>>", dims)).getMessage.contains("unsupported template filter"))
+    assert(intercept[IllegalArgumentException](ReshapeOps.expandTemplate(
+      "<<cause | upper>>", dims)).getMessage.contains("unknown dimension"))
+    assert(intercept[IllegalArgumentException](ReshapeOps.expandTemplate(
+      "<<cause>>", dims)).getMessage.contains("unknown dimension"))
+  }
 }

@@ -62,6 +62,19 @@ object TableIO {
     schema.map(r.schema).getOrElse(r).json(path)
   }
 
+  /** Excel origin reader (capability of `pr.read_excel` via the format
+    * dispatch in `lib/datautils/owid/datautils/io/df.py:81`): pure-JVM
+    * OOXML parse ([[XlsxReader]]), snake_case-normalized like the csv
+    * reader.
+    */
+  def readExcel(spark: SparkSession, path: String, sheet: Option[String] = None): DataFrame =
+    TableOps.underscore(XlsxReader.read(spark, path, sheet))
+
+  /** Feather v2 (Arrow IPC file) origin reader (capability of
+    * `pd.read_feather`, `io/df.py:74`) via [[FeatherReader]]. */
+  def readFeather(spark: SparkSession, path: String): DataFrame =
+    FeatherReader.read(spark, path)
+
   /** Width-narrowing repack: integral columns are downcast to the smallest
     * integer type that fits their observed min/max (lossless part of
     * owid-etl's `repack_series`/`shrink_integer`,

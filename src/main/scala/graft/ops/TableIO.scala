@@ -75,6 +75,11 @@ object TableIO {
   def readFeather(spark: SparkSession, path: String): DataFrame =
     FeatherReader.read(spark, path)
 
+  /** Row-oriented XML origin reader (capability of `pd.read_xml`,
+    * `io/df.py:82`) via [[XmlReader]], snake_case-normalized. */
+  def readXml(spark: SparkSession, path: String, rowTag: Option[String] = None): DataFrame =
+    TableOps.underscore(XmlReader.read(spark, path, rowTag))
+
   /** Width-narrowing repack: integral columns are downcast to the smallest
     * integer type that fits their observed min/max (lossless part of
     * owid-etl's `repack_series`/`shrink_integer`,

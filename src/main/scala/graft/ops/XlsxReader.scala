@@ -123,11 +123,6 @@ object XlsxReader {
       elems(doc, "si").map(si => childElems(si, "t").map(_.getTextContent).mkString).toIndexedSeq
     }.getOrElse(IndexedSeq.empty)
 
-  private val LongRe = "[+-]?\\d{1,19}".r
-  private def isLong(s: String) =
-    LongRe.matches(s) && scala.util.Try(s.toLong).isSuccess
-  private def isDouble(s: String) = scala.util.Try(s.toDouble).isSuccess
-
   /** Read one sheet into a DataFrame: first row = header, remaining rows =
     * data, per-column types inferred (long → double → boolean → string).
     */
@@ -159,32 +154,54 @@ object XlsxReader {
       val data = grid.tail.map(pad)
       // drop fully-empty trailing rows (grid XML often carries them)
       val rows = data.filterNot(_.forall(_._1.isEmpty))
-      def colType(i: Int): DataType = {
-        val vs = rows.flatMap(_(i)._1)
-        val bools = rows.map(_(i)._2).exists(identity)
-        if (vs.isEmpty) StringType
-        else if (bools && vs.forall(v => v == "true" || v == "false")) BooleanType
-        else if (vs.forall(isLong)) LongType
-        else if (vs.forall(isDouble)) DoubleType
-        else StringType
-      }
-      val types = (0 until width).map(colType)
-      val schema = StructType(names.zip(types).map { case (n, t) =>
-        StructField(n, t, nullable = true) })
-      val sparkRows: java.util.List[Row] = new java.util.ArrayList[Row]()
-      rows.foreach { r =>
-        sparkRows.add(Row.fromSeq((0 until width).map { i =>
-          r(i)._1.map { v =>
-            types(i) match {
-              case LongType => v.toLong
-              case DoubleType => v.toDouble
-              case BooleanType => v == "true"
-              case _ => v
-            }
-          }.orNull
-        }))
-      }
-      spark.createDataFrame(sparkRows, schema)
+      InferredFrame.build(spark, names, rows, plainBool = false)
     } finally zip.close()
+  }
+}
+
+/** Shared column-type inference + DataFrame construction for the
+  * driver-side grid readers ([[XlsxReader]], [[XmlReader]]): per column,
+  * long → double → boolean → string over the observed values; empty cells
+  * are nulls. `plainBool = false` requires the source to have MARKED a
+  * cell boolean (xlsx `t="b"` — the strings "true"/"false" in a text
+  * column stay text); `plainBool = true` lets all-true/false columns
+  * infer boolean (xml, where there is no cell typing).
+  */
+private[ops] object InferredFrame {
+  private val LongRe = "[+-]?\\d{1,19}".r
+  private def isLong(s: String) =
+    LongRe.matches(s) && scala.util.Try(s.toLong).isSuccess
+  private def isDouble(s: String) = scala.util.Try(s.toDouble).isSuccess
+
+  def build(spark: SparkSession, names: Seq[String],
+            rows: Seq[Vector[(Option[String], Boolean)]],
+            plainBool: Boolean): DataFrame = {
+    val width = names.size
+    def colType(i: Int): DataType = {
+      val vs = rows.flatMap(_(i)._1)
+      val marked = rows.exists(_(i)._2)
+      if (vs.isEmpty) StringType
+      else if ((marked || plainBool) && vs.forall(v => v == "true" || v == "false")) BooleanType
+      else if (vs.forall(isLong)) LongType
+      else if (vs.forall(isDouble)) DoubleType
+      else StringType
+    }
+    val types = (0 until width).map(colType)
+    val schema = StructType(names.zip(types).map { case (n, t) =>
+      StructField(n, t, nullable = true) })
+    val sparkRows: java.util.List[Row] = new java.util.ArrayList[Row]()
+    rows.foreach { r =>
+      sparkRows.add(Row.fromSeq((0 until width).map { i =>
+        r(i)._1.map { v =>
+          types(i) match {
+            case LongType => v.toLong
+            case DoubleType => v.toDouble
+            case BooleanType => v == "true"
+            case _ => v
+          }
+        }.orNull
+      }))
+    }
+    spark.createDataFrame(sparkRows, schema)
   }
 }

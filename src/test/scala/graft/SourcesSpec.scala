@@ -115,6 +115,47 @@ class SourcesSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("xml reader: attributes + simple children become typed columns; nesting is loud") {
+    val dir = tmpDir("xmlsrc")
+    try {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+      val path = s"$dir/rows.xml"
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        """<?xml version="1.0" encoding="UTF-8"?>
+          |<data>
+          |  <row id="1"><Country>France</Country><pop>67000000</pop><share>0.83</share><eu>true</eu></row>
+          |  <row id="2"><Country>Norway</Country><pop>5400000</pop><eu>false</eu><extra>x</extra></row>
+          |</data>""".stripMargin.getBytes(StandardCharsets.UTF_8))
+      val df = TableIO.readXml(spark, path)
+      assert(df.columns.toSeq == Seq("id", "country", "pop", "share", "eu", "extra"))
+      assert(df.schema("id").dataType == LongType)
+      assert(df.schema("pop").dataType == LongType)
+      assert(df.schema("share").dataType == DoubleType)
+      assert(df.schema("eu").dataType == BooleanType) // plain true/false infers boolean
+      val rows = df.orderBy("id").collect()
+      assert(rows(0).getString(1) == "France" && rows(0).getDouble(3) == 0.83 &&
+        rows(0).getBoolean(4) && rows(0).isNullAt(5)) // union schema: missing field → null
+      assert(rows(1).isNullAt(3) && !rows(1).getBoolean(4) && rows(1).getString(5) == "x")
+      // rowTag targets a repeating element below the first level
+      val nestedPath = s"$dir/nested.xml"
+      java.nio.file.Files.write(java.nio.file.Paths.get(nestedPath),
+        """<root><meta>m</meta><items>
+          |  <item><k>a</k><v>1</v></item><item><k>b</k><v>2</v></item>
+          |</items></root>""".stripMargin.getBytes(StandardCharsets.UTF_8))
+      val items = TableIO.readXml(spark, nestedPath, rowTag = Some("item"))
+      assert(items.columns.toSeq == Seq("k", "v") && items.count() == 2)
+      // default orientation on the nested doc is loud, not silently flattened
+      val nested = intercept[IllegalArgumentException](TableIO.readXml(spark, nestedPath))
+      assert(nested.getMessage.contains("nested structure"), nested.getMessage)
+      // doctypes are rejected: origin files are untrusted input
+      val dtPath = s"$dir/dt.xml"
+      java.nio.file.Files.write(java.nio.file.Paths.get(dtPath),
+        "<!DOCTYPE x [<!ENTITY e \"boom\">]><data><row a=\"1\"/></data>"
+          .getBytes(StandardCharsets.UTF_8))
+      intercept[Exception](TableIO.readXml(spark, dtPath))
+    } finally rmrf(dir)
+  }
+
   test("feather reader: arrow IPC file round-trips typed columns with nulls") {
     import org.apache.arrow.memory.RootAllocator
     import org.apache.arrow.vector._

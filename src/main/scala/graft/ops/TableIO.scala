@@ -80,6 +80,12 @@ object TableIO {
   def readXml(spark: SparkSession, path: String, rowTag: Option[String] = None): DataFrame =
     TableOps.underscore(XmlReader.read(spark, path, rowTag))
 
+  /** Stata .dta origin reader (capability of `pd.read_stata`,
+    * `io/df.py:73`) via [[StataReader]]: formats 117/118, value labels
+    * applied, missing sentinels as nulls. */
+  def readStata(spark: SparkSession, path: String): DataFrame =
+    StataReader.read(spark, path)
+
   /** Width-narrowing repack: integral columns are downcast to the smallest
     * integer type that fits their observed min/max (lossless part of
     * owid-etl's `repack_series`/`shrink_integer`,

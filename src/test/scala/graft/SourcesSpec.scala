@@ -156,6 +156,45 @@ class SourcesSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("stata dta reader: pandas-written fixture round-trips types, missings, value labels") {
+    // src/test/resources/fixtures/sample.dta was written by pandas 2.2
+    // df.to_stata(version=118) — a CROSS-ENGINE fixture, not a file our
+    // own writer produced
+    val path = getClass.getResource("/fixtures/sample.dta").getPath
+    val df = ops.TableIO.readStata(spark, path)
+    assert(df.schema.map(f => f.name -> f.dataType) == Seq(
+      "name" -> StringType, "age" -> IntegerType, "score" -> DoubleType,
+      "small" -> ShortType, "tiny" -> ByteType, "grp" -> StringType))
+    val rows = df.collect()
+    assert(rows.length == 4)
+    // row 0: alice, 30, 1.5, 1, 7, low
+    assert(rows(0).getString(0) == "alice" && rows(0).getInt(1) == 30 &&
+      rows(0).getDouble(2) == 1.5 && rows(0).getShort(3) == 1 &&
+      rows(0).getByte(4) == 7 && rows(0).getString(5) == "low")
+    // row 1: bob, null (int32 missing sentinel), -2.25, 2, null, high
+    assert(rows(1).getString(0) == "bob" && rows(1).isNullAt(1) &&
+      rows(1).getDouble(2) == -2.25 && rows(1).getShort(3) == 2 &&
+      rows(1).isNullAt(4) && rows(1).getString(5) == "high")
+    // row 2: unicode survives UTF-8 str fields; NaN → double missing → null
+    assert(rows(2).getString(0) == "séance" && rows(2).getInt(1) == 45 &&
+      rows(2).isNullAt(2) && rows(2).isNullAt(3) && rows(2).getByte(4) == 3 &&
+      rows(2).getString(5) == "low")
+    // row 3: empty string; a large-but-legal double below the missing
+    // threshold is KEPT (8.988e300 < 8.988e307)
+    assert(rows(3).getString(0) == "" && rows(3).getInt(1) == 12 &&
+      rows(3).getDouble(2) == 8.988e300 && rows(3).getShort(3) == -4 &&
+      rows(3).getByte(4) == 2 && rows(3).getString(5) == "mid")
+    // a non-dta file is rejected by name
+    val bad = intercept[IllegalArgumentException] {
+      val p = tmpDir("dta") + "/x.dta"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p).getParent)
+      java.nio.file.Files.write(java.nio.file.Paths.get(p), "not stata".getBytes)
+      try ops.TableIO.readStata(spark, p)
+      finally rmrf(java.nio.file.Paths.get(p).getParent.toString)
+    }
+    assert(bad.getMessage.contains("not a tagged .dta"), bad.getMessage)
+  }
+
   test("feather reader: arrow IPC file round-trips typed columns with nulls") {
     import org.apache.arrow.memory.RootAllocator
     import org.apache.arrow.vector._

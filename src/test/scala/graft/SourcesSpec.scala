@@ -253,4 +253,19 @@ class SourcesSpec extends SparkSpec {
       assert(rows(0).getTimestamp(6).toInstant.toEpochMilli == 1700000000000L)
     } finally rmrf(dir)
   }
+
+  test("feather reader: cross-engine fixture written by pyarrow") {
+    // sample.feather was written once by pyarrow.feather.write_feather
+    // (uncompressed) — another engine's output, like the .dta fixture
+    val path = getClass.getResource("/fixtures/sample.feather").getPath
+    val df = ops.TableIO.readFeather(spark, path)
+    assert(df.schema.map(f => f.name -> f.dataType) == Seq(
+      "i" -> IntegerType, "s" -> StringType, "d" -> DoubleType, "b" -> BooleanType))
+    val rows = df.collect()
+    assert(rows.length == 3)
+    assert(rows(0).getInt(0) == 1 && rows(1).isNullAt(0) && rows(2).getInt(0) == 3)
+    assert(rows(0).getString(1) == "a" && rows(2).getString(1) == "séance")
+    assert(rows(1).getDouble(2) == -2.25 && rows(2).isNullAt(2))
+    assert(rows(0).getBoolean(3) && !rows(1).getBoolean(3) && rows(2).isNullAt(3))
+  }
 }

@@ -925,6 +925,70 @@ object RelationalQueries {
         .orderBy("user_id")
     }
 
+    // ---- standard CDC envelope ingestion (stream/CdcEnvelope.scala) ----
+    // The events table is deterministically wrapped in Debezium envelopes
+    // (op from event_id % 4, lsn = event_id, delete image in `before`),
+    // with three malformed classes injected by coprime moduli; the decoder
+    // must recover every clean row bit-exactly (timestamps at µs fidelity,
+    // JSON-escaped strings) and route each malformed class to the DLQ with
+    // its reason. The oracle computes both sides directly from events.
+    def eventPayload = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
+
+    def debeziumEnvelopes(ev: DataFrame): DataFrame = {
+      val image = struct(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      val imageNoKey = struct(col("event_id"), col("ts"),
+        lit(null).cast("bigint").as("user_id"), col("event_type"), col("value"), col("props"))
+      val m = col("event_id") % 4
+      val opRaw = when(m === 1, "u").when(m === 2, "d").when(m === 3, "r").otherwise("c")
+      val opFinal = when(col("event_id") % 103 === 0, "t").otherwise(opRaw)
+      val img = when(col("event_id") % 107 === 0, imageNoKey).otherwise(image)
+      val env = to_json(
+        struct(when(opFinal === "d", img).as("before"),
+          when(opFinal =!= "d", img).as("after"),
+          struct(col("event_id").as("lsn")).as("source"),
+          opFinal.as("op"), lit(1700000000000L).as("ts_ms")),
+        // the testdata parquet carries isAdjustedToUTC=false → Spark reads
+        // TIMESTAMP_NTZ, whose to_json format is the NTZ option; both are
+        // pinned to µs so the decode round-trip is fraction-exact
+        Map("timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+            "timestampNTZFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+      ev.select(when(col("event_id") % 101 === 0,
+        concat(lit("corrupt!"), substring(env, 1, 8))).otherwise(env).as("j"))
+    }
+
+    register("q_cdc_envelope_decode", Some(
+      """SELECT CASE WHEN event_id % 4 = 1 THEN 'U'
+        |            WHEN event_id % 4 = 2 THEN 'D' ELSE 'I' END AS op,
+        |       event_id AS lsn, user_id, event_type, value, props,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+        |FROM events
+        |WHERE event_id % 101 <> 0 AND event_id % 103 <> 0 AND event_id % 107 <> 0
+        |ORDER BY lsn""".stripMargin)) { (s, dir) =>
+      val annotated = graft.stream.CdcEnvelope.decodeDebezium(
+        debeziumEnvelopes(T(s, dir, "events")), "j", eventPayload, Seq("user_id"))
+      graft.stream.CdcEnvelope.good(annotated, "j")
+        .select(col("op"), col("lsn"), col("user_id"), col("event_type"),
+          col("value"), col("props"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"))
+        .orderBy("lsn")
+    }
+
+    register("q_cdc_envelope_dlq", Some(
+      """SELECT CASE WHEN event_id % 101 = 0 THEN 'unparseable_json'
+        |            WHEN event_id % 103 = 0 THEN 'unsupported_op:t'
+        |            ELSE 'missing_key:user_id' END AS error,
+        |       count(*) AS n
+        |FROM events
+        |WHERE event_id % 101 = 0 OR event_id % 103 = 0 OR event_id % 107 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin)) { (s, dir) =>
+      val annotated = graft.stream.CdcEnvelope.decodeDebezium(
+        debeziumEnvelopes(T(s, dir, "events")), "j", eventPayload, Seq("user_id"))
+      graft.stream.CdcEnvelope.deadLetters(annotated, "j")
+        .groupBy("error").agg(count(lit(1)).as("n")).orderBy("error")
+    }
+
     // ---- corpus profiling (data-quality stats a training pipeline runs
     // before anything else). All aggregated doubles go through decimal
     // sums (order-invariant, cross-engine exact — NOTES parity rules).

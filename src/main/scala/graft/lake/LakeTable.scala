@@ -245,6 +245,35 @@ final class LakeTable private (val root: Path, spark: SparkSession) {
     cur + 1
   }
 
+  /** Evolve the table's USER schema explicitly (the DDL route — the write
+    * path evolves implicitly from batch schemas via the same reconciler).
+    * `target` must be reachable from the current schema under
+    * [[SchemaReconciler]]'s rules (add nullable column, widen); anything
+    * else — dropping, narrowing, incompatible retype — is rejected with
+    * the reconciler's message. Metadata-only commit: no data file is
+    * touched; old files re-align to the new schema at read time
+    * (`readAligned`). Returns the new schema id (current id if `target`
+    * is already the current schema).
+    */
+  def evolveSchema(target: StructType): Int = LakeTable.pathLock(root).synchronized {
+    val m = manifest
+    val current = userSchema(m)
+    val rec = SchemaReconciler.reconcile(current, target) match {
+      case Right(r) => r
+      case Left(err) => throw new IllegalArgumentException(s"schema evolution rejected: $err")
+    }
+    if (!rec.evolved) return m.currentSchemaId
+    val id = m.schemas.map(_.id).max + 1
+    val evolved = m.copy(
+      version = m.version + 1,
+      currentSchemaId = id,
+      schemas = m.schemas :+ SchemaEntry(id, rec.schema.toDDL),
+      lineage = (m.lineage :+ CommitInfo(m.version + 1, m.lastEpoch, 0L, Nil,
+        m.maxLsn, 0L, System.currentTimeMillis(), op = "evolve-schema")).takeRight(1000))
+    commit(evolved, m.version)
+    id
+  }
+
   /** Incremental changelog read: the change rows (including tombstones as
     * `_deleted = true`) committed in manifest versions (fromVersion,
     * toVersion] — i.e. the DELTA files those commits added. Compaction

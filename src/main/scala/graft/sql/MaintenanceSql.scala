@@ -51,6 +51,12 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
     """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+([A-Za-z_][A-Za-z0-9_.]*)(?:\s+LIMIT\s+(\d+))?\s*;?\s*""".r
   private val restoreRe =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?([A-Za-z_][A-Za-z0-9_.]*)\s+(?:TO\s+)?(VERSION|TIMESTAMP)\s+AS\s+OF\s+(.+?)\s*;?\s*""".r
+  private val alterHeadRe =
+    """(?is)\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_.]*)\s+(.*?)\s*;?\s*""".r
+  private val alterAddRe =
+    """(?is)ADD\s+COLUMNS?\s*(?:\((.+)\)|(.+))""".r
+  private val alterTypeRe =
+    """(?is)ALTER\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TYPE\s+(.+)""".r
 
   /** First keyword AFTER leading whitespace and comments — a scheduler's
     * "-- nightly\nOPTIMIZE t" must reach the recognizer, not fall through
@@ -113,6 +119,24 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
         case _ =>
           throw new IllegalArgumentException(
             "expected: RESTORE [TABLE] <lake table name> [TO] VERSION AS OF <v> | TIMESTAMP AS OF <ts>")
+      }
+      case "ALTER" => body match {
+        // Schema-evolution DDL, but ONLY for registered lake tables —
+        // ALTER TABLE is a Spark statement first, so any other target (or
+        // an ALTER form we don't own, e.g. RENAME) keeps parsing through
+        // Spark untouched.
+        case alterHeadRe(name, rest) if LakeCatalog.lookup(session, name).isDefined =>
+          val dir = LakeCatalog.lookup(session, name).get
+          rest match {
+            case alterAddRe(parens, bare) =>
+              GraftAlterAddColumnsCommand(dir, if (parens != null) parens else bare)
+            case alterTypeRe(colName, typeSql) =>
+              GraftAlterColumnTypeCommand(dir, colName, typeSql)
+            case _ => throw new IllegalArgumentException(
+              s"'$name' is a lake table; supported: ALTER TABLE $name ADD COLUMN[S] (<name> <type>, ...) " +
+              s"| ALTER TABLE $name ALTER COLUMN <name> TYPE <type>")
+          }
+        case _ => delegate.parsePlan(sqlText)
       }
       case "DESCRIBE" | "DESC" => body match {
         // ONLY the exact HISTORY form is ours. Everything else — plain
@@ -268,5 +292,70 @@ case class GraftVacuumCommand(tableDir: String, retainVersions: Int)
     val files = table.vacuum(keepVersions = retainVersions)
     val (manifests, segs) = table.vacuumMetadata(keepVersions = retainVersions)
     Seq(Row(files, manifests, segs))
+  }
+}
+
+/** ALTER TABLE t ADD COLUMN[S] (<name> <type>, ...) — explicit
+  * schema-evolution DDL over [[LakeTable.evolveSchema]] (the same
+  * reconciler the write path evolves through implicitly). Metadata-only:
+  * no data file is rewritten; existing files null-fill the new columns at
+  * read time. The column list travels as SQL text and parses through
+  * Spark's own schema grammar at run time (so DECIMAL(18,4), nested
+  * types, and comments all behave exactly like CREATE TABLE).
+  */
+case class GraftAlterAddColumnsCommand(tableDir: String, colsDdl: String)
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("schema_id", IntegerType, nullable = false)(),
+    AttributeReference("added", org.apache.spark.sql.types.StringType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val table = LakeTable.load(session, tableDir)
+    val newCols = try session.sessionState.sqlParser.parseTableSchema(colsDdl) catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"ADD COLUMNS: cannot parse column list '$colsDdl'", e)
+    }
+    val current = table.userSchema
+    val dup = newCols.fieldNames.filter(current.fieldNames.contains)
+    require(dup.isEmpty, s"ADD COLUMNS: column(s) already exist: ${dup.mkString(", ")}")
+    val id = table.evolveSchema(newCols)
+    Seq(Row(id, newCols.fieldNames.mkString(", ")))
+  }
+}
+
+/** ALTER TABLE t ALTER COLUMN c TYPE <type> — widen a column under the
+  * reconciler's rules (byte→short→int→long, float→double, integral→
+  * fractional, decimal precision at fixed scale). Narrowing or an
+  * incompatible retype fails with the reconciler's message; a no-op
+  * retype (same type) returns the current schema id.
+  */
+case class GraftAlterColumnTypeCommand(tableDir: String, colName: String, typeSql: String)
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("schema_id", IntegerType, nullable = false)(),
+    AttributeReference("new_type", org.apache.spark.sql.types.StringType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val table = LakeTable.load(session, tableDir)
+    val dt = try session.sessionState.sqlParser.parseDataType(typeSql) catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"ALTER COLUMN: cannot parse type '$typeSql'", e)
+    }
+    require(table.userSchema.fieldNames.contains(colName),
+      s"ALTER COLUMN: no such column '$colName' (evolution cannot rename)")
+    // the write-path reconciler silently KEEPS the wider current type when a
+    // batch arrives narrower (correct for data), but explicit DDL asking to
+    // narrow must be loud, not a silent no-op
+    val curDt = table.userSchema(colName).dataType
+    graft.lake.SchemaReconciler.widen(curDt, dt) match {
+      case None => throw new IllegalArgumentException(
+        s"schema evolution rejected: cannot retype $colName: ${curDt.sql} -> ${dt.sql}")
+      case Some(w) if w != dt => throw new IllegalArgumentException(
+        s"schema evolution rejected: narrowing $colName: ${curDt.sql} -> ${dt.sql}")
+      case _ =>
+    }
+    val id = table.evolveSchema(StructType(Seq(
+      org.apache.spark.sql.types.StructField(colName, dt))))
+    Seq(Row(id, dt.sql))
   }
 }

@@ -100,6 +100,20 @@ object CdcStream {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (df: DataFrame, epoch: Long) =>
+        applyAndMaintain(table, df, epoch, saltBuckets, mode, compactEvery,
+          asyncCompaction, checkpointDir)
+      }
+      .start()
+  }
+
+  /** The shared micro-batch body: LSN-gated merge, compaction policy, and
+    * the per-partition lineage feed — one implementation under both the
+    * parquet WAL tail and the JSON envelope tail.
+    */
+  private def applyAndMaintain(table: LakeTable, df: DataFrame, epoch: Long,
+                               saltBuckets: Int, mode: CdcMerge.Mode,
+                               compactEvery: Int, asyncCompaction: Boolean,
+                               checkpointDir: String): Unit = {
         val stats = CdcMerge.apply(table, df, epoch, saltBuckets, mode,
           streamId = streamIdOf(checkpointDir))
         if (mode == CdcMerge.MergeOnRead && compactEvery > 0) {
@@ -139,6 +153,77 @@ object CdcStream {
           java.nio.file.Files.write(p, line.getBytes(java.nio.charset.StandardCharsets.UTF_8),
             java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
         }
+  }
+
+  /** Which CDC envelope dialect a JSON tail speaks (see
+    * [[CdcEnvelope]] for the decode + dead-letter contract).
+    */
+  sealed trait EnvelopeFormat
+  final case class Debezium(lsnField: String = "lsn") extends EnvelopeFormat
+  final case class Maxwell(xoffsetAware: Boolean = false) extends EnvelopeFormat
+
+  /** Tail a directory of JSON-lines CDC envelopes (what a Debezium/Maxwell
+    * connector actually lands) instead of a pre-shaped parquet WAL:
+    * decode → dead-letter split → LSN-gated merge, sharing the batch body
+    * (compaction policy, lineage feed, exactly-once epochs) with [[start]].
+    *
+    * Dead letters append to `dlqDir` as parquet `(record, error, epoch)`
+    * with AT-LEAST-ONCE semantics — a crash between the DLQ write and the
+    * merge commit replays the batch and re-appends; readers dedup on
+    * `(epoch, record)`. Passing no `dlqDir` REJECTS malformed input loudly
+    * (fail-the-stream) rather than dropping it silently.
+    *
+    * `cutoverLsn` applies [[graft.merge.Bootstrap.cutoverGate]] to every
+    * batch — set it when the table was bootstrapped from a snapshot so
+    * pre-snapshot re-deliveries cannot resurrect deleted keys.
+    */
+  def startEnvelope(spark: SparkSession, envDir: String, table: LakeTable,
+                    checkpointDir: String,
+                    format: EnvelopeFormat = Debezium(),
+                    payload: org.apache.spark.sql.types.StructType = Schemas.transcript,
+                    dlqDir: Option[String] = None,
+                    cutoverLsn: Option[Long] = None,
+                    maxFilesPerTrigger: Int = 4,
+                    saltBuckets: Int = 8, mode: CdcMerge.Mode = CdcMerge.MergeOnRead,
+                    compactEvery: Int = 8,
+                    trigger: Trigger = Trigger.AvailableNow(),
+                    asyncCompaction: Boolean = false): StreamingQuery = {
+    val keyCols = Schemas.KEY_COLS
+    val src = spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(envDir)
+    src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (raw: DataFrame, epoch: Long) =>
+        val annotated = (format match {
+          case Debezium(lsnField) =>
+            CdcEnvelope.decodeDebezium(raw, "value", payload, keyCols, lsnField)
+          case Maxwell(xoff) =>
+            CdcEnvelope.decodeMaxwell(raw, "value", payload, keyCols, xoffsetAware = xoff)
+        }).cache() // one pass feeds both the DLQ write and the merge
+        try {
+          val dead = CdcEnvelope.deadLetters(annotated, "value")
+          dlqDir match {
+            case Some(dir) =>
+              // cheap emptiness probe on the cached frame; parquet append
+              // only when there is something to record
+              if (!dead.isEmpty)
+                dead.withColumn("epoch", org.apache.spark.sql.functions.lit(epoch))
+                  .write.mode("append").parquet(dir)
+            case None =>
+              val bad = dead.limit(1).collect()
+              if (bad.nonEmpty) throw new IllegalStateException(
+                s"malformed envelope with no DLQ configured (epoch $epoch, " +
+                s"reason ${bad(0).getString(1)}): ${bad(0).getString(0)}")
+          }
+          val good0 = CdcEnvelope.good(annotated, "value")
+            .select(("op" +: "lsn" +: payload.fieldNames.toSeq)
+              .map(org.apache.spark.sql.functions.col): _*)
+          val good = cutoverLsn.fold(good0)(s => graft.merge.Bootstrap.cutoverGate(good0, s))
+          applyAndMaintain(table, good, epoch, saltBuckets, mode, compactEvery,
+            asyncCompaction, checkpointDir)
+        } finally annotated.unpersist()
         ()
       }
       .start()

@@ -975,6 +975,118 @@ object RelationalQueries {
         .orderBy("lsn")
     }
 
+    // Maxwell dialect over the same events: type from event_id % 4 (incl.
+    // a bootstrap-insert), lsn = xid*2^20 + xoffset (intra-transaction
+    // order), unsupported DDL type + missing-xid malformed classes.
+    def maxwellEnvelopes(ev: DataFrame): DataFrame = {
+      val m = col("event_id") % 4
+      val typRaw = when(m === 1, "update").when(m === 2, "delete")
+        .when(m === 3, "bootstrap-insert").otherwise("insert")
+      val typ = when(col("event_id") % 103 === 0, "table-create").otherwise(typRaw)
+      val xid = when(col("event_id") % 107 =!= 0, col("event_id"))
+      val data = struct(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      val env = to_json(
+        struct(lit("shop").as("database"), lit("events").as("table"),
+          typ.as("type"), lit(1700000000L).as("ts"), xid.as("xid"),
+          (col("event_id") % 7).as("xoffset"), data.as("data")),
+        Map("timestampNTZFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+      ev.select(when(col("event_id") % 101 === 0,
+        concat(lit("{nope"), substring(env, 1, 8))).otherwise(env).as("j"))
+    }
+
+    register("q_cdc_envelope_maxwell", Some(
+      """SELECT CASE WHEN event_id % 4 = 1 THEN 'U'
+        |            WHEN event_id % 4 = 2 THEN 'D' ELSE 'I' END AS op,
+        |       event_id * 1048576 + event_id % 7 AS lsn,
+        |       user_id, event_type, value,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+        |FROM events
+        |WHERE event_id % 101 <> 0 AND event_id % 103 <> 0 AND event_id % 107 <> 0
+        |ORDER BY lsn""".stripMargin)) { (s, dir) =>
+      val annotated = graft.stream.CdcEnvelope.decodeMaxwell(
+        maxwellEnvelopes(T(s, dir, "events")), "j", eventPayload, Seq("user_id"),
+        xoffsetAware = true)
+      graft.stream.CdcEnvelope.good(annotated, "j")
+        .select(col("op"), col("lsn"), col("user_id"), col("event_type"), col("value"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"))
+        .orderBy("lsn")
+    }
+
+    // ---- manifest-level data skipping + z-order clustering ----
+    // The events stream is keyed into the transcript lake shape, bulk
+    // loaded, OPTIMIZE ZORDER BY (ts) rewritten, and read back through
+    // snapshotWhere — the oracle computes the same filter directly, so a
+    // single unsound skip (dropped file that still held a matching row)
+    // fails the hash compare. Skip EFFECTIVENESS is asserted in
+    // DataSkippingSpec; this gate pins CORRECTNESS of the whole
+    // stats-harvest → prune → residual-filter pipeline.
+    register("q_zorder_skip", Some(
+      """SELECT concat('u', user_id) AS conv_id,
+        |       CAST(event_id AS INT) AS turn_idx,
+        |       event_type AS role,
+        |       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-25 00:00:00' AND event_type = 'click'
+        |ORDER BY turn_idx""".stripMargin)) { (s, dir) =>
+      import graft.lake.{LakeTable, ZOrder}
+      import graft.merge.{Bootstrap, Compactor}
+      val ev = T(s, dir, "events")
+      val rows = ev.select(
+        concat(lit("u"), col("user_id")).as("conv_id"),
+        col("event_id").cast("int").as("turn_idx"),
+        col("event_type").as("role"),
+        col("props").as("text"),
+        lit(null).cast("string").as("tool"),
+        col("ts").cast("timestamp").as("ts"))
+      val tmp = java.nio.file.Files.createTempDirectory("q_zorder").toString
+      val table = LakeTable.create(s, s"$tmp/t", graft.model.Schemas.transcript, 8)
+      Bootstrap.load(table, rows, snapshotLsn = 1L << 40)
+      Compactor.zorder(table, Seq("ts"), maxRecordsPerFile = 2048L)
+      table.snapshotWhere(
+          col("ts") >= lit("2024-01-25 00:00:00").cast("timestamp") &&
+          col("role") === "click")
+        .select(col("conv_id"), col("turn_idx"), col("role"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"))
+        .orderBy("turn_idx")
+    }
+
+    // REBUCKET end-to-end: half the events land as base files at 4
+    // buckets, the space is doubled metadata-only, the other half applies
+    // as new-depth deltas on top, and a PARTIAL compaction leaves the
+    // table mixed-depth (old-depth bases + new-depth bases + deltas) —
+    // the read must still resolve latest-per-key exactly (DuckDB window
+    // oracle over all events).
+    register("q_rebucket_growth", Some(
+      """SELECT conv_id, turn_idx, text FROM (
+        |  SELECT concat('u', user_id) AS conv_id,
+        |         CAST(event_id % 50 AS INT) AS turn_idx,
+        |         props AS text,
+        |         row_number() OVER (PARTITION BY user_id, event_id % 50
+        |                            ORDER BY event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY conv_id, turn_idx""".stripMargin)) { (s, dir) =>
+      import graft.lake.LakeTable
+      import graft.merge.{CdcMerge, Compactor}
+      val ev = T(s, dir, "events")
+      def asBatch(df: DataFrame): DataFrame = df.select(
+        lit("I").as("op"), col("event_id").as("lsn"),
+        concat(lit("u"), col("user_id")).as("conv_id"),
+        (col("event_id") % 50).cast("int").as("turn_idx"),
+        col("event_type").as("role"), col("props").as("text"),
+        lit(null).cast("string").as("tool"), col("ts").cast("timestamp").as("ts"))
+      val tmp = java.nio.file.Files.createTempDirectory("q_rebucket").toString
+      val table = LakeTable.create(s, s"$tmp/t", graft.model.Schemas.transcript, 4)
+      CdcMerge.apply(table, asBatch(ev.filter(col("event_id") % 2 === 0)), 0L)
+      Compactor.compactIfNeeded(table, deltaThreshold = 1) // all-base at depth 4
+      table.rebucket(2)                                    // -> 8, metadata-only
+      CdcMerge.apply(table, asBatch(ev.filter(col("event_id") % 2 === 1)), 1L)
+      Compactor.compact(table, Set(0))                     // partial lazy migration
+      table.snapshot()
+        .select("conv_id", "turn_idx", "text")
+        .orderBy("conv_id", "turn_idx")
+    }
+
     register("q_cdc_envelope_dlq", Some(
       """SELECT CASE WHEN event_id % 101 = 0 THEN 'unparseable_json'
         |            WHEN event_id % 103 = 0 THEN 'unsupported_op:t'

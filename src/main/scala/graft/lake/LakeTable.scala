@@ -75,8 +75,16 @@ final class LakeTable private (val root: Path, spark: SparkSession) {
     files.groupBy(_.schemaId).map { case (sid, fs) =>
       val fileSchema = Schemas.physical(
         StructType.fromDDL(m.schemas.find(_.id == sid).get.ddl))
-      alignTo(spark.read.schema(fileSchema)
-        .parquet(fs.map(f => root.resolve(f.path).toString): _*), target)
+      // scans go through GraftFileIndex: pushed-down data filters prune
+      // files against the manifest's colStats at physical planning — SQL
+      // and DataFrame filters both skip, and the MOR bucket rule is
+      // enforced by plan shape (see GraftFileIndex scaladoc)
+      val idx = new GraftFileIndex(spark, root, fs, fileSchema)
+      val rel = org.apache.spark.sql.execution.datasources.HadoopFsRelation(
+        idx, new StructType(), fileSchema, None,
+        new org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat,
+        Map.empty)(spark)
+      alignTo(spark.baseRelationToDataFrame(rel), target)
     }.reduce(_ unionByName _)
 
   /** Per-key max-LSN winner (the merge-on-read window). Tie-break on an
@@ -116,8 +124,20 @@ final class LakeTable private (val root: Path, spark: SparkSession) {
   private def resolveMor(m: Manifest, files: Seq[FileEntry], target: StructType): DataFrame = {
     if (files.isEmpty)
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], target)
-    val dirtyBuckets = files.collect { case f if f.kind != FileEntry.BASE => f.bucket }.toSet
-    val (dirty, clean) = files.partition(f => dirtyBuckets.contains(f.bucket))
+    // Dirty = every current-depth bucket a non-base file covers, CLOSED
+    // under shared-file coverage over the subset being read: after a
+    // REBUCKET, a pre-split base file spans several current buckets, and
+    // if any of them is delta-bearing the whole coverage component must
+    // resolve together — splitting it would hand a key's stale row to the
+    // no-resolve leg (duplicate/stale winners). With a single depth (no
+    // rebucket in history) this degenerates to exactly the old per-bucket
+    // partition.
+    val dirtySeed = files.iterator.filter(_.kind != FileEntry.BASE)
+      .flatMap(m.coveredBuckets).toSet
+    val dirtyBuckets = Manifest.closureOver(files, m.numBuckets, dirtySeed)
+    val dirtySet = Manifest.coveringFiles(files, m.numBuckets, dirtyBuckets)
+      .map(_.path).toSet
+    val (dirty, clean) = files.partition(f => dirtySet.contains(f.path))
     val parts =
       Option.when(clean.nonEmpty)(readAligned(m, clean, target)).toSeq ++
       Option.when(dirty.nonEmpty)(maxLsnResolve(readAligned(m, dirty, target)))
@@ -146,6 +166,43 @@ final class LakeTable private (val root: Path, spark: SparkSession) {
     snapshotPhysical(None)
       .filter(!col(Schemas.DELETED_COL))
       .select(userSchema(m).fieldNames.map(col).toSeq: _*)
+  }
+
+  /** Filtered snapshot with MANIFEST-LEVEL data skipping: files whose
+    * [[ColStat]] bounds cannot satisfy `filter` are excluded before any
+    * scan task launches, under [[DataSkipping]]'s MOR-sound bucket rule
+    * (per-file for compacted buckets, whole-bucket for delta-bearing
+    * ones). The filter is ALSO applied to the surviving rows — stats are
+    * file-level, not row-level — so results equal
+    * `snapshot().filter(filter)` exactly; only the I/O differs.
+    * Z-order the table ([[graft.merge.Compactor.zorder]]) to make the
+    * bounds tight on the filter's columns.
+    */
+  def snapshotWhere(filter: org.apache.spark.sql.Column): DataFrame = {
+    val m = manifest
+    val pruned = DataSkipping.pruneForSnapshot(spark, m, filter)
+    snapshotFromFiles(m, pruned.kept).filter(filter)
+  }
+
+  /** Live user-facing snapshot restricted to an explicit (already pruned)
+    * file subset of manifest `m` — the building block under
+    * [[snapshotWhere]] and the SQL-side skipping rule (which keeps the
+    * residual Filter node in the surrounding plan instead).
+    */
+  def snapshotFromFiles(m: Manifest, files: Seq[FileEntry]): DataFrame = {
+    val target = Schemas.physical(userSchema(m))
+    resolveMor(m, files, target)
+      .filter(!col(Schemas.DELETED_COL))
+      .select(userSchema(m).fieldNames.map(col).toSeq: _*)
+  }
+
+  /** What [[snapshotWhere]] would read: (kept files, total files) — the
+    * observability hook for tests, metrics, and EXPLAIN-style tooling.
+    */
+  def pruneInfo(filter: org.apache.spark.sql.Column): (Int, Int) = {
+    val m = manifest
+    val p = DataSkipping.pruneForSnapshot(spark, m, filter)
+    (p.kept.size, p.total)
   }
 
   /** Time travel: the live snapshot as of an older manifest version
@@ -274,6 +331,54 @@ final class LakeTable private (val root: Path, spark: SparkSession) {
     id
   }
 
+  /** REBUCKET: multiply the bucket space by integer `factor` (>= 2) as a
+    * METADATA-ONLY commit — the growth story for a table whose fixed
+    * creation-time bucket count the corpus has outgrown (a 10^10-event
+    * table created at 64 buckets carries multi-TB buckets: CoW rewrites
+    * and compactions balloon, per-key pruning degrades). No data file is
+    * touched: every existing file is stamped with its write depth
+    * ([[FileEntry.writePids]], absent = current), and coverage arithmetic
+    * (`bucket = hash mod depth`, depth | numBuckets) lets readers,
+    * merges, and compactions treat an old-depth file as spanning its
+    * `factor` current-depth buckets. New writes route at the new depth
+    * immediately; old-depth files migrate lazily as ordinary compaction
+    * rewrites them (exactly [[BucketStore]]'s extendible-hash split,
+    * lifted to the CDC table — the difference is the integer-factor
+    * generality and that deltas are depth-stamped too).
+    *
+    * Cost: one O(files) manifest rewrite (stamping changes every
+    * segment's content address). Concurrency: CAS-retried against
+    * concurrent writers/compactors; in-flight MOR commits rebase over a
+    * rebucket by stamping their own files (see CdcMerge).
+    *
+    * Reference-scale analogue: owid-etl re-shards nothing (pandas,
+    * single node); this is the knob its architecture lacks.
+    */
+  def rebucket(factor: Int): Int = LakeTable.pathLock(root).synchronized {
+    require(factor >= 2, s"REBUCKET factor must be >= 2, got $factor")
+    var attempt = 0
+    while (true) {
+      val m = manifest
+      val target = m.numBuckets * factor
+      require(target <= (1 << 20),
+        s"REBUCKET to $target buckets exceeds the 2^20 sanity cap")
+      val stamped = m.files.map(f =>
+        if (f.writePids.isEmpty) f.copy(writePids = Some(m.numBuckets)) else f)
+      val m2 = m.copy(
+        version = m.version + 1,
+        numBuckets = target,
+        files = stamped,
+        lineage = (m.lineage :+ CommitInfo(m.version + 1, m.lastEpoch, 0L, Nil,
+          m.maxLsn, 0L, System.currentTimeMillis(),
+          op = "rebucket")).takeRight(1000))
+      try { commit(m2, m.version); return target }
+      catch {
+        case _: IllegalArgumentException if attempt < 10 => attempt += 1 // CAS lost
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Incremental changelog read: the change rows (including tombstones as
     * `_deleted = true`) committed in manifest versions (fromVersion,
     * toVersion] — i.e. the DELTA files those commits added. Compaction
@@ -352,7 +457,7 @@ final class LakeTable private (val root: Path, spark: SparkSession) {
     val m = manifest
     val h = keyHash(convId)
     m.files.filter { f =>
-      f.bucket == bucketOf(convId, m.numBuckets) &&
+      m.covers(f, bucketOf(convId, m.numBuckets)) &&
         f.minKey.forall(_ <= convId) && f.maxKey.forall(_ >= convId) &&
         bloomFor(f).forall(_.mightContainLong(h))
     }
@@ -708,8 +813,19 @@ object LakeTable {
     df.select(cols.toSeq: _*)
   }
 
+  /** The engine pins its sessions' parquet timestamp physical type to
+    * TIMESTAMP_MICROS (Iceberg's mandated unit): Spark's INT96 legacy
+    * default writes NO usable min/max statistics, which would silently
+    * kill both the `_lsn` watermark harvest and timestamp data skipping.
+    * Applied on every create/load — the two gates every write path's
+    * session passes through.
+    */
+  private def pinParquetTimestamps(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+
   def create(spark: SparkSession, dir: String, schema: StructType,
              numBuckets: Int): LakeTable = {
+    pinParquetTimestamps(spark)
     val root = Paths.get(dir)
     require(!Files.exists(root.resolve("_current")), s"table already exists at $dir")
     Files.createDirectories(root.resolve("_manifests"))
@@ -722,6 +838,7 @@ object LakeTable {
   }
 
   def load(spark: SparkSession, dir: String): LakeTable = {
+    pinParquetTimestamps(spark)
     val root = Paths.get(dir)
     require(Files.exists(root.resolve("_current")), s"no lake table at $dir")
     new LakeTable(root, spark)

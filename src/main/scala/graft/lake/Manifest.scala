@@ -26,18 +26,53 @@ final case class FileEntry(
     epoch: Long,
     minKey: Option[String] = None, // min/max conv_id from footer stats —
     maxKey: Option[String] = None, // enables file-level key-range pruning
-    // BucketStore only: the partition-space size (power of two) this file
-    // was WRITTEN under. Extendible-hash splits double the space lazily:
-    // a file written at depth P covers partitions {bucket + j*P} of any
-    // later depth, so carried files stay readable without a rewrite.
-    // None (all LakeTable files, pre-split store files) = current depth.
+    // The partition-space size this file was WRITTEN under. Extendible-
+    // hash splits grow the space lazily: a file written at depth P covers
+    // partitions {bucket + j*P} of any later depth that is a MULTIPLE of
+    // P, so carried files stay readable without a rewrite. Used by
+    // BucketStore compaction splits (power-of-two doubling) and by
+    // LakeTable REBUCKET (any integer factor — every historical depth
+    // divides every later one by construction, which is all the coverage
+    // arithmetic needs). None = current depth.
     writePids: Option[Int] = None,
     // base64 Spark-sketch bloom over xxhash64(conv_id), built by
     // LakeTable.buildBlooms (maintenance, never the write hot path):
     // point lookups skip delta files whose bloom excludes the key —
     // delta files span their bucket's whole key range, so (minKey,
     // maxKey) range pruning can never skip them. None = no bloom (scan).
-    bloom: Option[String] = None
+    bloom: Option[String] = None,
+    // Per-column min/max/null-count harvested from the parquet footer at
+    // adoption time (driver-side metadata read, no Spark job) — the
+    // Delta/Iceberg data-skipping stats. Values are rendered in the
+    // CATALYST-INTERNAL domain of the column's Spark type (string as-is,
+    // timestamps as micros, dates as days, numerics as decimal strings)
+    // so [[DataSkipping]] compares without re-parsing parquet logical
+    // types. None = file predates the field (or stats were unreadable):
+    // skipping treats it as "may match". Harvesting is capped at
+    // [[StatsHarvest.MAX_STATS_COLS]] columns to bound manifest growth on
+    // wide tables.
+    colStats: Option[Map[String, ColStat]] = None,
+    // On-disk byte size recorded at adoption: lets the scan-time file
+    // index ([[GraftFileIndex]]) build FileStatus entries from manifest
+    // metadata alone — no per-file stat() round trips at query planning,
+    // which is the difference between O(1) and O(files) driver I/O per
+    // query on a remote object store. None = pre-field file (planner
+    // stats it once).
+    bytes: Option[Long] = None
+)
+
+/** Min/max/null-count of one column in one file. `min`/`max` are None when
+  * the footer carried no usable bound (all-null column, NaN-poisoned
+  * float/double stats, INT96 timestamps); `nulls` is -1 when unknown.
+  * Parquet writers may TRUNCATE binary stats, but the truncation keeps
+  * bound validity (truncated min is still <= every value, truncated max is
+  * still >= — parquet's BinaryTruncator increments the last byte), so
+  * pruning on these stays sound.
+  */
+final case class ColStat(
+    min: Option[String] = None,
+    max: Option[String] = None,
+    nulls: Long = -1L
 )
 
 object FileEntry {
@@ -94,8 +129,50 @@ final case class Manifest(
     streamId: String = "",
     lastSourceEpoch: Long = -1L
 ) {
-  def filesForBuckets(buckets: Set[Int]): Seq[FileEntry] =
-    files.filter(f => buckets.contains(f.bucket))
+  /** Write-depth of `f`: the bucket-space size it was written under
+    * (absent = this manifest's current depth). Every recorded depth
+    * divides `numBuckets` — REBUCKET only multiplies the space by an
+    * integer factor.
+    */
+  def fileDepth(f: FileEntry): Int = f.writePids.getOrElse(numBuckets)
+
+  /** May `f` hold rows of current-depth bucket `t`? A key in bucket
+    * t = hash mod numBuckets satisfies hash mod depth = t mod depth
+    * (depth | numBuckets), so the file covers t iff its recorded bucket
+    * is t's residue at the file's depth.
+    */
+  def covers(f: FileEntry, t: Int): Boolean =
+    java.lang.Math.floorMod(t, fileDepth(f)) == f.bucket
+
+  /** All current-depth buckets `f` covers: {bucket + j*depth}. A file at
+    * the current depth covers exactly its own bucket.
+    */
+  def coveredBuckets(f: FileEntry): Seq[Int] =
+    f.bucket until numBuckets by fileDepth(f)
+
+  /** Close `buckets` under shared-file coverage: a file written at an
+    * older (coarser) depth spans several current buckets, so any
+    * operation that reads/rewrites "a bucket's files" must widen to every
+    * bucket those files ALSO cover (transitively — depths can chain
+    * across several rebuckets). Per-key resolution is exact within a
+    * closed set: every file holding any closed bucket's key is included.
+    * Fixpoint over the distinct depths present, so this is O(files) per
+    * round with at most #depths rounds — pure driver-side metadata.
+    */
+  def bucketClosure(buckets: Set[Int]): Set[Int] =
+    Manifest.closureOver(files, numBuckets, buckets)
+
+  /** Files that may hold rows of the given current-depth buckets, widened
+    * to the coverage CLOSURE (see [[bucketClosure]]) so per-key max-LSN
+    * resolution over the result is exact. Callers that replace these
+    * files (CoW merge, compaction) must exclude them from the carried set
+    * BY PATH, not by bucket id — the closure can span buckets the caller
+    * did not ask for.
+    */
+  def filesForBuckets(buckets: Set[Int]): Seq[FileEntry] = {
+    val closed = bucketClosure(buckets)
+    Manifest.coveringFiles(files, numBuckets, closed)
+  }
 }
 
 /** v2 on-disk TOP document: the per-bucket file lists live in immutable,
@@ -133,6 +210,46 @@ object Manifest {
   implicit val formats: Formats = Serialization.formats(NoTypeHints)
   val FORMAT_VERSION = 2
 
+  /** Coverage closure of `buckets` (current depth `numBuckets`) over an
+    * explicit file subset — see [[Manifest.bucketClosure]]. Cost is
+    * O(files × rounds): per round each file's membership test is one
+    * residue lookup in a per-depth residue-set (not a scan of the bucket
+    * set), and rounds are bounded by the number of DISTINCT depths
+    * present (coverage chains only through a coarser depth).
+    */
+  private[graft] def closureOver(files: Seq[FileEntry], numBuckets: Int,
+                                buckets: Set[Int]): Set[Int] = {
+    def depth(f: FileEntry): Int = f.writePids.getOrElse(numBuckets)
+    val depths = files.iterator.map(depth).toSet
+    // fast path: single current depth (no rebucket in history) — closure
+    // is the identity, as it was before REBUCKET existed
+    if (depths.isEmpty || depths == Set(numBuckets)) return buckets
+    var cur = buckets
+    var changed = true
+    while (changed) {
+      val residues: Map[Int, Set[Int]] =
+        depths.iterator.map(d => d -> cur.map(t => java.lang.Math.floorMod(t, d))).toMap
+      val next = cur ++ files.iterator
+        .filter(f => residues(depth(f)).contains(f.bucket))
+        .flatMap(f => f.bucket until numBuckets by depth(f))
+      changed = next.size != cur.size
+      cur = next
+    }
+    cur
+  }
+
+  /** The files (from `files`) covering any bucket of `closed` — callers
+    * pass a CLOSED set (see [[closureOver]]).
+    */
+  private[graft] def coveringFiles(files: Seq[FileEntry], numBuckets: Int,
+                                  closed: Set[Int]): Seq[FileEntry] = {
+    def depth(f: FileEntry): Int = f.writePids.getOrElse(numBuckets)
+    val depths = files.iterator.map(depth).toSet
+    val residues: Map[Int, Set[Int]] =
+      depths.iterator.map(d => d -> closed.map(t => java.lang.Math.floorMod(t, d))).toMap
+    files.filter(f => residues(depth(f)).contains(f.bucket))
+  }
+
   /** Canonical digest of a bucket's file list — the segment's
     * content-address. md5 over a stable rendering of every entry field.
     */
@@ -149,7 +266,19 @@ object Manifest {
           .digest(b.getBytes(StandardCharsets.UTF_8))
         s"|B${h.map("%02x".format(_)).mkString}"
       }.getOrElse("")
-      md.update(s"${f.path}|${f.bucket}|${f.rows}|${f.maxLsn}|${f.schemaId}|${f.kind}|${f.epoch}|${f.minKey.getOrElse("")}|${f.maxKey.getOrElse("")}$wp$bl\n"
+      // colStats enters via its own md5 over a canonical (sorted-key)
+      // rendering — same only-when-set rule as writePids/bloom, so every
+      // pre-field segment address stays byte-stable.
+      val cs = f.colStats.map { stats =>
+        val body = stats.toSeq.sortBy(_._1).map { case (c, st) =>
+          s"$c\u0001${st.min.getOrElse("")}\u0001${st.max.getOrElse("")}\u0001${st.nulls}"
+        }.mkString("\u0002")
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(body.getBytes(StandardCharsets.UTF_8))
+        s"|S${h.map("%02x".format(_)).mkString}"
+      }.getOrElse("")
+      val by = f.bytes.map(b => s"|Z$b").getOrElse("")
+      md.update(s"${f.path}|${f.bucket}|${f.rows}|${f.maxLsn}|${f.schemaId}|${f.kind}|${f.epoch}|${f.minKey.getOrElse("")}|${f.maxKey.getOrElse("")}$wp$bl$cs$by\n"
         .getBytes(StandardCharsets.UTF_8))
     }
     md.digest().map("%02x".format(_)).mkString

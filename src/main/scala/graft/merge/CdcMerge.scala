@@ -179,17 +179,24 @@ object CdcMerge {
         traced("delta-write")(
           salted.write.mode("overwrite").partitionBy("bucket").parquet(staging.toString))
         val files = traced("adopt-staged")(
-          adoptStaged(table, spark, staging, effEpoch, schemaId2, FileEntry.DELTA))
+          adoptStaged(table, spark, staging, effEpoch, schemaId2, FileEntry.DELTA, physTarget))
         (files, m.files, files.map(_.bucket).toSet)
 
       case CopyOnWrite =>
         val bucketed = asPhysical
           .withColumn("bucket", table.bucketExpr(m.numBuckets))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val aff = bucketed.select("bucket").distinct().collect().map(_.getInt(0)).toSet
+        val aff0 = bucketed.select("bucket").distinct().collect().map(_.getInt(0)).toSet
+        // close over shared-file coverage: after a REBUCKET, a pre-split
+        // base file spans several current buckets — rewriting one of them
+        // must rewrite the whole coverage component (the rewrite replaces
+        // those files BY PATH below, so their sibling-bucket rows must be
+        // in the output). Identity when no rebucket is in history.
+        val aff = m.bucketClosure(aff0)
         if (aff.isEmpty) { bucketed.unpersist(); (Nil, m.files, Set.empty[Int]) }
         else {
-          val current = LakeTable.alignTo(table.snapshotPhysical(Some(aff)), physTarget)
+          val inputPaths = m.filesForBuckets(aff).map(_.path).toSet
+          val current = LakeTable.alignTo(table.snapshotPhysical(m, Some(aff)), physTarget)
           val payload = physTarget.fields.filterNot(f => KEY_COLS.contains(f.name))
           val u = bucketed.select(
             (KEY_COLS.map(col) ++ payload.map(f => col(f.name).as(s"_u_${f.name}"))): _*)
@@ -205,8 +212,8 @@ object CdcMerge {
               col("bucket"), pmod(xxhash64(col("turn_idx")), lit(saltBuckets.toLong)))
           salted.write.mode("overwrite").partitionBy("bucket").parquet(staging.toString)
           bucketed.unpersist()
-          val files = adoptStaged(table, spark, staging, effEpoch, schemaId2, FileEntry.BASE)
-          (files, m.files.filterNot(f => aff.contains(f.bucket)), aff)
+          val files = adoptStaged(table, spark, staging, effEpoch, schemaId2, FileEntry.BASE, physTarget)
+          (files, m.files.filterNot(f => inputPaths.contains(f.path)), aff)
         }
     }
     deleteRecursively(staging)
@@ -230,14 +237,31 @@ object CdcMerge {
         else mode match {
           case MergeOnRead => base.files
           case CopyOnWrite =>
-            val beforeMine = m.files.filter(f => affected.contains(f.bucket)).map(_.path).toSet
-            val nowMine = base.files.filter(f => affected.contains(f.bucket)).map(_.path).toSet
-            if (beforeMine == nowMine) base.files.filterNot(f => affected.contains(f.bucket))
+            // a REBUCKET between our manifest read and commit changes the
+            // coverage arithmetic under us — the rewrite's bucket closure
+            // was computed at the old depth; abort rather than reason
+            // about a moving space (the merge is retryable from scratch)
+            if (base.numBuckets != m.numBuckets) throw new IllegalStateException(
+              s"concurrent REBUCKET (${m.numBuckets} -> ${base.numBuckets} buckets) " +
+              "during a copy-on-write merge — re-run the merge")
+            val beforeMine = Manifest.coveringFiles(m.files, m.numBuckets, affected)
+              .map(_.path).toSet
+            val nowMine = Manifest.coveringFiles(base.files, base.numBuckets, affected)
+              .map(_.path).toSet
+            if (beforeMine == nowMine) base.files.filterNot(f => nowMine.contains(f.path))
             else throw new IllegalStateException(
               "concurrent commit touched copy-on-write bucket(s) " +
               s"${affected.toSeq.sorted.mkString(",")} — the rewrite's snapshot is stale; " +
               "CoW requires a single committer for overlapping buckets")
         }
+      // a MOR delta append rebasing over a concurrent REBUCKET: our files
+      // were routed at the OLD depth — stamp them so coverage reads them
+      // correctly in the new space (the rebucket stamped only the files
+      // in ITS manifest; ours were in flight)
+      val newFilesNow =
+        if ((base ne m) && base.numBuckets != m.numBuckets)
+          newFiles.map(f => if (f.writePids.isEmpty) f.copy(writePids = Some(m.numBuckets)) else f)
+        else newFiles
       require(base.schemas == m.schemas && base.currentSchemaId == m.currentSchemaId,
         "concurrent schema change during merge")
       // STRICT < on rebase: a concurrent commit that already recorded
@@ -248,7 +272,7 @@ object CdcMerge {
       require((base eq m) || base.lastEpoch < effEpoch,
         s"concurrent WRITER detected (lastEpoch ${base.lastEpoch} >= epoch $effEpoch " +
           "after rebase) — one writer per table")
-      val allFiles = carriedNow ++ newFiles
+      val allFiles = carriedNow ++ newFilesNow
       val batchMaxLsn = math.max(base.maxLsn, newFiles.map(_.maxLsn).foldLeft(-1L)(math.max))
       val wallMs = (System.nanoTime() - t0) / 1000000
       val m2 = base.copy(
@@ -280,13 +304,18 @@ object CdcMerge {
   }
 
   /** Collect per-file stats straight from the parquet FOOTERS (row counts
-    * + `_lsn` column min/max statistics Spark already wrote) — a
-    * driver-side metadata read, not a Spark job. Then move files into the
-    * table and return their entries.
+    * + `_lsn` column min/max statistics Spark already wrote, plus
+    * [[graft.lake.StatsHarvest]] per-column data-skipping bounds for the
+    * USER columns of `statsSchema`) — a driver-side metadata read, not a
+    * Spark job. Then move files into the table and return their entries.
+    * `statsSchema` is the physical schema the staged files were written
+    * under (passed explicitly: on a schema-evolving write its id is not
+    * committed yet).
     */
   private[merge] def adoptStaged(table: LakeTable, spark: SparkSession,
                                  staging: java.nio.file.Path, epoch: Long,
-                                 schemaId: Int, kind: String): Seq[FileEntry] = {
+                                 schemaId: Int, kind: String,
+                                 statsSchema: StructType): Seq[FileEntry] = {
     // Always called right after a SUCCESSFUL write to `staging` — a missing
     // directory is never "no output" (an empty result still leaves the dir
     // + _SUCCESS); it means something deleted the staged data between write
@@ -313,14 +342,18 @@ object CdcMerge {
     // pool (ordering preserved by indexing futures).
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(16, parquetFiles.size)))
-    try parquetFiles.map(p => pool.submit(adoptOne(table, conf, bucketRe, epoch, schemaId, kind, p)))
+    // data-skipping stats: user columns + _deleted (the pushed !_deleted
+    // filter then skips all-tombstone base files); _lsn stays out — its
+    // watermark already has a dedicated manifest field (maxLsn)
+    val userStats = StructType(statsSchema.fields.filterNot(_.name == LSN_COL))
+    try parquetFiles.map(p => pool.submit(adoptOne(table, conf, bucketRe, epoch, schemaId, kind, userStats, p)))
       .map(_.get())
     finally pool.shutdown()
   }
 
   private def adoptOne(table: LakeTable, conf: org.apache.hadoop.conf.Configuration,
                        bucketRe: scala.util.matching.Regex, epoch: Long, schemaId: Int,
-                       kind: String, p: java.nio.file.Path)
+                       kind: String, statsSchema: StructType, p: java.nio.file.Path)
       : java.util.concurrent.Callable[FileEntry] = () => {
       val bucket = p.getParent.toString match {
         case bucketRe(b) => b.toInt
@@ -329,7 +362,7 @@ object CdcMerge {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(p.toUri), conf)
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      val (rows, maxLsn, minKey, maxKey) = try {
+      val (rows, maxLsn, minKey, maxKey, colStats) = try {
         val blocks = reader.getFooter.getBlocks.asScala
         val rows = blocks.map(_.getRowCount).sum
         val maxLsn = blocks.flatMap { b =>
@@ -346,10 +379,13 @@ object CdcMerge {
         }
         val minKey = if (keyStats.isEmpty) None else Some(keyStats.map(_._1).min)
         val maxKey = if (keyStats.isEmpty) None else Some(keyStats.map(_._2).max)
-        (rows, maxLsn, minKey, maxKey)
+        val colStats = graft.lake.StatsHarvest.fromBlocks(blocks.toSeq, statsSchema)
+        (rows, maxLsn, minKey, maxKey, colStats)
       } finally reader.close()
+      val bytes = Files.size(p)
       val rel = table.adoptStagedFile(p, bucket, epoch, kind)
-      FileEntry(rel, bucket, rows, maxLsn, schemaId, kind, epoch, minKey, maxKey)
+      FileEntry(rel, bucket, rows, maxLsn, schemaId, kind, epoch, minKey, maxKey,
+        colStats = colStats, bytes = Some(bytes))
   }
 
   private[graft] def deleteRecursively(p: java.nio.file.Path): Unit =
@@ -432,7 +468,7 @@ object BulkLoad {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("bucket").parquet(staging.toString)
     val newFiles = CdcMerge.adoptStaged(table, spark, staging, epoch = 0L,
-      m.currentSchemaId, FileEntry.BASE)
+      m.currentSchemaId, FileEntry.BASE, physTarget)
     CdcMerge.deleteRecursively(staging)
     val maxLsn = newFiles.map(_.maxLsn).foldLeft(-1L)(math.max)
     val wallMs = (System.nanoTime() - t0) / 1000000
@@ -482,29 +518,43 @@ object Compactor {
 
   def compact(table: LakeTable, buckets: Set[Int],
               dropTombstones: Boolean = false,
-              maxRecordsPerFile: Long = 0L): Result = {
+              maxRecordsPerFile: Long = 0L,
+              clusterBy: Option[DataFrame => org.apache.spark.sql.Column] = None): Result = {
     val t0 = System.nanoTime()
     val spark = table.snapshot().sparkSession
     val m = table.manifest
-    val resolved0 = table.snapshotPhysical(Some(buckets)) // max-LSN resolved, tombstones kept
+    // close over shared-file coverage (identity without a REBUCKET in
+    // history): a pre-split file spans several current buckets, and its
+    // replacement-by-path below means its sibling buckets rewrite too
+    val closed = m.bucketClosure(buckets)
+    val inputPaths = m.filesForBuckets(closed).map(_.path).toSet
+    val resolved0 = table.snapshotPhysical(m, Some(closed)) // max-LSN resolved, tombstones kept
     val resolved = if (dropTombstones)
       resolved0.filter(!col(graft.model.Schemas.DELETED_COL)) else resolved0
     val staging = table.root.resolve(s"_staging/compact-${m.version + 1}")
     CdcMerge.deleteRecursively(staging)
-    // key-sorted bases: disjoint per-file conv_id ranges inside a bucket
-    // (with maxRecordsPerFile > 0) → manifest-level file pruning for
-    // single-conversation reads
+    // Default layout = key-sorted bases: disjoint per-file conv_id ranges
+    // inside a bucket (with maxRecordsPerFile > 0) → manifest-level file
+    // pruning for single-conversation reads. `clusterBy` overrides the
+    // intra-bucket order (e.g. a z-value for multi-column data skipping;
+    // see [[zorder]]) — point lookups then lean on blooms instead of
+    // minKey/maxKey tightness.
+    val sortCols = clusterBy match {
+      case Some(mk) => Seq(col("bucket"), mk(resolved))
+      case None => Seq(col("bucket"), col("conv_id"), col("turn_idx"))
+    }
     resolved
       .withColumn("bucket", table.bucketExpr(m.numBuckets))
       .repartition(spark.sessionState.conf.numShufflePartitions, col("bucket"))
-      .sortWithinPartitions("bucket", "conv_id", "turn_idx")
+      .sortWithinPartitions(sortCols: _*)
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("bucket").parquet(staging.toString)
     val newFiles = CdcMerge.adoptStaged(table, spark, staging, m.lastEpoch,
-      m.currentSchemaId, FileEntry.BASE)
+      m.currentSchemaId, FileEntry.BASE,
+      graft.model.Schemas.physical(table.userSchema(m)))
     CdcMerge.deleteRecursively(staging)
-    val carried = m.files.filterNot(f => buckets.contains(f.bucket))
+    val carried = m.files.filterNot(f => inputPaths.contains(f.path))
     val allFiles = carried ++ newFiles
     val wallMs = (System.nanoTime() - t0) / 1000000
     val m2 = m.copy(
@@ -512,10 +562,39 @@ object Compactor {
       files = allFiles,
       totalRows = allFiles.map(_.rows).sum,
       lineage = (m.lineage :+ CommitInfo(m.version + 1, m.lastEpoch,
-        newFiles.map(_.rows).sum, buckets.toSeq.sorted, m.maxLsn, wallMs,
+        newFiles.map(_.rows).sum, closed.toSeq.sorted, m.maxLsn, wallMs,
         System.currentTimeMillis())).takeRight(1000))
     table.commit(m2, m.version)
-    Result(buckets.toSeq.sorted, wallMs)
+    Result(closed.toSeq.sorted, wallMs)
+  }
+
+  /** Z-order the given buckets (default: all): a [[compact]] whose
+    * intra-bucket layout is the Morton interleave of `cols`' quantile
+    * bins ([[graft.lake.ZOrder]]) instead of the key sort — files then
+    * carry tight min/max bounds on EVERY listed column, which is what
+    * makes [[graft.lake.DataSkipping]] effective for multi-dimensional
+    * predicates (e.g. ts ranges over transcripts). Buckets stay the
+    * partition unit, so key-hash routing, MOR resolution, and all
+    * concurrency rules are untouched; within a rewritten bucket the
+    * (minKey, maxKey) ranges get looser — point lookups lean on blooms
+    * (OPTIMIZE ... BLOOM) instead.
+    *
+    * `maxRecordsPerFile <= 0` auto-sizes to ~8 files per bucket (real
+    * deployments should pass an explicit value tuned to row width — the
+    * lever that trades file count against skip granularity).
+    */
+  def zorder(table: LakeTable, cols: Seq[String],
+             buckets: Option[Set[Int]] = None,
+             maxRecordsPerFile: Long = 0L,
+             dropTombstones: Boolean = false): Result = {
+    val m = table.manifest
+    val bs = buckets.getOrElse(m.files.map(_.bucket).toSet)
+    if (bs.isEmpty) return Result(Nil, 0L)
+    val mrf =
+      if (maxRecordsPerFile > 0L) maxRecordsPerFile
+      else math.max(1L, m.totalRows / math.max(1, bs.size) / 8L)
+    compact(table, bs, dropTombstones, mrf,
+      clusterBy = Some(df => graft.lake.ZOrder.zColumn(df, cols)))
   }
 
   /** Compaction with OPTIMISTIC-CONCURRENCY commit — the maintenance-thread
@@ -550,11 +629,15 @@ object Compactor {
     val t0 = System.nanoTime()
     val spark = table.snapshot().sparkSession
     val m0 = table.manifest
-    val inputFiles = m0.filesForBuckets(buckets).map(_.path).toSet
+    // closure over shared-file coverage (identity without a REBUCKET in
+    // history); the rewrite region is fixed at the PIN's depth — post-pin
+    // files are never coarser, so the closed region cannot grow under us
+    val closed = m0.bucketClosure(buckets)
+    val inputFiles = m0.filesForBuckets(closed).map(_.path).toSet
     if (inputFiles.isEmpty) return None
     val resolved0 = // resolve from the PINNED manifest (not _current: a
       // concurrent writer must not change our input between pin and plan)
-      table.snapshotPhysical(m0, Some(buckets))
+      table.snapshotPhysical(m0, Some(closed))
     val resolved = if (dropTombstones)
       resolved0.filter(!col(graft.model.Schemas.DELETED_COL)) else resolved0
     val staging = table.root.resolve(
@@ -568,34 +651,52 @@ object Compactor {
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("bucket").parquet(staging.toString)
     val newFiles = CdcMerge.adoptStaged(table, spark, staging, m0.lastEpoch,
-      m0.currentSchemaId, FileEntry.BASE)
+      m0.currentSchemaId, FileEntry.BASE,
+      graft.model.Schemas.physical(table.userSchema(m0)))
     CdcMerge.deleteRecursively(staging)
     preCommit()
     var attempt = 0
     while (attempt < maxRetries) {
       val cur = table.manifest
-      val curBucketFiles = cur.filesForBuckets(buckets)
-      val curPaths = curBucketFiles.map(_.path).toSet
-      val addedSincePin = curBucketFiles.filterNot(f => inputFiles.contains(f.path))
+      // the rewrite region, re-indexed under `cur`: f (depth d, bucket b)
+      // intersects {t : t mod m0.numBuckets ∈ closed} iff some closed
+      // bucket shares b's residue at gcd(d, m0.numBuckets) — depths form
+      // a divisibility chain, so the gcd is simply the coarser of the two
+      // (this stays correct across a concurrent REBUCKET)
+      def inRegion(f: FileEntry): Boolean = {
+        val g = java.math.BigInteger.valueOf(cur.fileDepth(f))
+          .gcd(java.math.BigInteger.valueOf(m0.numBuckets)).intValueExact()
+        val r = java.lang.Math.floorMod(f.bucket, g)
+        closed.exists(c => java.lang.Math.floorMod(c, g) == r)
+      }
+      val curPaths = cur.files.map(_.path).toSet
+      val addedSincePin = cur.files.filter(f =>
+        inRegion(f) && !inputFiles.contains(f.path))
       val stale = !inputFiles.subsetOf(curPaths) || // pinned input vanished → bucket was rewritten
         (dropTombstones && addedSincePin.nonEmpty)  // tombstone-drop needs quiescence
       if (stale) {
         newFiles.foreach(f => java.nio.file.Files.deleteIfExists(table.root.resolve(f.path)))
         return None
       }
-      val allFiles = cur.files.filterNot(f => buckets.contains(f.bucket)) ++
-        newFiles ++ addedSincePin
+      // rebasing over a concurrent REBUCKET: our bases were written at the
+      // pin's depth — stamp them for the new space (the rebucket stamped
+      // only the files in ITS manifest)
+      val newFilesNow =
+        if (cur.numBuckets != m0.numBuckets)
+          newFiles.map(f => if (f.writePids.isEmpty) f.copy(writePids = Some(m0.numBuckets)) else f)
+        else newFiles
+      val allFiles = cur.files.filterNot(f => inputFiles.contains(f.path)) ++ newFilesNow
       val wallMs = (System.nanoTime() - t0) / 1000000
       val m2 = cur.copy(
         version = cur.version + 1,
         files = allFiles,
         totalRows = allFiles.map(_.rows).sum,
         lineage = (cur.lineage :+ CommitInfo(cur.version + 1, cur.lastEpoch,
-          newFiles.map(_.rows).sum, buckets.toSeq.sorted, cur.maxLsn, wallMs,
+          newFiles.map(_.rows).sum, closed.toSeq.sorted, cur.maxLsn, wallMs,
           System.currentTimeMillis())).takeRight(1000))
       try {
         table.commit(m2, cur.version)
-        return Some(Result(buckets.toSeq.sorted, wallMs))
+        return Some(Result(closed.toSeq.sorted, wallMs))
       } catch {
         case _: IllegalArgumentException => attempt += 1 // CAS lost; rebase + retry
       }

@@ -45,6 +45,10 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
 
   private val optimizeRe =
     """(?is)\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_.]*)(\s+BLOOM)?\s*;?\s*""".r
+  private val zorderRe =
+    """(?is)\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_.]*)\s+ZORDER\s+BY\s*\(([^)]+)\)(?:\s+ROWS\s+(\d+))?\s*;?\s*""".r
+  private val rebucketRe =
+    """(?is)\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_.]*)\s+REBUCKET\s+(?:TO\s+(\d+)|FACTOR\s+(\d+))\s*;?\s*""".r
   private val vacuumRe =
     """(?is)\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_.]*)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
   private val describeHistoryRe =
@@ -83,6 +87,23 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
     def firstWord = body.takeWhile(!_.isWhitespace).toUpperCase
     firstWord match {
       case "OPTIMIZE" => body match {
+        case zorderRe(name, colList, rowsPerFile) => LakeCatalog.lookup(session, name) match {
+          case Some(dir) =>
+            val cols = colList.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            require(cols.nonEmpty, "OPTIMIZE ... ZORDER BY needs at least one column")
+            GraftZorderCommand(dir, cols,
+              Option(rowsPerFile).map(_.toLong).getOrElse(0L))
+          case None => throw new IllegalArgumentException(
+            s"OPTIMIZE: '$name' is not a registered lake table")
+        }
+        case rebucketRe(name, to, factor) => LakeCatalog.lookup(session, name) match {
+          case Some(dir) =>
+            GraftRebucketCommand(dir,
+              targetBuckets = Option(to).map(_.toInt),
+              factor = Option(factor).map(_.toInt))
+          case None => throw new IllegalArgumentException(
+            s"OPTIMIZE: '$name' is not a registered lake table")
+        }
         case optimizeRe(name, bloom) => LakeCatalog.lookup(session, name) match {
           case Some(dir) =>
             if (bloom == null) GraftOptimizeCommand(dir) else GraftBloomCommand(dir)
@@ -91,7 +112,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
         }
         case _ =>
           throw new IllegalArgumentException(
-            "expected: OPTIMIZE <lake table name> [BLOOM]")
+            "expected: OPTIMIZE <lake table name> [BLOOM | ZORDER BY (col, ...) [ROWS n] " +
+              "| REBUCKET TO <n> | REBUCKET FACTOR <k>]")
       }
       case "VACUUM" => body match {
         case vacuumRe(name, retain) => LakeCatalog.lookup(session, name) match {
@@ -189,6 +211,56 @@ case class GraftOptimizeCommand(tableDir: String) extends LeafRunnableCommand {
       case Some(r) => Seq(Row(r.compactedBuckets.size, r.wallMs))
       case None => Seq(Row(0, 0L)) // abandoned: a concurrent rewrite superseded this pass
     }
+  }
+}
+
+/** OPTIMIZE t ZORDER BY (c1, ...) [ROWS n]: rewrite the table's buckets
+  * with Morton-interleaved intra-bucket layout so per-file min/max bounds
+  * are tight on every listed column — the data-skipping companion to
+  * [[graft.lake.DataSkipping]] (Delta's OPTIMIZE ZORDER shape). `ROWS n`
+  * caps records per rewritten file (the skip-granularity lever);
+  * omitted = ~8 files per bucket.
+  */
+case class GraftZorderCommand(tableDir: String, cols: Seq[String], rowsPerFile: Long)
+    extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("buckets_rewritten", IntegerType, nullable = false)(),
+    AttributeReference("wall_ms", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val table = LakeTable.load(session, tableDir)
+    val r = Compactor.zorder(table, cols, maxRecordsPerFile = rowsPerFile)
+    Seq(Row(r.compactedBuckets.size, r.wallMs))
+  }
+}
+
+/** OPTIMIZE t REBUCKET TO <n> | FACTOR <k>: multiply the table's bucket
+  * space ([[LakeTable.rebucket]]) as a metadata-only commit — the growth
+  * knob for a table whose creation-time bucket count the corpus has
+  * outgrown. `TO n` requires n to be an integer multiple of the current
+  * count (the coverage arithmetic needs every historical depth to divide
+  * every later one); existing files migrate lazily through ordinary
+  * compaction.
+  */
+case class GraftRebucketCommand(tableDir: String, targetBuckets: Option[Int],
+                                factor: Option[Int]) extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("num_buckets", IntegerType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val table = LakeTable.load(session, tableDir)
+    val cur = table.manifest.numBuckets
+    val f = (targetBuckets, factor) match {
+      case (Some(n), _) =>
+        require(n > cur && n % cur == 0,
+          s"REBUCKET TO $n: target must be a multiple of the current bucket count $cur " +
+            s"and larger than it (got $n)")
+        n / cur
+      case (_, Some(k)) => k
+      case _ => throw new IllegalArgumentException(
+        "REBUCKET needs TO <n> or FACTOR <k>")
+    }
+    Seq(Row(table.rebucket(f)))
   }
 }
 

@@ -86,7 +86,8 @@ object CdcStream {
             compactEvery: Int = 8,
             trigger: Trigger = Trigger.AvailableNow(),
             walSchema: org.apache.spark.sql.types.StructType = Schemas.changeEvent,
-            asyncCompaction: Boolean = false): StreamingQuery = {
+            asyncCompaction: Boolean = false,
+            maxRowsPerBucket: Long = 0L): StreamingQuery = {
     // Mid-stream schema evolution: the file source needs ONE schema, so
     // tail with the WIDENED union schema (pass `walSchema`); parquet
     // null-fills columns absent from older chunks and the per-batch
@@ -101,7 +102,7 @@ object CdcStream {
       .trigger(trigger)
       .foreachBatch { (df: DataFrame, epoch: Long) =>
         applyAndMaintain(table, df, epoch, saltBuckets, mode, compactEvery,
-          asyncCompaction, checkpointDir)
+          asyncCompaction, checkpointDir, maxRowsPerBucket)
       }
       .start()
   }
@@ -113,9 +114,23 @@ object CdcStream {
   private def applyAndMaintain(table: LakeTable, df: DataFrame, epoch: Long,
                                saltBuckets: Int, mode: CdcMerge.Mode,
                                compactEvery: Int, asyncCompaction: Boolean,
-                               checkpointDir: String): Unit = {
+                               checkpointDir: String,
+                               maxRowsPerBucket: Long = 0L): Unit = {
         val stats = CdcMerge.apply(table, df, epoch, saltBuckets, mode,
           streamId = streamIdOf(checkpointDir))
+        // AUTO-REBUCKET: when average bucket occupancy outgrows the bound,
+        // double the bucket space (metadata-only commit; old files migrate
+        // lazily through ordinary compaction). Runs BETWEEN merges on the
+        // stream thread, so it never races this stream's own commits; a
+        // concurrent async compactor rebases over it (depth stamping).
+        if (maxRowsPerBucket > 0L) {
+          val m = table.manifest
+          if (m.totalRows / math.max(1, m.numBuckets) > maxRowsPerBucket) {
+            val n = table.rebucket(2)
+            System.err.println(s"[cdc-stream] auto-rebucket: ${table.root} grown past " +
+              s"$maxRowsPerBucket rows/bucket — bucket space doubled to $n")
+          }
+        }
         if (mode == CdcMerge.MergeOnRead && compactEvery > 0) {
           if (!asyncCompaction) Compactor.compactIfNeeded(table, compactEvery)
           else {
@@ -176,6 +191,11 @@ object CdcStream {
     * `cutoverLsn` applies [[graft.merge.Bootstrap.cutoverGate]] to every
     * batch — set it when the table was bootstrapped from a snapshot so
     * pre-snapshot re-deliveries cannot resurrect deleted keys.
+    * `verifyCutoverContiguity` additionally runs
+    * [[graft.merge.Bootstrap.verifyNoGap]] on every batch until the first
+    * post-snapshot event lands (a tail that STARTS above the snapshot
+    * position has silently lost events) — opt-in because it asserts
+    * DENSE LSNs; sparse-LSN sources would false-positive.
     */
   def startEnvelope(spark: SparkSession, envDir: String, table: LakeTable,
                     checkpointDir: String,
@@ -183,9 +203,11 @@ object CdcStream {
                     payload: org.apache.spark.sql.types.StructType = Schemas.transcript,
                     dlqDir: Option[String] = None,
                     cutoverLsn: Option[Long] = None,
+                    verifyCutoverContiguity: Boolean = false,
                     maxFilesPerTrigger: Int = 4,
                     saltBuckets: Int = 8, mode: CdcMerge.Mode = CdcMerge.MergeOnRead,
                     compactEvery: Int = 8,
+                    maxRowsPerBucket: Long = 0L,
                     trigger: Trigger = Trigger.AvailableNow(),
                     asyncCompaction: Boolean = false): StreamingQuery = {
     val keyCols = Schemas.KEY_COLS
@@ -220,9 +242,16 @@ object CdcStream {
           val good0 = CdcEnvelope.good(annotated, "value")
             .select(("op" +: "lsn" +: payload.fieldNames.toSeq)
               .map(org.apache.spark.sql.functions.col): _*)
+          // gap check runs only while NO post-snapshot event has been
+          // applied yet (watermark still at the snapshot position), so the
+          // steady-state hot path never pays the extra aggregate job
+          for (s <- cutoverLsn if verifyCutoverContiguity && table.manifest.maxLsn <= s) {
+            val mn = good0.agg(org.apache.spark.sql.functions.min("lsn")).collect()(0)
+            if (!mn.isNullAt(0)) graft.merge.Bootstrap.verifyNoGap(mn.getLong(0), s)
+          }
           val good = cutoverLsn.fold(good0)(s => graft.merge.Bootstrap.cutoverGate(good0, s))
           applyAndMaintain(table, good, epoch, saltBuckets, mode, compactEvery,
-            asyncCompaction, checkpointDir)
+            asyncCompaction, checkpointDir, maxRowsPerBucket)
         } finally annotated.unpersist()
         ()
       }

@@ -103,4 +103,48 @@ class StreamEnvelopeSpec extends SparkSpec {
       assert(oracle.forall { case (k, e) => got.get(k).contains(e.text) })
     } finally rmrf(dir)
   }
+
+  test("verifyCutoverContiguity: a tail starting past the snapshot fails; a contiguous one passes") {
+    val dir = tmpDir("envstream-gap")
+    val cfg = WalGen.Config(numEvents = 1500, numConvs = 30)
+    try {
+      val s0 = 600L
+      def bootstrapAt(t: String): LakeTable = {
+        val snap = graft.merge.CdcMerge.dedupMaxLsn(
+          WalGen.events(spark, cfg, 0, cfg.numEvents).toDF().filter(col("lsn") <= s0))
+          .filter(col("op") =!= "D").drop("op")
+        val table = LakeTable.create(spark, t, Schemas.transcript, numBuckets = 2)
+        graft.merge.Bootstrap.load(table, snap, snapshotLsn = s0)
+        table
+      }
+      // gapped tail: events (s0, s0+200] are missing — silent loss without the check
+      val gapped = WalGen.events(spark, cfg, 0, cfg.numEvents).toDF()
+        .filter(col("lsn") > s0 + 200)
+      val img = struct(col("conv_id"), col("turn_idx"), col("role"), col("text"), col("tool"), col("ts"))
+      val opRaw = when(col("op") === "I", "c").when(col("op") === "U", "u").otherwise("d")
+      def asDebezium(df: org.apache.spark.sql.DataFrame) = df.select(to_json(struct(
+        when(opRaw === "d", img).as("before"),
+        when(opRaw =!= "d", img).as("after"),
+        struct(col("lsn").as("lsn")).as("source"),
+        opRaw.as("op"), lit(1700000000000L).as("ts_ms")), tsOpts).as("value"))
+      asDebezium(gapped).repartition(1).write.mode("overwrite").text(s"$dir/walgap")
+      val t1 = bootstrapAt(s"$dir/t1")
+      val q1 = CdcStream.startEnvelope(spark, s"$dir/walgap", t1, s"$dir/ckpt1",
+        dlqDir = Some(s"$dir/dlq1"), cutoverLsn = Some(s0), verifyCutoverContiguity = true)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        try q1.awaitTermination() finally if (q1.isActive) q1.stop()
+      }
+      def causes(t: Throwable): Seq[Throwable] = if (t == null) Nil else t +: causes(t.getCause)
+      assert(causes(e).exists(c => c.getMessage != null && c.getMessage.contains("cutover gap")))
+
+      // contiguous tail (full replay): the check passes and state reconverges
+      asDebezium(WalGen.events(spark, cfg, 0, cfg.numEvents).toDF())
+        .repartition(2).write.mode("overwrite").text(s"$dir/walfull")
+      val t2 = bootstrapAt(s"$dir/t2")
+      val q2 = CdcStream.startEnvelope(spark, s"$dir/walfull", t2, s"$dir/ckpt2",
+        dlqDir = Some(s"$dir/dlq2"), cutoverLsn = Some(s0), verifyCutoverContiguity = true)
+      try q2.awaitTermination() finally if (q2.isActive) q2.stop()
+      assert(t2.snapshot().count() == WalGen.oracleState(cfg).size)
+    } finally rmrf(dir)
+  }
 }

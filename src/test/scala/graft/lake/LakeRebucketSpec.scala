@@ -1,0 +1,255 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.gen.WalGen
+import graft.merge.{CdcMerge, Compactor}
+import graft.model.Schemas
+import graft.sql.LakeCatalog
+
+/** REBUCKET — lazy extendible-hash growth of the lake table's bucket
+  * space: the metadata-only commit, coverage-closed reads/merges/
+  * compactions across mixed write depths, point-lookup pruning, SQL
+  * surface, and the streaming auto-grow knob.
+  */
+class LakeRebucketSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  private val TS = new java.sql.Timestamp(1700000000000L)
+
+  /** A CDC batch: (op, lsn, conv_id, turn_idx, text). */
+  private def batch(rows: (String, Long, String, Int, String)*): DataFrame =
+    rows.map { case (op, lsn, c, t, txt) => (op, lsn, c, t, "user", txt, null: String, TS) }
+      .toDF("op", "lsn", "conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+  private def state(table: LakeTable): Map[(String, Int), String] =
+    table.snapshot().select("conv_id", "turn_idx", "text").collect()
+      .map(r => ((r.getString(0), r.getInt(1)), r.getString(2))).toMap
+
+  private def oracleCheck(table: LakeTable, cfg: WalGen.Config): Unit = {
+    val oracle = WalGen.oracleState(cfg)
+    val got = state(table)
+    assert(got.size == oracle.size, s"rows: got ${got.size}, oracle ${oracle.size}")
+    oracle.foreach { case (k, e) => assert(got(k) == e.text, s"text mismatch at $k") }
+  }
+
+  test("rebucket is metadata-only: state identical, files depth-stamped, lineage records it") {
+    val dir = tmpDir("rb-meta")
+    val cfg = WalGen.Config(numEvents = 6000, numConvs = 60)
+    try {
+      val table = LakeTable.create(spark, s"$dir/t", Schemas.transcript, numBuckets = 4)
+      (0 until 3).foreach(b => CdcMerge.apply(table,
+        WalGen.events(spark, cfg, b * 2000L, (b + 1) * 2000L).toDF(), b.toLong))
+      Compactor.compactIfNeeded(table, deltaThreshold = 2) // mix of base + delta files
+      val before = state(table)
+      val paths = table.manifest.files.map(_.path).toSet
+      val v0 = table.currentVersion
+
+      assert(table.rebucket(2) == 8)
+      val m = table.manifest
+      assert(m.numBuckets == 8)
+      assert(m.version == v0 + 1)
+      assert(m.files.map(_.path).toSet == paths, "no data file may change")
+      assert(m.files.forall(_.writePids.contains(4)), "every file stamped with its write depth")
+      assert(m.lineage.last.op == "rebucket")
+      assert(state(table) == before, "snapshot must be identical after rebucket")
+      oracleCheck(table, cfg)
+
+      // factor must be >= 2
+      intercept[IllegalArgumentException](table.rebucket(1))
+    } finally rmrf(dir)
+  }
+
+  test("writes after rebucket route at the new depth; mixed-depth MOR resolves exactly") {
+    val dir = tmpDir("rb-mor")
+    try {
+      val table = LakeTable.create(spark, s"$dir/t", Schemas.transcript, numBuckets = 2)
+      val convs = (0 until 20).map(i => s"conv-$i")
+      CdcMerge.apply(table, batch(convs.map(c => ("I", 1L, c, 0, s"v1-$c")): _*), 0L)
+      Compactor.compact(table, table.manifest.files.map(_.bucket).toSet) // all base
+      table.rebucket(4) // 2 -> 8 buckets in one step (integer factor, not just doubling)
+      assert(table.manifest.numBuckets == 8)
+
+      // updates + a delete + a fresh insert, all routed at the NEW depth
+      CdcMerge.apply(table, batch(
+        ("U", 10L, "conv-3", 0, "v2-conv-3"),
+        ("D", 11L, "conv-7", 0, ""),
+        ("I", 12L, "conv-99", 0, "v1-conv-99")), 1L)
+      val newDeltas = table.manifest.files.filter(_.kind == FileEntry.DELTA)
+      assert(newDeltas.nonEmpty && newDeltas.forall(_.writePids.isEmpty),
+        "post-rebucket deltas are current-depth files")
+
+      val got = state(table)
+      assert(got(("conv-3", 0)) == "v2-conv-3", "new-depth delta must shadow old-depth base")
+      assert(!got.contains(("conv-7", 0)), "tombstone must delete across depths")
+      assert(got(("conv-99", 0)) == "v1-conv-99")
+      assert(got.size == 20) // 20 - 1 deleted + 1 inserted
+      // no duplicate winners: exactly one row per surviving key
+      val dups = table.snapshot().groupBy("conv_id", "turn_idx").count()
+        .filter(col("count") > 1).count()
+      assert(dups == 0, "a key must never resolve to two rows across depths")
+
+      // a STALE update (lower LSN than the base row's) must lose
+      CdcMerge.apply(table, batch(("U", 0L, "conv-5", 0, "stale")), 2L)
+      assert(state(table)(("conv-5", 0)) == "v1-conv-5")
+    } finally rmrf(dir)
+  }
+
+  test("compaction closes over old-depth coverage and migrates files to the new depth") {
+    val dir = tmpDir("rb-compact")
+    try {
+      val table = LakeTable.create(spark, s"$dir/t", Schemas.transcript, numBuckets = 2)
+      val convs = (0 until 40).map(i => s"conv-$i")
+      CdcMerge.apply(table, batch(convs.map(c => ("I", 1L, c, 0, s"v1-$c")): _*), 0L)
+      Compactor.compact(table, table.manifest.files.map(_.bucket).toSet)
+      table.rebucket(2) // -> 4, old bases at depth 2
+      CdcMerge.apply(table, batch(("U", 10L, "conv-3", 0, "v2-conv-3")), 1L)
+      val before = state(table)
+
+      // compacting the delta's bucket must pull in the old-depth base file
+      // (shared coverage) and report the whole closed component
+      val deltaBucket = table.manifest.files.find(_.kind == FileEntry.DELTA).get.bucket
+      val r = Compactor.compact(table, Set(deltaBucket))
+      val m = table.manifest
+      assert(r.compactedBuckets.size >= 2,
+        s"closure must widen to the old file's sibling buckets, got ${r.compactedBuckets}")
+      assert(m.files.forall(_.kind == FileEntry.BASE) || m.files.exists(_.writePids.isEmpty))
+      // the rewritten region is at the current depth now
+      val rewritten = m.files.filter(f => r.compactedBuckets.contains(f.bucket) && f.writePids.isEmpty)
+      assert(rewritten.nonEmpty, "compaction output must be current-depth files")
+      assert(state(table) == before, "compaction must not change the resolved state")
+
+      // a second compaction pass over everything leaves only current-depth bases
+      Compactor.compact(table, (0 until m.numBuckets).toSet)
+      assert(table.manifest.files.forall(f =>
+        f.kind == FileEntry.BASE && f.writePids.isEmpty))
+      assert(state(table) == before)
+    } finally rmrf(dir)
+  }
+
+  test("copy-on-write across a rebucket replaces shared-coverage files by path") {
+    val dir = tmpDir("rb-cow")
+    try {
+      val table = LakeTable.create(spark, s"$dir/t", Schemas.transcript, numBuckets = 2)
+      val convs = (0 until 30).map(i => s"conv-$i")
+      CdcMerge.apply(table, batch(convs.map(c => ("I", 1L, c, 0, s"v1-$c")): _*), 0L,
+        mode = CdcMerge.CopyOnWrite)
+      table.rebucket(2) // -> 4
+      CdcMerge.apply(table, batch(
+        ("U", 10L, "conv-3", 0, "v2-conv-3"),
+        ("D", 11L, "conv-8", 0, "")), 1L, mode = CdcMerge.CopyOnWrite)
+      val got = state(table)
+      assert(got(("conv-3", 0)) == "v2-conv-3")
+      assert(!got.contains(("conv-8", 0)))
+      assert(got.size == 29)
+      val dups = table.snapshot().groupBy("conv_id", "turn_idx").count()
+        .filter(col("count") > 1).count()
+      assert(dups == 0, "CoW must replace shared-coverage files, never duplicate their rows")
+    } finally rmrf(dir)
+  }
+
+  test("point-lookup pruning is coverage-aware: filesForConversation finds every holder") {
+    val dir = tmpDir("rb-point")
+    try {
+      val table = LakeTable.create(spark, s"$dir/t", Schemas.transcript, numBuckets = 2)
+      val convs = (0 until 24).map(i => s"conv-$i")
+      CdcMerge.apply(table, batch(convs.map(c => ("I", 1L, c, 0, s"v1-$c")): _*), 0L)
+      Compactor.compact(table, table.manifest.files.map(_.bucket).toSet)
+      table.rebucket(4) // -> 8
+      CdcMerge.apply(table, batch(("U", 10L, "conv-3", 0, "v2-conv-3")), 1L)
+
+      // ground truth: which files actually hold each conversation
+      val m = table.manifest
+      val holders: Map[String, Set[String]] = m.files.flatMap { f =>
+        spark.read.parquet(table.root.resolve(f.path).toString)
+          .select("conv_id").distinct().collect().map(_.getString(0) -> f.path)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+      convs.foreach { c =>
+        val pruned = table.filesForConversation(c).map(_.path).toSet
+        assert(holders(c).subsetOf(pruned),
+          s"$c: pruning must never drop a holder (held=${holders(c)}, pruned=$pruned)")
+      }
+      // and it still prunes: no conversation needs every file
+      assert(convs.exists(c => table.filesForConversation(c).size < m.files.size))
+    } finally rmrf(dir)
+  }
+
+  test("snapshotWhere skipping stays exact across mixed depths") {
+    val dir = tmpDir("rb-skip")
+    try {
+      val table = LakeTable.create(spark, s"$dir/t", Schemas.transcript, numBuckets = 2)
+      val convs = (0 until 30).map(i => s"conv-$i")
+      CdcMerge.apply(table, batch(convs.map(c => ("I", 1L, c, 0, s"v1-$c")): _*), 0L)
+      Compactor.compact(table, table.manifest.files.map(_.bucket).toSet)
+      table.rebucket(2)
+      // delta shadows an old-depth base row with text the filter EXCLUDES:
+      // skipping must not resurrect the masked base row
+      CdcMerge.apply(table, batch(("U", 10L, "conv-3", 0, "masked")), 1L)
+      val filt = col("text").startsWith("v1-")
+      val expect = table.snapshot().filter(filt).collect().toSet
+      val gotRows = table.snapshotWhere(filt).collect().toSet
+      assert(gotRows == expect)
+      assert(!gotRows.exists(_.getString(0) == "conv-3"),
+        "masked old-depth base row must not leak through skipping")
+    } finally rmrf(dir)
+  }
+
+  test("SQL: OPTIMIZE t REBUCKET TO n / FACTOR k; non-multiple target rejected") {
+    val dir = tmpDir("rb-sql")
+    spark.sparkContext
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      val table = LakeTable.create(s2, s"$dir/t", Schemas.transcript, numBuckets = 4)
+      LakeCatalog.register("lake_rb", s"$dir/t")
+      CdcMerge.apply(table, batch(("I", 1L, "c1", 0, "t1")), 0L)
+
+      val r = s2.sql("OPTIMIZE lake_rb REBUCKET TO 8").collect()
+      assert(r.head.getInt(0) == 8)
+      assert(table.manifest.numBuckets == 8)
+      val r2 = s2.sql("OPTIMIZE lake_rb REBUCKET FACTOR 2").collect()
+      assert(r2.head.getInt(0) == 16)
+      val e = intercept[IllegalArgumentException](s2.sql("OPTIMIZE lake_rb REBUCKET TO 24"))
+      assert(e.getMessage.contains("multiple"))
+      assert(state(table)(("c1", 0)) == "t1")
+    } finally {
+      LakeCatalog.unregister("lake_rb")
+      rmrf(dir)
+    }
+  }
+
+  test("changesBetween spans a rebucket commit; stream auto-rebucket converges to the oracle") {
+    val dir = tmpDir("rb-stream")
+    val cfg = WalGen.Config(numEvents = 8000, numConvs = 50)
+    try {
+      val table = LakeTable.create(spark, s"$dir/t", Schemas.transcript, numBuckets = 2)
+      WalGen.writeWal(spark, s"$dir/wal", cfg, numChunks = 8)
+      // tiny bound: the stream must outgrow 2 buckets almost immediately
+      val q = graft.stream.CdcStream.start(spark, s"$dir/wal", table, s"$dir/cp",
+        maxFilesPerTrigger = 2, maxRowsPerBucket = 500L)
+      q.awaitTermination()
+      graft.stream.CdcStream.awaitMaintenance()
+      assert(table.manifest.numBuckets > 2,
+        s"auto-rebucket must have grown the bucket space, still at ${table.manifest.numBuckets}")
+      oracleCheck(table, cfg)
+      assert(table.manifest.lineage.exists(_.op == "rebucket"))
+
+      // the changelog spans the rebucket commit (rebucket adds no rows,
+      // so the feed equals the raw deduped deltas)
+      val changes = table.changesBetween(0L, table.currentVersion)
+      assert(changes.count() > 0)
+      val latest = changes.groupBy("conv_id", "turn_idx")
+        .agg(max_by(col("text"), col(Schemas.LSN_COL)).as("text"),
+          max_by(col(Schemas.DELETED_COL), col(Schemas.LSN_COL)).as("del"))
+        .filter(!col("del"))
+        .collect().map(r => ((r.getString(0), r.getInt(1)), r.getString(2))).toMap
+      val oracle = WalGen.oracleState(cfg)
+      assert(latest.size == oracle.size)
+      oracle.foreach { case (k, e) => assert(latest(k) == e.text, s"changelog mismatch at $k") }
+    } finally rmrf(dir)
+  }
+}

@@ -191,9 +191,22 @@ object DataSkipping {
         case Some(p: String) =>
           val (lo, hi) = bounds(d)
           // strings with prefix p live in [p, p·∞): max >= p, and min's
-          // first |p| chars must not already exceed p
-          hi.forall(h => h.asInstanceOf[String] >= p) &&
-            lo.forall(l => l.asInstanceOf[String].take(p.length) <= p)
+          // first |p| BYTES must not already exceed p — all comparisons
+          // in UTF-8 unsigned-byte order (parquet/UTF8String semantics;
+          // Java String order diverges beyond the BMP)
+          def u8(s: String) = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          def cmp(a: Array[Byte], b: Array[Byte]): Int = {
+            var i = 0
+            while (i < a.length && i < b.length) {
+              val d = (a(i) & 0xff) - (b(i) & 0xff)
+              if (d != 0) return d
+              i += 1
+            }
+            a.length - b.length
+          }
+          val pb = u8(p)
+          hi.forall(h => cmp(u8(h.asInstanceOf[String]), pb) >= 0) &&
+            lo.forall(l => cmp(u8(l.asInstanceOf[String]).take(pb.length), pb) <= 0)
         case _ => true
       }
     }

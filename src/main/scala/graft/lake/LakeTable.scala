@@ -294,6 +294,13 @@ final class LakeTable private (val root: Path, spark: SparkSession) {
       version = cur + 1,
       currentSchemaId = src.currentSchemaId,
       files = src.files,
+      // the bucket space must travel WITH the file set: src's files (and
+      // their writePids stamps) are expressed relative to src's depth — a
+      // restore across a REBUCKET that kept the current numBuckets would
+      // misread every unstamped src file at the wrong depth (missed point
+      // lookups, wrong coverage closures, duplicate base rows after the
+      // next CoW). A later rebucket grows the space again from src's value.
+      numBuckets = src.numBuckets,
       totalRows = src.totalRows,
       maxLsn = src.maxLsn,
       lineage = (curM.lineage :+ CommitInfo(cur + 1, curM.lastEpoch, 0L, Nil,
@@ -360,8 +367,8 @@ final class LakeTable private (val root: Path, spark: SparkSession) {
     while (true) {
       val m = manifest
       val target = m.numBuckets * factor
-      require(target <= (1 << 20),
-        s"REBUCKET to $target buckets exceeds the 2^20 sanity cap")
+      require(target <= LakeTable.MAX_BUCKETS,
+        s"REBUCKET to $target buckets exceeds the ${LakeTable.MAX_BUCKETS} sanity cap")
       val stamped = m.files.map(f =>
         if (f.writePids.isEmpty) f.copy(writePids = Some(m.numBuckets)) else f)
       val m2 = m.copy(
@@ -778,6 +785,11 @@ final class LakeTable private (val root: Path, spark: SparkSession) {
 }
 
 object LakeTable {
+
+  /** Sanity cap on the bucket space (2^20): past this, per-bucket file
+    * counts are no longer the scaling bottleneck and manifest size is.
+    */
+  val MAX_BUCKETS: Int = 1 << 20
 
   /** The canonical per-key resolve ordering, shared by MOR resolve and
     * every changelog-consuming maintenance window: (lsn desc, non-delete

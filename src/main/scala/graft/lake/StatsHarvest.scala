@@ -54,25 +54,38 @@ object StatsHarvest {
     val cols = chunks.map(_.get)
     var nulls = 0L
     var nullsKnown = true
+    var boundsKnown = true // EVERY chunk must contribute bounds or be provably all-null
     var minV: Option[Any] = None
     var maxV: Option[Any] = None
     val ord = ordering(dt).getOrElse(return None)
     cols.foreach { c =>
       val s: Statistics[_] = c.getStatistics
-      if (s == null) { nullsKnown = false }
+      if (s == null) { nullsKnown = false; boundsKnown = false }
       else {
         if (s.isNumNullsSet) nulls += s.getNumNulls else nullsKnown = false
-        if (!s.isEmpty && s.hasNonNullValue) {
-          (internal(dt, c, s.genericGetMin), internal(dt, c, s.genericGetMax)) match {
-            case (Some(lo), Some(hi)) =>
-              minV = Some(minV.fold(lo)(m => if (ord.lt(lo, m)) lo else m))
-              maxV = Some(maxV.fold(hi)(m => if (ord.gt(hi, m)) hi else m))
-            case _ => // unconvertible physical form (e.g. INT96): no bounds
-          }
+        // a chunk with no usable min/max is NOT necessarily all-null:
+        // parquet-mr suppresses chunk stats for oversized binary values
+        // (and hasNonNullValue is then false). File-level bounds built
+        // from the OTHER chunks would not cover this chunk's rows — an
+        // unsound skip. Bounds survive only if every chunk either
+        // contributes a convertible min/max or is PROVABLY all-null
+        // (recorded null count == the chunk's value count).
+        val provablyAllNull = s.isNumNullsSet && s.getNumNulls == c.getValueCount
+        if (!provablyAllNull) {
+          if (!s.isEmpty && s.hasNonNullValue) {
+            (internal(dt, c, s.genericGetMin), internal(dt, c, s.genericGetMax)) match {
+              case (Some(lo), Some(hi)) =>
+                minV = Some(minV.fold(lo)(m => if (ord.lt(lo, m)) lo else m))
+                maxV = Some(maxV.fold(hi)(m => if (ord.gt(hi, m)) hi else m))
+              case _ => boundsKnown = false // unconvertible physical form (e.g. INT96)
+            }
+          } else boundsKnown = false
         }
       }
     }
-    val stat = ColStat(minV.map(render), maxV.map(render),
+    val stat = ColStat(
+      if (boundsKnown) minV.map(render) else None,
+      if (boundsKnown) maxV.map(render) else None,
       if (nullsKnown) nulls else -1L)
     if (stat.min.isEmpty && stat.max.isEmpty && stat.nulls < 0L) None else Some(stat)
   }
@@ -85,11 +98,29 @@ object StatsHarvest {
          TimestampNTZType | DateType =>
       Some(Ordering.Long.on[Any](_.asInstanceOf[Long]))
     case FloatType | DoubleType =>
+      // values are -0.0/NaN-normalized on entry (internal/parse/literal),
+      // so TotalOrdering here agrees with Spark's comparison semantics
       Some(Ordering.Double.TotalOrdering.on[Any](_.asInstanceOf[Double]))
-    case StringType => Some(Ordering.String.on[Any](_.asInstanceOf[String]))
+    case StringType =>
+      // UTF-8 UNSIGNED-BYTE order (what parquet binary stats and Spark's
+      // UTF8String comparisons use) — Java's UTF-16 code-unit order
+      // disagrees for supplementary characters vs the U+E000..U+FFFF range, which
+      // would make pruning silently drop matching files
+      Some(new Ordering[Any] {
+        def compare(a: Any, b: Any): Int =
+          org.apache.spark.unsafe.types.UTF8String.fromString(a.asInstanceOf[String])
+            .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b.asInstanceOf[String]))
+      })
     case BooleanType => Some(Ordering.Boolean.on[Any](_.asInstanceOf[Boolean]))
     case _ => None
   }
+
+  /** Normalize a fractional bound/literal so comparisons match Spark SQL:
+    * -0.0 == 0.0 there, and a NaN BOUND is meaningless (writers that saw
+    * NaN suppress stats; a NaN that leaks through must not order).
+    */
+  private def normFractional(d: Double): Option[Any] =
+    if (d.isNaN) None else Some(if (d == 0.0d) 0.0d else d)
 
   /** Parquet footer value → comparable-domain value for `dt` (Long for
     * integrals/temporal, Double for fractional, String, Boolean). None =
@@ -119,9 +150,9 @@ object StatsHarvest {
         }
         micros
       case (FloatType, PrimitiveTypeName.FLOAT) =>
-        Some(v.asInstanceOf[java.lang.Float].doubleValue())
+        normFractional(v.asInstanceOf[java.lang.Float].doubleValue())
       case (DoubleType, PrimitiveTypeName.DOUBLE) =>
-        Some(v.asInstanceOf[java.lang.Double].doubleValue())
+        normFractional(v.asInstanceOf[java.lang.Double].doubleValue())
       case (StringType, PrimitiveTypeName.BINARY) =>
         Some(v.asInstanceOf[org.apache.parquet.io.api.Binary].toStringUsingUTF8)
       case (BooleanType, PrimitiveTypeName.BOOLEAN) =>
@@ -141,7 +172,7 @@ object StatsHarvest {
   private[lake] def parse(dt: DataType, s: String): Option[Any] = dt match {
     case ByteType | ShortType | IntegerType | LongType | TimestampType |
          TimestampNTZType | DateType => s.toLongOption
-    case FloatType | DoubleType => s.toDoubleOption
+    case FloatType | DoubleType => s.toDoubleOption.flatMap(normFractional)
     case StringType => Some(s)
     case BooleanType => s.toBooleanOption
     case _ => None
@@ -157,8 +188,8 @@ object StatsHarvest {
     case (ShortType, x: Short) => Some(x.toLong)
     case (IntegerType | DateType, i: Int) => Some(i.toLong)
     case (LongType | TimestampType | TimestampNTZType, l: Long) => Some(l)
-    case (FloatType, f: Float) => Some(f.toDouble)
-    case (DoubleType, d: Double) => Some(d)
+    case (FloatType, f: Float) => normFractional(f.toDouble)
+    case (DoubleType, d: Double) => normFractional(d)
     case (StringType, u: org.apache.spark.unsafe.types.UTF8String) => Some(u.toString)
     case (BooleanType, b: Boolean) => Some(b)
     case _ => None

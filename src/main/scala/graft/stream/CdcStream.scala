@@ -69,6 +69,10 @@ object CdcStream {
     maintenanceBusy.getOrElseUpdate(table.root.toAbsolutePath.normalize.toString,
       new java.util.concurrent.atomic.AtomicBoolean(false))
 
+  // tables already warned about the bucket-space cap (warn once, not per batch)
+  private val capWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** Test/shutdown hook: wait for any in-flight maintenance compaction. */
   def awaitMaintenance(): Unit =
     maintenancePool.submit(new Runnable { def run(): Unit = () }).get()
@@ -126,9 +130,18 @@ object CdcStream {
         if (maxRowsPerBucket > 0L) {
           val m = table.manifest
           if (m.totalRows / math.max(1, m.numBuckets) > maxRowsPerBucket) {
-            val n = table.rebucket(2)
-            System.err.println(s"[cdc-stream] auto-rebucket: ${table.root} grown past " +
-              s"$maxRowsPerBucket rows/bucket — bucket space doubled to $n")
+            // never crash the stream on the bucket-space cap: ingestion
+            // must keep flowing when the table can't grow further (warn
+            // once per table, not once per batch)
+            if (m.numBuckets * 2L <= LakeTable.MAX_BUCKETS) {
+              val n = table.rebucket(2)
+              System.err.println(s"[cdc-stream] auto-rebucket: ${table.root} grown past " +
+                s"$maxRowsPerBucket rows/bucket — bucket space doubled to $n")
+            } else if (capWarned.add(table.root.toAbsolutePath.normalize.toString)) {
+              System.err.println(s"[cdc-stream] WARN: ${table.root} exceeds " +
+                s"$maxRowsPerBucket rows/bucket but is already at the " +
+                s"${LakeTable.MAX_BUCKETS}-bucket cap — auto-rebucket disabled for it")
+            }
           }
         }
         if (mode == CdcMerge.MergeOnRead && compactEvery > 0) {
@@ -242,14 +255,18 @@ object CdcStream {
           val good0 = CdcEnvelope.good(annotated, "value")
             .select(("op" +: "lsn" +: payload.fieldNames.toSeq)
               .map(org.apache.spark.sql.functions.col): _*)
+          val good = cutoverLsn.fold(good0)(s => graft.merge.Bootstrap.cutoverGate(good0, s))
           // gap check runs only while NO post-snapshot event has been
           // applied yet (watermark still at the snapshot position), so the
-          // steady-state hot path never pays the extra aggregate job
+          // steady-state hot path never pays the extra aggregate job. It
+          // must see the GATED rows: a batch mixing pre-snapshot
+          // redeliveries with post-gap events would otherwise pass on the
+          // redeliveries' low min while the gate admits only the post-gap
+          // tail — exactly the loss the flag exists to catch.
           for (s <- cutoverLsn if verifyCutoverContiguity && table.manifest.maxLsn <= s) {
-            val mn = good0.agg(org.apache.spark.sql.functions.min("lsn")).collect()(0)
+            val mn = good.agg(org.apache.spark.sql.functions.min("lsn")).collect()(0)
             if (!mn.isNullAt(0)) graft.merge.Bootstrap.verifyNoGap(mn.getLong(0), s)
           }
-          val good = cutoverLsn.fold(good0)(s => graft.merge.Bootstrap.cutoverGate(good0, s))
           applyAndMaintain(table, good, epoch, saltBuckets, mode, compactEvery,
             asyncCompaction, checkpointDir, maxRowsPerBucket)
         } finally annotated.unpersist()

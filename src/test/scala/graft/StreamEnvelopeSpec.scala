@@ -145,6 +145,22 @@ class StreamEnvelopeSpec extends SparkSpec {
         dlqDir = Some(s"$dir/dlq2"), cutoverLsn = Some(s0), verifyCutoverContiguity = true)
       try q2.awaitTermination() finally if (q2.isActive) q2.stop()
       assert(t2.snapshot().count() == WalGen.oracleState(cfg).size)
+
+      // a batch MIXING pre-snapshot redeliveries with post-gap events must
+      // still fail: the check runs on the GATED rows, so the redeliveries'
+      // low min cannot mask the gap (regression: the pre-fix check took
+      // min over the ungated batch and passed here, losing (600, 800]
+      // silently)
+      val mixed = WalGen.events(spark, cfg, 0, cfg.numEvents).toDF()
+        .filter(col("lsn") <= s0 || col("lsn") > s0 + 200)
+      asDebezium(mixed).repartition(1).write.mode("overwrite").text(s"$dir/walmix")
+      val t3 = bootstrapAt(s"$dir/t3")
+      val q3 = CdcStream.startEnvelope(spark, s"$dir/walmix", t3, s"$dir/ckpt3",
+        dlqDir = Some(s"$dir/dlq3"), cutoverLsn = Some(s0), verifyCutoverContiguity = true)
+      val e3 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        try q3.awaitTermination() finally if (q3.isActive) q3.stop()
+      }
+      assert(causes(e3).exists(c => c.getMessage != null && c.getMessage.contains("cutover gap")))
     } finally rmrf(dir)
   }
 }

@@ -159,6 +159,49 @@ class DataSkippingSpec extends graft.SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("prune soundness: UTF-8 byte order, -0.0 bounds, oversized-value stats") {
+    val schema = StructType(Seq(
+      StructField("text", StringType), StructField("x", DoubleType)))
+    def pred(c: org.apache.spark.sql.Column) =
+      DataSkipping.resolvePredicate(spark, schema, c)
+    // a supplementary character sorts ABOVE U+FFFF in UTF-8 byte order
+    // (what parquet stats + UTF8String use) but BELOW it in Java's UTF-16
+    // code-unit order — the wrong ordering silently skips a matching file
+    val emoji = new String(Character.toChars(0x1F600))
+    val stEmoji = Some(Map("text" -> ColStat(Some(emoji), Some(emoji), 0L)))
+    assert(DataSkipping.mayMatch(schema, stEmoji, 1L, pred(col("text") >= "\uffff")),
+      "emoji is >= \\uffff under UTF-8 byte order — file must be kept")
+    assert(DataSkipping.mayMatch(schema, stEmoji, 1L, pred(col("text") === emoji)))
+    assert(!DataSkipping.mayMatch(schema, stEmoji, 1L, pred(col("text") < "\uffff")),
+      "nothing in the file sorts below \\uffff — skip stays effective")
+    // -0.0 bounds: Spark evaluates -0.0 = 0.0 as TRUE; legacy stats that
+    // rendered -0.0 must not skip an = 0.0 predicate (parse normalizes)
+    val stZero = Some(Map("x" -> ColStat(Some("-0.0"), Some("-0.0"), 0L)))
+    assert(DataSkipping.mayMatch(schema, stZero, 1L, pred(col("x") === 0.0)))
+    assert(DataSkipping.mayMatch(schema, stZero, 1L, pred(col("x") === -0.0)))
+  }
+
+  test("oversized string values: bounds stay sound or absent — the row is always found") {
+    // parquet-mr suppresses/truncates chunk stats around oversized binary
+    // values; whichever it does for this writer, a point query for the big
+    // value must still find it (unsound bounds from the OTHER values would
+    // skip its file)
+    val dir = tmpDir("skip-big")
+    try {
+      val big = "z" * 5000 // past parquet's 4KB stats cutoff
+      val rows = Seq(
+        ("c1", 0, "user", "aaa", null: String, ts("2024-01-01 00:00:00")),
+        ("c2", 0, "user", big, null: String, ts("2024-01-01 00:00:00")))
+        .toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+      val t = LakeTable.create(spark, s"$dir/t", graft.model.Schemas.transcript, 1)
+      graft.merge.Bootstrap.load(t, rows, snapshotLsn = 1L)
+      val got = t.snapshotWhere(col("text") === big).collect()
+      assert(got.length == 1 && got.head.getAs[String]("conv_id") == "c2")
+      // and an unrelated narrow query still behaves
+      assert(t.snapshotWhere(col("text") === "aaa").count() == 1L)
+    } finally rmrf(dir)
+  }
+
   test("z primitives: interleave is Morton order; bins respect quantile boundaries") {
     // interleave check against a bit-twiddling reference
     def morton(bits: Int, vals: Seq[Long]): Long = {

@@ -222,6 +222,39 @@ class LakeRebucketSpec extends graft.SparkSpec {
     }
   }
 
+  test("restore across a rebucket restores the bucket space with the file set") {
+    val dir = tmpDir("rb-restore")
+    try {
+      val table = LakeTable.create(spark, s"$dir/t", Schemas.transcript, numBuckets = 4)
+      val convs = (0 until 24).map(i => s"conv-$i")
+      CdcMerge.apply(table, batch(convs.map(c => ("I", 1L, c, 0, s"v1-$c")): _*), 0L)
+      Compactor.compactIfNeeded(table, deltaThreshold = 1) // unstamped depth-4 bases
+      val vPre = table.currentVersion
+      val preState = state(table)
+
+      table.rebucket(2) // -> 8
+      CdcMerge.apply(table, batch(("U", 10L, "conv-3", 0, "v2-conv-3")), 1L)
+      assert(state(table)(("conv-3", 0)) == "v2-conv-3")
+
+      // restore to the pre-rebucket version: the bucket space must travel
+      // with the file set — keeping 8 buckets would misread every
+      // unstamped depth-4 file (missed point lookups, broken closures)
+      table.restoreTo(vPre)
+      val m = table.manifest
+      assert(m.numBuckets == 4, s"restore must restore src numBuckets, got ${m.numBuckets}")
+      assert(state(table) == preState)
+      convs.foreach { c =>
+        assert(table.filesForConversation(c).nonEmpty,
+          s"$c: point lookup lost its file after restore")
+      }
+      // post-restore writes and a fresh rebucket still behave
+      CdcMerge.apply(table, batch(("U", 20L, "conv-5", 0, "v3-conv-5")), 2L)
+      table.rebucket(2)
+      assert(state(table)(("conv-5", 0)) == "v3-conv-5")
+      assert(state(table)(("conv-3", 0)) == "v1-conv-3") // the restored-away update stays away
+    } finally rmrf(dir)
+  }
+
   test("changesBetween spans a rebucket commit; stream auto-rebucket converges to the oracle") {
     val dir = tmpDir("rb-stream")
     val cfg = WalGen.Config(numEvents = 8000, numConvs = 50)

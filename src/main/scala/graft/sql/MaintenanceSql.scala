@@ -30,11 +30,18 @@ import graft.merge.Compactor
   *       manifests, honoring consumer pins; then bound the metadata
   *       horizon to the same window; returns (files_removed,
   *       manifests_removed, segments_removed).
+  *   OPTIMIZE <name> REBUCKET TO <n> | FACTOR <k>
+  *     → grow the bucket space metadata-only ([[LakeTable.rebucket]]);
+  *       returns the new bucket count.
   *   DESCRIBE HISTORY <name> [LIMIT <n>]
   *     → the table's commit lineage newest-first (version, commit time,
   *       rows, buckets, max LSN, wall ms) — the Delta-style operational
   *       audit over the manifest's [[graft.lake.CommitInfo]] entries.
   *       Plain `DESCRIBE <table>` still delegates to Spark untouched.
+  *   DESCRIBE DETAIL <name>
+  *     → one-row operational summary (version, bucket space + write
+  *       depths present, file/byte/row counts, delta backlog, schema
+  *       count, stream txn watermark); pure manifest read.
   *
   * Statement recognition is on the FIRST KEYWORD ONLY (cheap, no
   * grammar); a malformed tail fails loudly with the expected shape
@@ -51,6 +58,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
     """(?is)\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_.]*)\s+REBUCKET\s+(?:TO\s+(\d+)|FACTOR\s+(\d+))\s*;?\s*""".r
   private val vacuumRe =
     """(?is)\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_.]*)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*""".r
+  private val describeDetailRe =
+    """(?is)\s*DESC(?:RIBE)?\s+DETAIL\s+([A-Za-z_][A-Za-z0-9_.]*)\s*;?\s*""".r
   private val describeHistoryRe =
     """(?is)\s*DESC(?:RIBE)?\s+HISTORY\s+([A-Za-z_][A-Za-z0-9_.]*)(?:\s+LIMIT\s+(\d+))?\s*;?\s*""".r
   private val restoreRe =
@@ -161,11 +170,16 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
         case _ => delegate.parsePlan(sqlText)
       }
       case "DESCRIBE" | "DESC" => body match {
-        // ONLY the exact HISTORY form is ours. Everything else — plain
+        // ONLY the exact HISTORY/DETAIL forms are ours. Everything else — plain
         // DESCRIBE <table> (including a table literally named `history`),
         // DESCRIBE FUNCTION/QUERY, column describes — keeps parsing
         // through Spark untouched: DESCRIBE is a Spark statement first,
         // so a non-matching tail must never die on OUR grammar.
+        case describeDetailRe(name) => LakeCatalog.lookup(session, name) match {
+          case Some(dir) => GraftDescribeDetailCommand(dir)
+          case None => throw new IllegalArgumentException(
+            s"DESCRIBE DETAIL: '$name' is not a registered lake table")
+        }
         case describeHistoryRe(name, limit) => LakeCatalog.lookup(session, name) match {
           case Some(dir) =>
             GraftDescribeHistoryCommand(dir, Option(limit).map(_.toInt))
@@ -345,6 +359,41 @@ case class GraftDescribeHistoryCommand(tableDir: String, limit: Option[Int])
       c.version, new java.sql.Timestamp(c.committedAtMs), c.epoch, c.batchRows,
       c.upsertedBuckets.size, c.maxLsn, c.wallMs,
       if (c.op.isEmpty) "write" else c.op))
+  }
+}
+
+/** DESCRIBE DETAIL t: one-row operational summary of a lake table (the
+  * Delta-style surface an operator checks before/after maintenance) —
+  * version, bucket space + the write DEPTHS present (a mid-migration
+  * table after REBUCKET shows several), file/byte/row counts, delta
+  * backlog, schema count, and the stream txn watermark. Pure manifest
+  * read: no data file is touched.
+  */
+case class GraftDescribeDetailCommand(tableDir: String) extends LeafRunnableCommand {
+  override def output: Seq[Attribute] = Seq(
+    AttributeReference("location", org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("num_buckets", IntegerType, nullable = false)(),
+    AttributeReference("write_depths", org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("num_files", IntegerType, nullable = false)(),
+    AttributeReference("num_delta_files", IntegerType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("total_rows", LongType, nullable = false)(),
+    AttributeReference("max_lsn", LongType, nullable = false)(),
+    AttributeReference("num_schemas", IntegerType, nullable = false)(),
+    AttributeReference("stream_id", org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("last_source_epoch", LongType, nullable = false)())
+
+  override def run(session: SparkSession): Seq[Row] = {
+    val table = LakeTable.load(session, tableDir)
+    val m = table.manifest
+    val depths = m.files.map(m.fileDepth).distinct.sorted.mkString(",")
+    Seq(Row(
+      tableDir, m.version, m.numBuckets,
+      if (depths.isEmpty) m.numBuckets.toString else depths,
+      m.files.size, m.files.count(_.kind == graft.lake.FileEntry.DELTA),
+      m.files.map(_.bytes.getOrElse(0L)).sum, m.totalRows, m.maxLsn,
+      m.schemas.size, m.streamId, m.lastSourceEpoch))
   }
 }
 

@@ -216,6 +216,15 @@ class LakeRebucketSpec extends graft.SparkSpec {
       val e = intercept[IllegalArgumentException](s2.sql("OPTIMIZE lake_rb REBUCKET TO 24"))
       assert(e.getMessage.contains("multiple"))
       assert(state(table)(("c1", 0)) == "t1")
+
+      // DESCRIBE DETAIL surfaces the mid-migration state: grown bucket
+      // space, files still at their original write depth
+      val det = s2.sql("DESCRIBE DETAIL lake_rb").collect().head
+      assert(det.getAs[Int]("num_buckets") == 16)
+      assert(det.getAs[String]("write_depths") == "4")
+      assert(det.getAs[Int]("num_files") >= 1)
+      assert(det.getAs[Long]("total_rows") == 1L)
+      assert(det.getAs[Long]("size_bytes") > 0L)
     } finally {
       LakeCatalog.unregister("lake_rb")
       rmrf(dir)

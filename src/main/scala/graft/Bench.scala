@@ -213,7 +213,15 @@ object Bench {
     val remeasured = scala.collection.mutable.ArrayBuffer.empty[String]
     val results2 = results.map { case (name, t) =>
       val prior = priorMins.get(name)
-      val outlier = t > 0 && prior.exists(p => p > 0 && t > math.max(3.0, 2.0 * p))
+      val outlier = t > 0 && (
+        prior.exists(p => p > 0 && t > math.max(3.0, 2.0 * p)) ||
+        // a query with NO recorded prior (first round it appears) can
+        // still have both passes poisoned by host weather — e.g. the
+        // alphabetical tail of a collapsed window is first-touch in the
+        // reversed pass too. A high min with wildly disagreeing passes
+        // earns one isolated third measurement (measured: q_zorder_skip
+        // 60s/280s in-suite vs 5.7s isolated, same code, same sf).
+        (prior.isEmpty && t > 5.0 && math.max(fwd(name), rev(name)) > 3.0 * t))
       if (!outlier) name -> t
       else {
         s1.catalog.clearCache()

@@ -1042,7 +1042,11 @@ object RelationalQueries {
       val tmp = java.nio.file.Files.createTempDirectory("q_zorder").toString
       val table = LakeTable.create(s, s"$tmp/t", graft.model.Schemas.transcript, 8)
       Bootstrap.load(table, rows, snapshotLsn = 1L << 40)
-      Compactor.zorder(table, Seq("ts"), maxRecordsPerFile = 2048L)
+      // file-size scales with the table (~32 files at any sf): a fixed
+      // small ROWS cap makes the rewrite + footer harvest O(files) with
+      // hundreds of tiny files at sf0.01+, swamping the query's cost
+      val mrf = math.max(4096L, table.manifest.totalRows / 32)
+      Compactor.zorder(table, Seq("ts"), maxRecordsPerFile = mrf)
       table.snapshotWhere(
           col("ts") >= lit("2024-01-25 00:00:00").cast("timestamp") &&
           col("role") === "click")

@@ -281,9 +281,11 @@ object CdcStream {
                       saltBuckets: Int = 8,
                       mode: CdcMerge.Mode = CdcMerge.MergeOnRead,
                       compactEvery: Int = 8,
-                      asyncCompaction: Boolean = false): Unit = {
+                      asyncCompaction: Boolean = false,
+                      maxRowsPerBucket: Long = 0L): Unit = {
     val q = start(spark, walDir, table, checkpointDir, maxFilesPerTrigger,
-      saltBuckets, mode, compactEvery, asyncCompaction = asyncCompaction)
+      saltBuckets, mode, compactEvery, asyncCompaction = asyncCompaction,
+      maxRowsPerBucket = maxRowsPerBucket)
     try q.awaitTermination() finally if (q.isActive) q.stop()
     if (asyncCompaction) awaitMaintenance()
   }

@@ -45,6 +45,11 @@ object Soak {
     val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val chunks = sys.env.getOrElse("GRAFT_SOAK_CHUNKS", "256").toInt
     val compactEvery = sys.env.getOrElse("GRAFT_SOAK_COMPACT_EVERY", "8").toInt
+    // >0 enables mid-stream auto-rebucket (the 10^10-scale growth knob):
+    // the table starts at 32 buckets and doubles whenever average
+    // occupancy passes this bound — the soak then ALSO evidences reads/
+    // compactions staying flat across mixed write depths
+    val rebucketRows = sys.env.getOrElse("GRAFT_SOAK_REBUCKET_ROWS", "0").toLong
     rmrf(work); Files.createDirectories(Paths.get(work))
 
     val spark = SparkSession.builder()
@@ -99,7 +104,8 @@ object Soak {
     val tS0 = System.nanoTime()
     CdcStream.runToCompletion(spark, walDir, table, s"$work/cp",
       maxFilesPerTrigger = 4, saltBuckets = 8, mode = CdcMerge.MergeOnRead,
-      compactEvery = compactEvery, asyncCompaction = true)
+      compactEvery = compactEvery, asyncCompaction = true,
+      maxRowsPerBucket = rebucketRows)
     val streamSecs = (System.nanoTime() - tS0) / 1e9
     stop.set(true); sampler.join(5000)
 
@@ -129,6 +135,8 @@ object Soak {
     val tailMax = if (active.isEmpty) -1.0 else active.takeRight(third).map(_.maxPerBucket.toDouble).sum / third
     val peakMax = if (active.isEmpty) -1 else active.map(_.maxPerBucket).max
     val endState = table.manifest
+    val rebuckets = endState.lineage.count(_.op == "rebucket")
+    val endDepths = endState.files.map(endState.fileDepth).distinct.sorted.mkString(",")
     val endDeltaEpochs = endState.files.filter(_.kind == FileEntry.DELTA)
       .groupBy(_.bucket).view.mapValues(_.map(_.epoch).distinct.size)
     val endMaxDepth = if (endDeltaEpochs.isEmpty) 0 else endDeltaEpochs.values.max
@@ -172,6 +180,9 @@ object Soak {
          |${f"$headMax%.1f"} vs last third = ${f"$tailMax%.1f"}; peak = $peakMax.
          |End state: max delta EPOCH depth per bucket = $endMaxDepth
          |(compaction trigger = $compactEvery epochs).
+         |End bucket space: ${endState.numBuckets} buckets, started 32 (${
+           if (rebuckets == 0) "no auto-rebucket"
+           else s"$rebuckets mid-stream auto-rebucket(s); write depths present at end: $endDepths"}).
          |A last-third value <= first-third + the compaction hysteresis
          |means the read bound holds for arbitrarily long streams.
          |""".stripMargin.replace("@SERIES@", seriesMd)
@@ -183,7 +194,8 @@ object Soak {
       s""""batch_p50_ms":${f"$p50%.0f"},"batch_p95_ms":${f"$p95%.0f"},""" +
       s""""delta_max_per_bucket_first_third":${f"$headMax%.1f"},""" +
       s""""delta_max_per_bucket_last_third":${f"$tailMax%.1f"},"delta_peak":$peakMax,""" +
-      s""""end_max_delta_epochs":$endMaxDepth}""")
+      s""""end_max_delta_epochs":$endMaxDepth,""" +
+      s""""end_num_buckets":${endState.numBuckets},"rebuckets":$rebuckets}""")
     spark.stop()
     rmrf(work)
   }

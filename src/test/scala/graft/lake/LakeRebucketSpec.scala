@@ -231,6 +231,55 @@ class LakeRebucketSpec extends graft.SparkSpec {
     }
   }
 
+  test("concurrent REBUCKET races: MOR merge and async compactor stamp; CoW aborts loudly") {
+    val dir = tmpDir("rb-race")
+    try {
+      // --- MOR merge loses the CAS to a rebucket: its deltas were routed
+      // at the old depth and must commit stamped so coverage reads them
+      val t1 = LakeTable.create(spark, s"$dir/t1", Schemas.transcript, numBuckets = 2)
+      CdcMerge.apply(t1, batch(("I", 1L, "conv-a", 0, "v1-a"), ("I", 1L, "conv-b", 0, "v1-b")), 0L)
+      val st1 = CdcMerge.apply(t1, batch(("U", 10L, "conv-a", 0, "v2-a")), 1L,
+        preCommit = () => { t1.rebucket(2); () })
+      assert(st1.applied)
+      val m1 = t1.manifest
+      assert(m1.numBuckets == 4)
+      val epoch2Deltas = m1.files.filter(f => f.epoch == st1.effEpoch)
+      assert(epoch2Deltas.nonEmpty && epoch2Deltas.forall(_.writePids.contains(2)),
+        s"rebased deltas must carry their write depth, got ${epoch2Deltas.map(_.writePids)}")
+      assert(state(t1)(("conv-a", 0)) == "v2-a")
+      assert(state(t1)(("conv-b", 0)) == "v1-b")
+
+      // --- concurrent compactor: pinned at depth 2, rebucket commits
+      // mid-flight — the rebase stamps its output and the fold is exact
+      val t2 = LakeTable.create(spark, s"$dir/t2", Schemas.transcript, numBuckets = 2)
+      CdcMerge.apply(t2, batch((0 until 16).map(i => ("I", 1L, s"conv-$i", 0, s"v1-$i")): _*), 0L)
+      CdcMerge.apply(t2, batch(("U", 10L, "conv-3", 0, "v2-3")), 1L)
+      val before2 = state(t2)
+      val r = Compactor.compactConcurrent(t2, t2.manifest.files.map(_.bucket).toSet,
+        preCommit = () => { t2.rebucket(2); () })
+      assert(r.isDefined, "compactor must rebase over a rebucket, not abandon")
+      val m2 = t2.manifest
+      assert(m2.numBuckets == 4)
+      val folded = m2.files.filter(_.kind == FileEntry.BASE)
+      assert(folded.nonEmpty && folded.forall(_.writePids.contains(2)),
+        s"rebased compaction output must carry the pin's depth, got ${folded.map(_.writePids)}")
+      assert(state(t2) == before2)
+      // a later compaction migrates to the current depth
+      Compactor.compact(t2, (0 until 4).toSet)
+      assert(t2.manifest.files.forall(_.writePids.isEmpty))
+      assert(state(t2) == before2)
+
+      // --- CoW cannot reason about a moved space: loud abort
+      val t3 = LakeTable.create(spark, s"$dir/t3", Schemas.transcript, numBuckets = 2)
+      CdcMerge.apply(t3, batch(("I", 1L, "conv-x", 0, "v1-x")), 0L, mode = CdcMerge.CopyOnWrite)
+      val e = intercept[IllegalStateException] {
+        CdcMerge.apply(t3, batch(("U", 10L, "conv-x", 0, "v2-x")), 1L,
+          mode = CdcMerge.CopyOnWrite, preCommit = () => { t3.rebucket(2); () })
+      }
+      assert(e.getMessage.contains("REBUCKET"))
+    } finally rmrf(dir)
+  }
+
   test("restore across a rebucket restores the bucket space with the file set") {
     val dir = tmpDir("rb-restore")
     try {

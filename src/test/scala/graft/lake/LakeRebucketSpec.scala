@@ -313,6 +313,49 @@ class LakeRebucketSpec extends graft.SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("randomized interleaving of merges, rebuckets, and compactions matches a shadow oracle") {
+    val dir = tmpDir("rb-prop")
+    try {
+      val rnd = new scala.util.Random(20260818L)
+      val table = LakeTable.create(spark, s"$dir/t", Schemas.transcript, numBuckets = 2)
+      val shadow = scala.collection.mutable.Map.empty[(String, Int), (Long, String)]
+      var lsn = 0L
+      var epoch = 0L
+      val keys = for (c <- 0 until 30; t <- 0 until 2) yield (s"conv-$c", t)
+
+      (0 until 40).foreach { step =>
+        rnd.nextInt(10) match {
+          case r if r <= 5 => // a CDC batch of random upserts/deletes
+            val rows = (0 until (1 + rnd.nextInt(8))).map { _ =>
+              val (c, t) = keys(rnd.nextInt(keys.size))
+              lsn += 1
+              if (rnd.nextInt(5) == 0) { shadow.remove((c, t)); ("D", lsn, c, t, "") }
+              else { shadow((c, t)) = (lsn, s"v$lsn"); ("U", lsn, c, t, s"v$lsn") }
+            }
+            CdcMerge.apply(table, batch(rows: _*), epoch); epoch += 1
+          case 6 | 7 => // compact a random subset of current buckets
+            val n = table.manifest.numBuckets
+            val bs = (0 until n).filter(_ => rnd.nextBoolean()).toSet
+            if (bs.nonEmpty) Compactor.compact(table, bs)
+          case 8 => // grow the space by a random integer factor
+            if (table.manifest.numBuckets <= 64) table.rebucket(2 + rnd.nextInt(2))
+          case 9 => // concurrent-form compactor over everything
+            val files = table.manifest.files
+            if (files.nonEmpty) Compactor.compactConcurrent(table, files.map(_.bucket).toSet)
+        }
+        if (step % 8 == 7) { // periodic full equality check
+          val got = state(table)
+          val want = shadow.map { case (k, (_, v)) => k -> v }.toMap
+          assert(got == want, s"divergence at step $step: " +
+            s"missing=${(want.keySet -- got.keySet).take(5)} extra=${(got.keySet -- want.keySet).take(5)}")
+        }
+      }
+      val got = state(table)
+      assert(got == shadow.map { case (k, (_, v)) => k -> v }.toMap)
+      assert(table.manifest.numBuckets > 2, "the run should have rebucketed at least once")
+    } finally rmrf(dir)
+  }
+
   test("changesBetween spans a rebucket commit; stream auto-rebucket converges to the oracle") {
     val dir = tmpDir("rb-stream")
     val cfg = WalGen.Config(numEvents = 8000, numConvs = 50)

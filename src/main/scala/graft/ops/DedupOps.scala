@@ -165,22 +165,31 @@ object DedupOps {
     * within the threshold". More bands = wider Hamming radius but smaller
     * band width = more random collisions to verify.
     *
-    * With `multiProbe = true`, one side of the self-join additionally
-    * emits every 1-bit variant of each band's bucket, extending the
-    * exhaustive radius to `2·bands - 1` (pigeonhole: d ≤ 2b-1 errors over
-    * b bands leave some band with ≤ 1 differing bit) — wide Hamming radii
-    * WITHOUT shrinking bands into high-collision tiny buckets. Probe cost:
-    * (bandWidth+1)× rows on one join side only.
+    * With `multiProbe = true` (equivalently `probeBits = 1`), one side of
+    * the self-join additionally emits every 1-bit variant of each band's
+    * bucket, extending the exhaustive radius to `2·bands - 1`
+    * (pigeonhole: d ≤ 2b-1 errors over b bands leave some band with ≤ 1
+    * differing bit) — wide Hamming radii WITHOUT shrinking bands into
+    * high-collision tiny buckets. `probeBits = p` generalizes: the probe
+    * side emits every bucket within band-Hamming ≤ p, and the exhaustive
+    * radius becomes `bands·(p+1) - 1` (some band differs in ≤ p bits, and
+    * that variant is emitted). Probe cost: Σ C(bandWidth, ≤p) structs per
+    * row on ONE join side only — explicit, bounded (loud past 4096), and
+    * still linear in rows; the alternative (more bands) shrinks buckets
+    * and grows RANDOM collisions quadratically at corpus scale.
     */
   def simhashPairs(df: DataFrame, textCol: String, keyCol: String,
                    maxHamming: Int = 3, bands: Int = 4,
                    multiProbe: Boolean = false,
                    hasher: Column => Column = tokenHashes,
-                   sigBits: Int = 64): DataFrame = {
-    val radius = if (multiProbe) 2 * bands - 1 else bands - 1
+                   sigBits: Int = 64,
+                   probeBits: Int = -1): DataFrame = {
+    val p = if (probeBits >= 0) probeBits else if (multiProbe) 1 else 0
+    val radius = bands * (p + 1) - 1
     require(maxHamming <= radius,
       s"pigeonhole is exhaustive only for maxHamming <= $radius with bands=$bands, " +
-      s"multiProbe=$multiProbe (got maxHamming=$maxHamming)")
+      s"probeBits=$p (raise probeBits to ${(maxHamming + 1 + bands - 1) / bands - 1} " +
+      s"or bands; got maxHamming=$maxHamming)")
     require(bands >= 1 && bands <= sigBits, s"bands must be in [1,$sigBits] (got $bands)")
     val width = sigBits / bands // last band absorbs the leftover bits
     def bandWidth(b: Int): Int = if (b == bands - 1) sigBits - b * width else width
@@ -202,13 +211,21 @@ object DedupOps {
     val banded = withSig.select(col("key"), col("sig"),
       explode(array(exactStructs: _*)).as("bb"))
       .select(col("key"), col("sig"), col("bb.band"), col("bb.bucket"))
-    val probed = if (!multiProbe) banded else {
-      val probeStructs = (0 until bands).flatMap { b =>
-        val exact = struct(lit(b).as("band"), bucketOf(b).as("bucket"))
-        val flips = (0 until bandWidth(b)).map(i =>
-          struct(lit(b).as("band"), bucketOf(b).bitwiseXOR(lit(1L << i)).as("bucket")))
-        exact +: flips
+    val probed = if (p == 0) banded else {
+      // all XOR masks of band-Hamming <= p: C(width, <=p) plan constants
+      def masks(width: Int): Seq[Long] = {
+        def combos(start: Int, left: Int, acc: Long): Seq[Long] =
+          if (left == 0) Seq(acc)
+          else (start until width).flatMap(i => combos(i + 1, left - 1, acc | (1L << i)))
+        (0 to p).flatMap(k => combos(0, k, 0L))
       }
+      val probeStructs = (0 until bands).flatMap { b =>
+        masks(bandWidth(b)).map(m =>
+          struct(lit(b).as("band"), bucketOf(b).bitwiseXOR(lit(m)).as("bucket")))
+      }
+      require(probeStructs.size <= 4096,
+        s"probeBits=$p over bands=$bands/width=$width expands to ${probeStructs.size} " +
+        "probe buckets per row — past the 4096 sanity cap; use more bands or fewer probe bits")
       withSig.select(col("key"), col("sig"),
         explode(array(probeStructs: _*)).as("bb"))
         .select(col("key"), col("sig"), col("bb.band"), col("bb.bucket"))

@@ -87,6 +87,21 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       DedupOps.simhashPairs(docs, "text", "doc_id", maxHamming = 10, bands = 5, multiProbe = true)
     }
+    // GENERALIZED probes: probeBits=2 with 4 wide bands is exhaustive to
+    // bands*(p+1)-1 = 11 — the same Hamming-8 pair, exact-oracle checked
+    // against a brute-force pass over every signature pair
+    val probed2 = DedupOps.simhashPairs(all, "text", "doc_id",
+      maxHamming = 8, bands = 4, probeBits = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = sigs.keys.toSeq.combinations(2).map(_.sorted).collect {
+      case Seq(a, b) if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= 8 => (a, b)
+    }.toSet
+    assert(probed2 == brute,
+      s"probeBits=2 must be EXHAUSTIVE to radius 11: missed ${brute -- probed2}, extra ${probed2 -- brute}")
+    // the cap on probe expansion is loud, not silent
+    intercept[IllegalArgumentException] {
+      DedupOps.simhashPairs(docs, "text", "doc_id", maxHamming = 3, bands = 2, probeBits = 3)
+    }
   }
 
   test("embedding cosine near-dup: planted perturbed twins recovered with recall >= 0.8") {

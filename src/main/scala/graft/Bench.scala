@@ -344,9 +344,20 @@ object Bench {
       spark.stop()
       secs
     }
-    val scanHiSecs = checksumScan(hiPar)
-    val scanLoSecs = checksumScan(loPar)
-    val scanEff = (scanLoSecs / scanHiSecs) / (hiPar.toDouble / loPar)
+    var scanHiSecs = checksumScan(hiPar)
+    var scanLoSecs = checksumScan(loPar)
+    def scanEff0 = (scanLoSecs / scanHiSecs) / (hiPar.toDouble / loPar)
+    // the two levels run minutes apart, so a collapsed host window on one
+    // side yields a physically impossible ratio (super-linear, or near
+    // zero). One interleaved retry per level keeps the per-level best; if
+    // the ratio is STILL implausible it is flagged, never laundered into
+    // the recorded baselines as a real measurement.
+    if (scanEff0 > 1.25 || scanEff0 < 0.05) {
+      scanHiSecs = math.min(scanHiSecs, checksumScan(hiPar))
+      scanLoSecs = math.min(scanLoSecs, checksumScan(loPar))
+    }
+    val scanEff = scanEff0
+    val scanImplausible = scanEff > 1.25 || scanEff < 0.05
 
     // ---- part 4: pure-compute scaling probe (codegen'd hash arithmetic,
     // no filesystem, no shuffle write) in the SAME pinned-child protocol —
@@ -419,7 +430,9 @@ object Bench {
       s"""{"metric":"cdc_apply_events_per_sec_${hiPar}c","value":${bestHi._1.round},"unit":"events/sec",""" +
       s""""cdc_events":$benchEvents,"events_per_sec_lo_${loPar}c":${bestLo._1.round},""" +
       s""""events_per_sec_hi_${hiPar}c":${bestHi._1.round},"scaling_efficiency":${f"$efficiency%.3f"},""" +
-      s""""scan_scaling_efficiency":${f"$scanEff%.3f"},"cpu_scaling_efficiency":${f"$cpuEff%.3f"},""" +
+      s""""scan_scaling_efficiency":${f"$scanEff%.3f"},""" +
+      (if (scanImplausible) s""""scan_scaling_implausible":true,""" else "") +
+      s""""cpu_scaling_efficiency":${f"$cpuEff%.3f"},""" +
       s""""best_recorded_efficiency":${f"${bestRec.eff}%.3f"},"best_recorded_ts":"${bestRec.ts}",""" +
       s""""best_recorded_cpu_efficiency":${f"$bestCpuRec%.3f"},""" +
       (if (withReps) s""""cdc_runs":$repsJson,""" else "") +
@@ -484,7 +497,10 @@ object Bench {
          |Full-WAL checksum scan (parquet decode + xxhash64 + agg; no
          |writes, no shuffle), best of 3 per level:
          |local[$loPar] ${f"$scanLoSecs%.1f"}s vs local[$hiPar] ${f"$scanHiSecs%.1f"}s →
-         |efficiency **${f"$scanEff%.3f"}**.
+         |efficiency **${f"$scanEff%.3f"}**${
+           if (scanImplausible) " (IMPLAUSIBLE: the two levels landed in " +
+             "different host windows even after an interleaved retry — " +
+             "treat as host noise, not a measurement)" else ""}.
          |
          |PURE-COMPUTE probe (codegen'd chained xxhash64 over spark.range —
          |no filesystem, no shuffle write), same taskset-pinned child-JVM

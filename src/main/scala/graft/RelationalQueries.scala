@@ -21,6 +21,19 @@ object RelationalQueries {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Scratch dir for queries that build a throwaway lake table, deleted on
+    * JVM exit: the returned DataFrame scans it lazily, so it cannot be
+    * deleted inside the builder — but a bench/verify JVM runs such a query
+    * several times (two passes + a possible isolated remeasure) and must
+    * not leave one full table copy behind per invocation.
+    */
+  private def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      graft.merge.CdcMerge.deleteRecursively(p)))
+    p.toString
+  }
+
   /** Exact order-invariant double sum: cast→decimal(18,4)→sum→double. */
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
   private val DSUM = "CAST(SUM(CAST(%s AS DECIMAL(18,4))) AS DOUBLE)"
@@ -1039,7 +1052,7 @@ object RelationalQueries {
         col("props").as("text"),
         lit(null).cast("string").as("tool"),
         col("ts").cast("timestamp").as("ts"))
-      val tmp = java.nio.file.Files.createTempDirectory("q_zorder").toString
+      val tmp = scratchDir("q_zorder")
       val table = LakeTable.create(s, s"$tmp/t", graft.model.Schemas.transcript, 8)
       Bootstrap.load(table, rows, snapshotLsn = 1L << 40)
       // file-size scales with the table (~32 files at any sf): a fixed
@@ -1079,7 +1092,7 @@ object RelationalQueries {
         (col("event_id") % 50).cast("int").as("turn_idx"),
         col("event_type").as("role"), col("props").as("text"),
         lit(null).cast("string").as("tool"), col("ts").cast("timestamp").as("ts"))
-      val tmp = java.nio.file.Files.createTempDirectory("q_rebucket").toString
+      val tmp = scratchDir("q_rebucket")
       val table = LakeTable.create(s, s"$tmp/t", graft.model.Schemas.transcript, 4)
       CdcMerge.apply(table, asBatch(ev.filter(col("event_id") % 2 === 0)), 0L)
       Compactor.compactIfNeeded(table, deltaThreshold = 1) // all-base at depth 4

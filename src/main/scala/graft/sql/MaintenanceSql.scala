@@ -175,17 +175,16 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface) extends P
         // DESCRIBE FUNCTION/QUERY, column describes — keeps parsing
         // through Spark untouched: DESCRIBE is a Spark statement first,
         // so a non-matching tail must never die on OUR grammar.
-        case describeDetailRe(name) => LakeCatalog.lookup(session, name) match {
-          case Some(dir) => GraftDescribeDetailCommand(dir)
-          case None => throw new IllegalArgumentException(
-            s"DESCRIBE DETAIL: '$name' is not a registered lake table")
-        }
-        case describeHistoryRe(name, limit) => LakeCatalog.lookup(session, name) match {
-          case Some(dir) =>
-            GraftDescribeHistoryCommand(dir, Option(limit).map(_.toInt))
-          case None => throw new IllegalArgumentException(
-            s"DESCRIBE HISTORY: '$name' is not a registered lake table")
-        }
+        // On a non-registered name these DELEGATE instead of throwing:
+        // `DESC detail price` / `DESC history price` are Spark's own
+        // column-describe over tables literally named detail/history — our
+        // regex cannot tell them from a typo'd lake-table name, and a
+        // Spark statement must never die on OUR grammar.
+        case describeDetailRe(name) if LakeCatalog.lookup(session, name).isDefined =>
+          GraftDescribeDetailCommand(LakeCatalog.lookup(session, name).get)
+        case describeHistoryRe(name, limit) if LakeCatalog.lookup(session, name).isDefined =>
+          GraftDescribeHistoryCommand(LakeCatalog.lookup(session, name).get,
+            Option(limit).map(_.toInt))
         case _ => delegate.parsePlan(sqlText)
       }
       case _ => LakeChangesTvf.rewrite(session, delegate.parsePlan(sqlText))
@@ -388,11 +387,16 @@ case class GraftDescribeDetailCommand(tableDir: String) extends LeafRunnableComm
     val table = LakeTable.load(session, tableDir)
     val m = table.manifest
     val depths = m.files.map(m.fileDepth).distinct.sorted.mkString(",")
+    // pre-`bytes`-field manifest entries are stat()ed once rather than
+    // silently counted as 0 — an operator surface must not understate size
+    val sizeBytes = m.files.map(f => f.bytes.getOrElse {
+      try java.nio.file.Files.size(table.root.resolve(f.path)) catch { case _: Exception => 0L }
+    }).sum
     Seq(Row(
       tableDir, m.version, m.numBuckets,
       if (depths.isEmpty) m.numBuckets.toString else depths,
       m.files.size, m.files.count(_.kind == graft.lake.FileEntry.DELTA),
-      m.files.map(_.bytes.getOrElse(0L)).sum, m.totalRows, m.maxLsn,
+      sizeBytes, m.totalRows, m.maxLsn,
       m.schemas.size, m.streamId, m.lastSourceEpoch))
   }
 }

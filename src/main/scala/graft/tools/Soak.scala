@@ -135,7 +135,12 @@ object Soak {
     val tailMax = if (active.isEmpty) -1.0 else active.takeRight(third).map(_.maxPerBucket.toDouble).sum / third
     val peakMax = if (active.isEmpty) -1 else active.map(_.maxPerBucket).max
     val endState = table.manifest
-    val rebuckets = endState.lineage.count(_.op == "rebucket")
+    // derived from the bucket-space growth (auto-rebucket always doubles
+    // from the fixed 32-bucket start), NOT from lineage — lineage is
+    // capped at 1000 entries, so a long soak would undercount
+    val rebuckets =
+      if (endState.numBuckets <= 32) 0
+      else 31 - Integer.numberOfLeadingZeros(endState.numBuckets / 32)
     val endDepths = endState.files.map(endState.fileDepth).distinct.sorted.mkString(",")
     val endDeltaEpochs = endState.files.filter(_.kind == FileEntry.DELTA)
       .groupBy(_.bucket).view.mapValues(_.map(_.epoch).distinct.size)

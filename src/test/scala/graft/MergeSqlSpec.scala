@@ -326,11 +326,17 @@ class MergeSqlSpec extends SparkSpec {
       assert(hist.exists(_.getLong(3) > 0), "no batch_rows recorded")
       assert(hist.forall(_.getTimestamp(1).getTime > 0))
       assert(s2.sql("DESC HISTORY lake_maint LIMIT 2").collect().length == 2)
-      assert(intercept[Exception](s2.sql("DESCRIBE HISTORY nope").collect())
-        .getMessage.contains("not a registered lake table"))
+      // an UNREGISTERED name DELEGATES to Spark instead of dying on our
+      // grammar: `DESCRIBE HISTORY nope` is also Spark's column-describe
+      // of a table named history — once such a table exists it must work
+      val eh = intercept[Exception](s2.sql("DESCRIBE HISTORY nope").collect())
+      assert(!eh.getMessage.contains("not a registered lake table"), eh.getMessage)
+      s2.sql("SELECT 1 AS nope").createOrReplaceTempView("history")
+      assert(s2.sql("DESCRIBE HISTORY nope").collect().nonEmpty) // Spark column describe
+      s2.catalog.dropTempView("history")
       // a Spark table literally named `history` still describes through
       // Spark's own grammar — DESCRIBE only becomes ours on the full
-      // HISTORY <name> form
+      // HISTORY <registered name> form
       s2.sql("SELECT 1 AS a").createOrReplaceTempView("history")
       assert(s2.sql("DESCRIBE history").collect().nonEmpty)
       // everything else still parses through Spark's own grammar

@@ -225,6 +225,11 @@ class LakeRebucketSpec extends graft.SparkSpec {
       assert(det.getAs[Int]("num_files") >= 1)
       assert(det.getAs[Long]("total_rows") == 1L)
       assert(det.getAs[Long]("size_bytes") > 0L)
+      // an unregistered name delegates: `DESC detail price` is Spark's own
+      // column describe over a table literally named detail
+      s2.sql("SELECT 1 AS price").createOrReplaceTempView("detail")
+      assert(s2.sql("DESC detail price").collect().nonEmpty)
+      s2.catalog.dropTempView("detail")
     } finally {
       LakeCatalog.unregister("lake_rb")
       rmrf(dir)

@@ -396,12 +396,20 @@ object Bench {
         best
       }
     }
-    val cpuHiSecs = cpuProbe(hiPar)
-    val cpuLoSecs = cpuProbe(loPar)
+    var cpuHiSecs = cpuProbe(hiPar)
+    var cpuLoSecs = cpuProbe(loPar)
     // -1 sentinel (child produced no timing) must not fabricate a number
-    val cpuEff =
+    def cpuEff0 =
       if (cpuHiSecs <= 0 || cpuLoSecs <= 0) -1.0
       else (cpuLoSecs / cpuHiSecs) / (hiPar.toDouble / loPar)
+    // same plausibility rule as the scan probe: >1 scaling efficiency is
+    // physically impossible — the levels landed in different host
+    // windows; retry interleaved, keep per-level best
+    if (cpuEff0 > 1.05 || (cpuEff0 >= 0 && cpuEff0 < 0.05)) {
+      val h2 = cpuProbe(hiPar); if (h2 > 0) cpuHiSecs = math.min(cpuHiSecs, h2)
+      val l2 = cpuProbe(loPar); if (l2 > 0) cpuLoSecs = math.min(cpuLoSecs, l2)
+    }
+    val cpuEff = cpuEff0
 
     // record this session in the persistent history; headline the best
     // recorded session so a degraded host window can't erase quiet-window
@@ -415,7 +423,11 @@ object Bench {
       bestLo._1.round, bestHi._1.round, efficiency, scanEff, cpuEff, calibNote))
     val comparable = history.filter(e => e.loPar == loPar && e.hiPar == hiPar)
     val bestRec = comparable.maxBy(_.eff)
-    val bestCpuRec = comparable.map(_.cpuEff).max
+    // the recorded-best headline only considers PLAUSIBLE probe values:
+    // a super-linear ratio is two host windows, not a measurement (the
+    // raw value still sits in its history row, honestly)
+    val bestCpuRec = comparable.map(_.cpuEff).filter(_ <= 1.05)
+      .maxOption.getOrElse(-1.0)
 
     // ONE compact JSON line, emitted LAST — the driver captures only a tail
     // window of the output, so per-query seconds are rounded to 3 decimals

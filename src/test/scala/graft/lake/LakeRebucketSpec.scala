@@ -318,6 +318,45 @@ class LakeRebucketSpec extends graft.SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("plan shape: after a rebucket only the dirty coverage component pays the resolve window") {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window => LWindow}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    def scannedFiles(p: LogicalPlan): Seq[String] = p.collectLeaves().flatMap {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation => fs.location.inputFiles.toSeq
+        case _ => Nil
+      }
+      case _ => Nil
+    }
+    val dir = tmpDir("rb-plan")
+    try {
+      val table = LakeTable.create(spark, s"$dir/t", Schemas.transcript, numBuckets = 4)
+      val convs = (0 until 40).map(i => s"conv-$i")
+      CdcMerge.apply(table, batch(convs.map(c => ("I", 1L, c, 0, s"v1-$c")): _*), 0L)
+      Compactor.compact(table, (0 until 4).toSet) // one base file per old bucket
+      table.rebucket(2) // -> 8; bases stamped at depth 4
+      CdcMerge.apply(table, batch(("U", 10L, "conv-7", 0, "v2-conv-7")), 1L)
+      val m = table.manifest
+      val delta = m.files.find(_.kind == FileEntry.DELTA).get
+      // the dirty component = the delta + exactly the ONE depth-4 base
+      // covering its bucket; the other three bases must stream outside
+      // the window (shuffle-free)
+      val coveringBase = m.files.filter(f =>
+        f.kind == FileEntry.BASE && m.covers(f, delta.bucket)).map(_.path)
+      assert(coveringBase.size == 1)
+      val plan = table.snapshotPhysical(None).queryExecution.optimizedPlan
+      val windows = plan.collect { case w: LWindow => w }
+      assert(windows.size == 1, s"expected one resolve window, got ${windows.size}")
+      val windowed = scannedFiles(windows.head)
+      val all = scannedFiles(plan)
+      val wantDirty = Set(delta.path, coveringBase.head).map(p => s"$dir/t/$p")
+      assert(windowed.map(f => f.stripPrefix("file:")).toSet == wantDirty,
+        s"window must read exactly the dirty coverage component: got ${windowed.mkString(",")}")
+      assert(all.size == m.files.size && all.size > windowed.size,
+        "clean old-depth bases must be read OUTSIDE the window")
+    } finally rmrf(dir)
+  }
+
   test("randomized interleaving of merges, rebuckets, and compactions matches a shadow oracle") {
     val dir = tmpDir("rb-prop")
     try {

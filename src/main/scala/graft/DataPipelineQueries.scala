@@ -971,7 +971,10 @@ object DataPipelineQueries {
         |  CAST((8 + length(text) % 32) * (doc_id % 100) AS BIGINT) AS top_row_sum_r
         |FROM documents ORDER BY media_id""".stripMargin)) { (s, dir) =>
       import s.implicits._
-      val media = T(s, dir, "documents").select("doc_id", "text")
+      // PNG encode + decode are per-row-heavy and the documents scan is one
+      // split at bench scale — fan the tiny (id, text) rows out BEFORE the
+      // payloads exist (guide §8: move small rows, compute heavy bytes after)
+      val media = TableOps.fanOut(T(s, dir, "documents").select("doc_id", "text"))
         .as[(Long, String)].map { case (id, text) =>
           val w = 8 + text.length % 32
           val h = (8 + id % 16).toInt
@@ -1001,7 +1004,8 @@ object DataPipelineQueries {
         |      FROM documents)
         |ORDER BY media_id""".stripMargin)) { (s, dir) =>
       import s.implicits._
-      val media = T(s, dir, "documents").select("doc_id", "text")
+      // GIF encode + full frame decode: same single-split fan-out as PNG
+      val media = TableOps.fanOut(T(s, dir, "documents").select("doc_id", "text"))
         .as[(Long, String)].map { case (id, text) =>
           val w = 8 + text.length % 16
           val h = (8 + id % 12).toInt
@@ -1036,7 +1040,9 @@ object DataPipelineQueries {
         |                   20 + doc_id % 30 AS h FROM documents))
         |ORDER BY media_id""".stripMargin)) { (s, dir) =>
       import s.implicits._
-      val media = T(s, dir, "documents").select("doc_id", "text")
+      // encode → decode → resize → re-encode → re-decode, all per-row-heavy:
+      // fan the (id, text) rows out before any payload is synthesized
+      val media = TableOps.fanOut(T(s, dir, "documents").select("doc_id", "text"))
         .as[(Long, String)].map { case (id, text) =>
           val w = 20 + text.length % 40
           val h = (20 + id % 30).toInt
@@ -1045,7 +1051,11 @@ object DataPipelineQueries {
           val baseB = ((id + text.length) % 100).toInt
           (id, MultimodalOps.pngBytes(w, h, (x, y) => (baseR + y, baseG + x, baseB)))
         }.toDF("doc_id", "payload")
+      // `resized` feeds BOTH the dims projection and the stats re-decode:
+      // without a persist the whole encode→decode→resize pipeline runs
+      // twice (once per join side)
       val resized = MultimodalOps.resizeImages(media, "doc_id", "payload", maxSide = 16).toDF()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val stats = MultimodalOps.imageStats(resized, "media_id", "payload").toDF()
         .select(col("media_id"), col("sum_r"), col("sum_g"), col("sum_b"))
       resized.select("media_id", "width", "height", "out_width", "out_height")

@@ -28,7 +28,15 @@ object RelationalQueries {
     * not leave one full table copy behind per invocation.
     */
   private def scratchDir(prefix: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
+    // tmpfs when available: the scratch builds (bootstrap write + zorder
+    // rewrite + footer harvest) are bound by this VM's disk-backed
+    // kernel/FS path — the documented host bottleneck (BENCH/BASELINE.md).
+    // /dev/shm takes both write passes off that path; same place the
+    // bench keeps its own WAL/work dirs. Falls back to java.io.tmpdir.
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    val p = if (java.nio.file.Files.isWritable(shm))
+      java.nio.file.Files.createTempDirectory(shm, prefix)
+    else java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       graft.merge.CdcMerge.deleteRecursively(p)))
     p.toString
@@ -948,7 +956,11 @@ object RelationalQueries {
     def eventPayload = org.apache.spark.sql.types.StructType.fromDDL(
       "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING")
 
-    def debeziumEnvelopes(ev: DataFrame): DataFrame = {
+    def debeziumEnvelopes(ev0: DataFrame): DataFrame = {
+      // the envelope corpus build (to_json w/ µs timestamp formatting) and
+      // the downstream from_json decode are per-row-heavy; the events scan
+      // is one split at bench scale → fan out first (identity at scale)
+      val ev = TableOps.fanOut(ev0)
       val image = struct(col("event_id"), col("ts"), col("user_id"),
         col("event_type"), col("value"), col("props"))
       val imageNoKey = struct(col("event_id"), col("ts"),
@@ -979,8 +991,16 @@ object RelationalQueries {
         |FROM events
         |WHERE event_id % 101 <> 0 AND event_id % 103 <> 0 AND event_id % 107 <> 0
         |ORDER BY lsn""".stripMargin)) { (s, dir) =>
+      // PERSIST the annotated frame: the `_error` filter in good() would
+      // otherwise be pushed below the fan-out exchange — the whole
+      // to_json+from_json chain then re-evaluates inside a single-split
+      // scan-stage Filter AND again in the output Project (guide §4.4
+      // expression duplication, Catalyst form). The cache materializes the
+      // parse exactly once, 32-way parallel; filter + projection read
+      // cached columns. Shared with q_cdc_envelope_dlq (same plan).
       val annotated = graft.stream.CdcEnvelope.decodeDebezium(
         debeziumEnvelopes(T(s, dir, "events")), "j", eventPayload, Seq("user_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.stream.CdcEnvelope.good(annotated, "j")
         .select(col("op"), col("lsn"), col("user_id"), col("event_type"),
           col("value"), col("props"),
@@ -991,7 +1011,8 @@ object RelationalQueries {
     // Maxwell dialect over the same events: type from event_id % 4 (incl.
     // a bootstrap-insert), lsn = xid*2^20 + xoffset (intra-transaction
     // order), unsupported DDL type + missing-xid malformed classes.
-    def maxwellEnvelopes(ev: DataFrame): DataFrame = {
+    def maxwellEnvelopes(ev0: DataFrame): DataFrame = {
+      val ev = TableOps.fanOut(ev0) // same single-split fan-out as debezium
       val m = col("event_id") % 4
       val typRaw = when(m === 1, "update").when(m === 2, "delete")
         .when(m === 3, "bootstrap-insert").otherwise("insert")
@@ -1017,9 +1038,12 @@ object RelationalQueries {
         |FROM events
         |WHERE event_id % 101 <> 0 AND event_id % 103 <> 0 AND event_id % 107 <> 0
         |ORDER BY lsn""".stripMargin)) { (s, dir) =>
+      // persisted for the same filter-pushdown-duplication reason as
+      // q_cdc_envelope_decode
       val annotated = graft.stream.CdcEnvelope.decodeMaxwell(
         maxwellEnvelopes(T(s, dir, "events")), "j", eventPayload, Seq("user_id"),
         xoffsetAware = true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.stream.CdcEnvelope.good(annotated, "j")
         .select(col("op"), col("lsn"), col("user_id"), col("event_type"), col("value"),
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_str"))
@@ -1112,8 +1136,12 @@ object RelationalQueries {
         |FROM events
         |WHERE event_id % 101 = 0 OR event_id % 103 = 0 OR event_id % 107 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin)) { (s, dir) =>
+      // persisted — identical annotated plan to q_cdc_envelope_decode (the
+      // cache manager shares the materialization when both run in one
+      // session); see that query for the pushdown-duplication rationale
       val annotated = graft.stream.CdcEnvelope.decodeDebezium(
         debeziumEnvelopes(T(s, dir, "events")), "j", eventPayload, Seq("user_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.stream.CdcEnvelope.deadLetters(annotated, "j")
         .groupBy("error").agg(count(lit(1)).as("n")).orderBy("error")
     }

@@ -528,9 +528,15 @@ object Compactor {
     // replacement-by-path below means its sibling buckets rewrite too
     val closed = m.bucketClosure(buckets)
     val inputPaths = m.filesForBuckets(closed).map(_.path).toSet
-    val resolved0 = table.snapshotPhysical(m, Some(closed)) // max-LSN resolved, tombstones kept
-    val resolved = if (dropTombstones)
-      resolved0.filter(!col(graft.model.Schemas.DELETED_COL)) else resolved0
+    val resolved1 = table.snapshotPhysical(m, Some(closed)) // max-LSN resolved, tombstones kept
+    val resolved2 = if (dropTombstones)
+      resolved1.filter(!col(graft.model.Schemas.DELETED_COL)) else resolved1
+    // a clusterBy (zorder) computes quantile boundaries with ONE
+    // approxQuantile job over `resolved` BEFORE the rewrite reads it again
+    // — persist so the MOR resolve + scan run once, not twice
+    val resolved = if (clusterBy.isDefined)
+      resolved2.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else resolved2
     val staging = table.root.resolve(s"_staging/compact-${m.version + 1}")
     CdcMerge.deleteRecursively(staging)
     // Default layout = key-sorted bases: disjoint per-file conv_id ranges
@@ -539,17 +545,26 @@ object Compactor {
     // intra-bucket order (e.g. a z-value for multi-column data skipping;
     // see [[zorder]]) — point lookups then lean on blooms instead of
     // minKey/maxKey tightness.
-    val sortCols = clusterBy match {
-      case Some(mk) => Seq(col("bucket"), mk(resolved))
-      case None => Seq(col("bucket"), col("conv_id"), col("turn_idx"))
+    // The cluster value is MATERIALIZED as a column before the sort and
+    // sorted as a plain attribute: SortExec's generated ordering evaluates
+    // sort-key EXPRESSIONS per comparison (n·log n times), so sorting
+    // directly on the z expression — a 2^bits-step HOF per evaluation —
+    // multiplies its cost ~2·log₂(rows)×. Measured on a 100k-row zorder
+    // rewrite: 40.6 s sorting on the expression vs ~1 s on the column.
+    val bucketed = resolved.withColumn("bucket", table.bucketExpr(m.numBuckets))
+    val (toSort, sortCols, dropAfter) = clusterBy match {
+      case Some(mk) => (bucketed.withColumn("__cluster", mk(resolved)),
+        Seq(col("bucket"), col("__cluster")), Seq("__cluster"))
+      case None => (bucketed, Seq(col("bucket"), col("conv_id"), col("turn_idx")), Nil)
     }
-    resolved
-      .withColumn("bucket", table.bucketExpr(m.numBuckets))
+    toSort
       .repartition(spark.sessionState.conf.numShufflePartitions, col("bucket"))
       .sortWithinPartitions(sortCols: _*)
+      .drop(dropAfter: _*)
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("bucket").parquet(staging.toString)
+    if (clusterBy.isDefined) resolved.unpersist()
     val newFiles = CdcMerge.adoptStaged(table, spark, staging, m.lastEpoch,
       m.currentSchemaId, FileEntry.BASE,
       graft.model.Schemas.physical(table.userSchema(m)))

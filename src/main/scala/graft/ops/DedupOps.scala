@@ -319,7 +319,11 @@ object DedupOps {
     val evalGrams0 = evalDf
       .select(explode(TextOps.shingles(col(textCol), n)).as("gram")).distinct()
     val evalGrams = if (broadcastEval) broadcast(evalGrams0) else evalGrams0
-    df.select(col(keyCol), explode(TextOps.shingles(col(textCol), n)).as("gram"))
+    // the corpus-side shingle + explode + probe stage is per-row-heavy and
+    // runs at the SCAN's partitioning — spread first (one narrow exchange
+    // of (key, text); the explode multiplies rows ~100x after it)
+    spread(df, keyCol)
+      .select(col(keyCol), explode(TextOps.shingles(col(textCol), n)).as("gram"))
       .join(evalGrams, "gram")
       .groupBy(keyCol).agg(count(lit(1)).as("overlap"))
       .filter(col("overlap") >= minOverlap)

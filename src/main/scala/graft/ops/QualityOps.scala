@@ -87,8 +87,10 @@ object QualityOps {
     */
   def lmPerplexityScore(df: DataFrame, idCol: String, textCol: String,
                         broadcastModel: Boolean = true): DataFrame = {
-    val toks = df.select(col(idCol),
-      split(trim(col(textCol)), "\\s+").as("t"))
+    // tokenize/explode at the scan's partitioning serializes on one core
+    // for single-split inputs — fan out first (identity at real scale)
+    val toks = TableOps.fanOut(df.select(col(idCol), col(textCol)))
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("t"))
     // guard size >= 2 BEFORE sequence(): Spark's sequence(1, 0) counts
     // DOWN ([1, 0]) rather than returning empty
     val bigrams = toks.filter(size(col("t")) >= 2).select(col(idCol), explode(

@@ -35,8 +35,12 @@ object SearchOps {
     val spark = df.sparkSession
     import spark.implicits._
 
-    val toks = df.select(col(keyCol).as("doc"),
-      explode(split(trim(col(textCol)), "\\s+")).as("term"))
+    // tokenize + explode runs at the scan's partitioning — a small corpus
+    // is one parquet split = one core; fan out first (identity at scale,
+    // where the scan already has >= default-parallelism splits)
+    val toks = TableOps.fanOut(df.select(col(keyCol).as("doc"), col(textCol)))
+      .select(col("doc"),
+        explode(split(trim(col(textCol)), "\\s+")).as("term"))
     val tf = toks.groupBy($"doc", $"term").agg(count(lit(1)).as("tf"))
     val dl = toks.groupBy($"doc").agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n"), avg($"dl").as("avgdl"))

@@ -10,6 +10,21 @@ import org.apache.spark.sql.types.StructType
   */
 object TableOps {
 
+  /** Spread a narrowly-partitioned input across the session's parallelism
+    * ahead of a per-row-heavy stage (JSON parse, codec work, shingle
+    * explode). A small table is one parquet split = ONE scan task, so the
+    * expensive stage would otherwise run on one core while the rest idle
+    * (optimization guide §2.4/§8: move the cheap rows, then fan out the
+    * heavy compute). Scale-adaptive, not a local-mode constant: when the
+    * scan already splits at least as fine as the session's default
+    * parallelism — the normal case at real scale — this is the identity
+    * and adds NO exchange.
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   // ---------- §2.2 projections / filters / row ops ----------
 
   /** snake_case normalization of a single name (owid-etl `underscore`,

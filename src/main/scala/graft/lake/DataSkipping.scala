@@ -46,6 +46,39 @@ object DataSkipping {
   final case class Pruned(kept: Seq[FileEntry], total: Int,
                           skippedFiles: Int, skippedWholeBuckets: Int)
 
+  /** Per-file KEY-bloom test for scan-level pruning (round-6: VERDICT #3).
+    * [[FileEntry.bloom]] is a Spark-sketch bloom over `xxhash64(conv_id)`
+    * built by `LakeTable.buildBlooms`; a present bloom that excludes an
+    * equality literal's hash PROVES the file cannot contain that key —
+    * no false negatives, so pruning on it is sound. This matters exactly
+    * where min/max stats are useless: delta files span their bucket's
+    * whole key range, and z-ordered bases carry deliberately loose
+    * (minKey, maxKey). Deserialized blooms are cached process-wide by
+    * file path (file contents are immutable under a path — same rule as
+    * LakeTable's cache).
+    */
+  object KeyBloom {
+    val KEY_COL = "conv_id"
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.util.sketch.BloomFilter]()
+    private def hashOf(key: String): Long =
+      org.apache.spark.sql.catalyst.expressions.XxHash64(
+        Seq(Literal(org.apache.spark.unsafe.types.UTF8String.fromString(key), StringType)), 42L)
+        .eval(null).asInstanceOf[Long]
+    /** false ONLY when a bloom is present and excludes the value. */
+    def mightContain(f: FileEntry, value: Any): Boolean = (f.bloom, value) match {
+      case (Some(b64), s: String) =>
+        if (cache.size > 8192) cache.clear()
+        cache.computeIfAbsent(f.path, _ =>
+          org.apache.spark.util.sketch.BloomFilter.readFrom(
+            java.util.Base64.getDecoder.decode(b64)))
+          .mightContainLong(hashOf(s))
+      case _ => true
+    }
+    def testFor(f: FileEntry): Option[(String, Any => Boolean)] =
+      if (f.bloom.isEmpty) None else Some((KEY_COL, v => mightContain(f, v)))
+  }
+
   /** Resolve a user-facing filter Column against `schema` into an analyzed
     * boolean Expression (type-coerced comparisons, casts folded on the
     * literal side at eval time). Conditions of every Filter node are
@@ -81,7 +114,8 @@ object DataSkipping {
       m.coveredBuckets(f).exists(dirtyClosure.contains))
 
     val keptClean = cleanSide.filter { f =>
-      val may = mayMatch(schemaOf(f.schemaId), f.colStats, f.rows, pred)
+      val may = mayMatch(schemaOf(f.schemaId), f.colStats, f.rows, pred,
+        KeyBloom.testFor(f))
       if (!may) skippedFiles += 1
       may
     }
@@ -98,7 +132,8 @@ object DataSkipping {
     }
     val keptDirty = dirtySide.groupBy(f => find(m.coveredBuckets(f).head)).toSeq
       .sortBy(_._1).flatMap { case (_, fs) =>
-        val may = fs.map(f => mayMatch(schemaOf(f.schemaId), f.colStats, f.rows, pred))
+        val may = fs.map(f => mayMatch(schemaOf(f.schemaId), f.colStats, f.rows, pred,
+          KeyBloom.testFor(f)))
         if (may.exists(identity)) fs
         else {
           skippedBuckets += fs.flatMap(m.coveredBuckets).distinct.size
@@ -110,10 +145,15 @@ object DataSkipping {
   }
 
   /** Can any row of a file with these stats satisfy `pred`? Conservative
-    * three-valued logic collapsed to "maybe" = true.
+    * three-valued logic collapsed to "maybe" = true. `keyBloom` optionally
+    * names a column with a per-file bloom tester ([[KeyBloom.testFor]]):
+    * equality/IN literals on that column additionally consult the bloom —
+    * integrated INSIDE the recursive evaluation so And/Or compose
+    * correctly (a bloom miss under an OR never drops the file alone).
     */
   def mayMatch(fileSchema: StructType, stats: Option[Map[String, ColStat]],
-               rows: Long, pred: Expression): Boolean = {
+               rows: Long, pred: Expression,
+               keyBloom: Option[(String, Any => Boolean)] = None): Boolean = {
 
     // ---- per-attribute domain ----
     final case class Dom(dt: DataType, absent: Boolean, st: Option[ColStat])
@@ -151,7 +191,8 @@ object DataSkipping {
       (litVal(d, lit), ord(d)) match {
         case (Some(v), Some(o)) =>
           val (lo, hi) = bounds(d)
-          lo.forall(l => o.lteq(l, v)) && hi.forall(h => o.gteq(h, v))
+          lo.forall(l => o.lteq(l, v)) && hi.forall(h => o.gteq(h, v)) &&
+            keyBloom.forall { case (name, test) => a.name != name || test(v) }
         case _ => litValIsNull(lit) match {
           case Some(true) => false // col = NULL matches nothing
           case _ => true

@@ -55,7 +55,8 @@ final class GraftFileIndex(
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val pred = dataFilters.reduceOption(And).getOrElse(Literal.TrueLiteral)
     val kept = statuses.collect {
-      case (st, e) if DataSkipping.mayMatch(fileSchema, e.colStats, e.rows, pred) => st
+      case (st, e) if DataSkipping.mayMatch(fileSchema, e.colStats, e.rows, pred,
+        DataSkipping.KeyBloom.testFor(e)) => st
     }
     Seq(PartitionDirectory(InternalRow.empty, kept.toArray))
   }

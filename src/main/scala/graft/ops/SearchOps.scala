@@ -35,12 +35,13 @@ object SearchOps {
     val spark = df.sparkSession
     import spark.implicits._
 
-    // tokenize + explode runs at the scan's partitioning — a small corpus
-    // is one parquet split = one core; fan out first (identity at scale,
-    // where the scan already has >= default-parallelism splits)
-    val toks = TableOps.fanOut(df.select(col(keyCol).as("doc"), col(textCol)))
-      .select(col("doc"),
-        explode(split(trim(col(textCol)), "\\s+")).as("term"))
+    // NOT fanned out (round-6 measurement): the tokenize feeds FOUR
+    // consumers (tf, dl, dfreq, scored) whose broadcast builds run as
+    // sequential jobs — an upstream exchange adds a stage barrier to each
+    // and measured 1.13s -> 1.93s at sf0.1; at real scale the scan splits
+    // on its own and the map-side tf/dl partial aggs do the heavy lifting
+    val toks = df.select(col(keyCol).as("doc"),
+      explode(split(trim(col(textCol)), "\\s+")).as("term"))
     val tf = toks.groupBy($"doc", $"term").agg(count(lit(1)).as("tf"))
     val dl = toks.groupBy($"doc").agg(count(lit(1)).as("dl"))
     val stats = dl.agg(count(lit(1)).as("n"), avg($"dl").as("avgdl"))

@@ -99,6 +99,39 @@ class DataSkippingSpec extends graft.SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("key blooms feed scan-level skipping: point lookups open fewer files than stats-only") {
+    val dir = tmpDir("skip-bloom")
+    try {
+      val t = loaded(2000, s"$dir/t")
+      // z-order deliberately loosens (minKey, maxKey) — the case VERDICT
+      // flagged: stats alone cannot prune a key point lookup here
+      Compactor.zorder(t, Seq("ts"), maxRecordsPerFile = 64L)
+      val present = col("conv_id") === "c13"
+      // absent key chosen INSIDE the [c0, c96] key range: a key outside it
+      // is already excluded by min/max stats and proves nothing about blooms
+      val absent = col("conv_id") === "c13absent"
+      val (keptStatsPresent, total) = t.pruneInfo(present)
+      val (keptStatsAbsent, _) = t.pruneInfo(absent)
+      assert(t.buildBlooms(kinds = Set(FileEntry.BASE)) > 0, "no blooms built")
+      val (keptBloomPresent, _) = t.pruneInfo(present)
+      val (keptBloomAbsent, _) = t.pruneInfo(absent)
+      // bloom must strictly beat stats-only pruning on this layout, and an
+      // absent key should exclude almost everything (fpp 5%)
+      assert(keptBloomPresent < keptStatsPresent,
+        s"bloom did not prune: $keptBloomPresent vs stats-only $keptStatsPresent of $total")
+      assert(keptBloomAbsent < keptStatsAbsent &&
+        keptBloomAbsent <= math.max(2, total / 4),
+        s"absent-key lookup kept $keptBloomAbsent of $total files")
+      // soundness: results identical to the unpruned read, including the
+      // Or-composition case (a bloom miss under an OR must not drop files
+      // the other disjunct needs)
+      assertSame(t, present)
+      assertSame(t, absent)
+      assertSame(t, absent || col("turn_idx") === 7)
+      assertSame(t, col("conv_id").isin("c13", "c13absent"))
+    } finally rmrf(dir)
+  }
+
   test("OPTIMIZE ... ZORDER BY SQL rewrites and stays readable") {
     val dir = tmpDir("skip-sql")
     spark.sparkContext // ensure the shared context exists (builder reuses it)

@@ -262,11 +262,16 @@ object DedupOps {
     val k = bands * rowsPerBand
     val sig = base.select((blockCols.map(col) :+ col("key") :+
       minhashSignatureFromHashes(col("sh"), k).as("sig")): _*)
+    // persisted like minhashLshPairs' banded frame: BOTH sides of the
+    // band self-join consume it, and without the persist each side
+    // recomputes the k-permutation signatures (the op's dominant per-row
+    // cost) — narrow (block, key, band, bucket) rows, rows × bands
     val banded = sig.select((blockCols.map(col) :+ col("key") :+
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
           hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket")))).as("bb")): _*)
       .select((blockCols.map(col) :+ col("key") :+ col("bb.band") :+ col("bb.bucket")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val joinKeys = blockCols ++ Seq("band", "bucket")
     val cand = banded.withColumnRenamed("key", "key_a")
       .join(banded.withColumnRenamed("key", "key_b"), joinKeys.toSeq)
@@ -370,12 +375,16 @@ object DedupOps {
     // read) so hyperplanes always span the FULL vector — a hardcoded
     // dimension would silently degrade recall on any other corpus
     val d = if (dims > 0) dims else SimilarityOps.vectorDims(df, vecCol)
+    // persisted: both self-join sides consume it, and the tables×planes
+    // hyperplane dot products are the op's per-row cost — recomputing
+    // them per side doubles signature work at any scale
     val base = spread(df, keyCol).select(col(keyCol).as("key"), col(vecCol).as("vec"),
         explode(array((0 until tables).map(t =>
           struct(lit(t).as("tbl"),
             SimilarityOps.hyperplaneSignature(col(vecCol), planes, seed + 7919L * t, d)
               .as("bucket"))): _*)).as("bb"))
       .select(col("key"), col("vec"), col("bb.tbl"), col("bb.bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = base.select(col("tbl"), col("bucket"), col("key").as("key_a"), col("vec").as("vec_a"))
     val r = base.select(col("tbl"), col("bucket"), col("key").as("key_b"), col("vec").as("vec_b"))
     l.join(r, Seq("tbl", "bucket"))

@@ -387,11 +387,16 @@ object DedupOps {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = base.select(col("tbl"), col("bucket"), col("key").as("key_a"), col("vec").as("vec_a"))
     val r = base.select(col("tbl"), col("bucket"), col("key").as("key_b"), col("vec").as("vec_b"))
+    // cosine + threshold BEFORE the duplicate-pair dedup: the exchange
+    // then carries (key_a, key_b, cosine) instead of both VECTORS per
+    // multi-table duplicate, and the threshold drops non-pairs before
+    // they shuffle at all (guide §2.3; cosine is identical for every
+    // duplicate of a pair, so the kept row is unaffected)
     l.join(r, Seq("tbl", "bucket"))
       .filter(col("key_a") < col("key_b"))
-      .dropDuplicates("key_a", "key_b")
       .withColumn("cosine", SimilarityOps.cosine(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= minCosine)
       .select("key_a", "key_b", "cosine")
+      .dropDuplicates("key_a", "key_b")
   }
 }

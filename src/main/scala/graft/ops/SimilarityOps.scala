@@ -119,10 +119,16 @@ object SimilarityOps {
     val cellAssigned = c.withColumn("cell", index.assignExpr(col("cv")))
     val q = queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
       .withColumn("cell", explode(index.probeExpr(col("qv"))))
+    // cosine BEFORE the duplicate-candidate dedup: the dropDuplicates
+    // exchange then carries (ids, cosine) instead of both embedding
+    // VECTORS per candidate row (guide §2.3 — at corpus scale vectors are
+    // KBs/row and nprobe-fold duplicated; cosine is identical for every
+    // duplicate of a pair, so the kept row is unaffected)
     val cand = q.join(cellAssigned, Seq("cell"))
       .filter(col("query_id") =!= col("corpus_id"))
-      .dropDuplicates("query_id", "corpus_id")
       .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .select("query_id", "corpus_id", "cosine")
+      .dropDuplicates("query_id", "corpus_id")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id"))
@@ -152,10 +158,13 @@ object SimilarityOps {
       corpus.select(col(corpusId).as("corpus_id"), col(corpusVec).as("cv")), corpusVec, "corpus_id", "cv")
     val q = withBuckets(
       queries.select(col(queryId).as("query_id"), col(queryVec).as("qv")), queryVec, "query_id", "qv")
+    // cosine before the dedup so the exchange carries (ids, cosine), not
+    // two vectors per multi-table duplicate — see ivfTopK's comment
     val cand = q.join(c, Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("corpus_id"))
-      .dropDuplicates("query_id", "corpus_id")
       .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .select("query_id", "corpus_id", "cosine")
+      .dropDuplicates("query_id", "corpus_id")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id"))

@@ -47,8 +47,13 @@ object SimilarityOps {
       // (1536/3072-d embeddings are standard) and silently breaking the
       // 1-(1-prob)^tables recall math.
       val planeSeed = DetHash.splitmix64(seed + 0x9E3779B97F4A7C15L * p)
-      array((0 until dims).map(d =>
-        lit(if (DetHash.splitmix64(planeSeed ^ d) >= 0) 1.0 else -1.0)): _*)
+      // ONE array literal per plane (typedlit), not dims separate lit()
+      // nodes wrapped in array(): planes x tables x dims individual
+      // literals (4096 at 8x8x64, hundreds of thousands at real widths)
+      // made analysis + codegen of every signature expression the
+      // dominant planning cost; values are identical
+      typedlit((0 until dims).map(d =>
+        if (DetHash.splitmix64(planeSeed ^ d) >= 0) 1.0 else -1.0))
     }
     val bits = planeLits.zipWithIndex.map { case (plane, i) =>
       when(dot(vec, plane) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))

@@ -27,11 +27,18 @@ object ChunkOps {
     require(overlap >= 0 && overlap < chunkSize,
       s"overlap must be in [0, chunkSize), got $overlap")
     val stride = chunkSize - overlap
-    val toks = split(trim(col(textCol)), "\\s+")
+    // STAGE the token array as a column: the slicing lambda below captures
+    // it, and a HOF lambda re-evaluates captured non-attribute subtrees
+    // per ELEMENT — with the split inlined, a document re-tokenized once
+    // per chunk makes long documents quadratic (O(len · len/chunkSize)).
+    // As an attribute the capture is a pointer read. CollapseProject keeps
+    // the stage: the alias is non-cheap and multiply referenced.
+    val toks = col("__toks")
     val n = size(toks)
     // chunk starts 0, stride, 2*stride, ... strictly below n
     val starts = filter(sequence(lit(0), greatest(n - 1, lit(0)), lit(stride)), s => s < n)
     df.filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), split(trim(col(textCol)), "\\s+").as("__toks"))
       .select(col(idCol), posexplode(
         transform(starts, s => concat_ws(" ", slice(toks, s + 1, lit(chunkSize))))))
       .withColumnRenamed("pos", "chunk_idx")

@@ -63,7 +63,11 @@ object PiiOps {
     */
   def scrub(df: DataFrame, textCol: String): DataFrame = {
     val counts = piiCounts(col(textCol))
-    val withCounts = counts.foldLeft(df) {
+    // ten regex passes per row (five count legs + five replace legs) at
+    // the scan's partitioning serializes on one core for single-split
+    // inputs — fan out first (identity at real scale, same pattern as
+    // QualityOps.lmPerplexityScore)
+    val withCounts = counts.foldLeft(TableOps.fanOut(df)) {
       case (d, (name, c)) => d.withColumn(name, c)
     }
     withCounts

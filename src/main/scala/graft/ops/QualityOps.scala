@@ -12,9 +12,9 @@ import org.apache.spark.sql.functions._
 object QualityOps {
 
   /** Per-document repetition signals: the per-row legs (duplicate-line
-    * and duplicate-n-gram fractions — [[TextOps.repetitionExprs]], pure
-    * codegen-friendly HOFs, no shuffle) joined with the top-gram coverage
-    * leg, which needs a per-gram COUNT and therefore runs as
+    * and duplicate-n-gram fractions — the staged column form of
+    * [[TextOps.repetitionExprs]], pure HOFs, no shuffle) joined with the
+    * top-gram coverage leg, which needs a per-gram COUNT and therefore runs as
     * explode → (id, gram) hash count (map-side partial) → per-id max —
     * one narrow shuffle of (id, gram, count) rows. A per-row HOF count
     * would be O(grams²) per document: quadratic in document length is the
@@ -28,10 +28,36 @@ object QualityOps {
                         n: Int = 2, lineSep: String = "\n"): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     require(lineSep.nonEmpty, "lineSep must be non-empty")
-    val rowExprs = TextOps.repetitionExprs(col(textCol), n, lineSep)
-      .map { case (name, c) => c.as(name) }
-    val base = df.select(
-      (col(idCol) +: rowExprs :+ length(col(textCol)).as("__n_chars")): _*)
+    // STAGED form of [[TextOps.repetitionExprs]] (identical values): the
+    // line and gram arrays are computed ONCE as columns and every signal
+    // reads the attribute. Authoring the signals directly against `text`
+    // duplicates the split/gram subtree in each of the six column
+    // expressions (HOF lambdas are codegen-fallback — no subexpression
+    // elimination reaches them), measured 10.2 s vs 0.3 s noop-isolated
+    // on the sf0.1 corpus. CollapseProject cannot re-inline the staged
+    // aliases: each is non-cheap and multiply referenced.
+    def charSum(arr: org.apache.spark.sql.Column) =
+      aggregate(arr, lit(0L), (acc, l) => acc + length(l))
+    val staged = df.select(col(idCol),
+      length(col(textCol)).as("__n_chars"),
+      split(col(textCol), java.util.regex.Pattern.quote(lineSep), -1).as("__ls"),
+      TextOps.shinglesAll(col(textCol), n).as("__gr"))
+    val allChars = charSum(col("__ls"))
+    val nGrams = size(col("__gr"))
+    val base = staged.select(col(idCol),
+      size(col("__ls")).as("n_lines"),
+      ((size(col("__ls")) - size(array_distinct(col("__ls")))).cast("double") /
+        size(col("__ls")).cast("double")).as("dup_line_frac"),
+      when(allChars > 0,
+        (allChars - charSum(array_distinct(col("__ls")))).cast("double") /
+          allChars.cast("double"))
+        .otherwise(lit(0.0)).as("dup_line_char_frac"),
+      nGrams.as("n_grams"),
+      when(nGrams > 0,
+        (nGrams - size(array_distinct(col("__gr")))).cast("double") /
+          nGrams.cast("double"))
+        .otherwise(lit(0.0)).as("dup_gram_frac"),
+      col("__n_chars"))
     val counts = df
       .select(col(idCol), explode(TextOps.shinglesAll(col(textCol), n)).as("gram"))
       .groupBy(idCol, "gram").count()

@@ -119,15 +119,28 @@ object TextOps {
   def tokenHashesPortable(text: Column): Column =
     transform(split(trim(text), "\\s+"), t => md5Hash60(t))
 
+  /** Word n-grams as a zip_with chain over n shifted slices of the token
+    * array — O(n) evaluations of the tokenizing split per ROW. The
+    * previous form indexed a captured `toks` inside a
+    * `transform(sequence(...))` lambda; HOF lambdas re-evaluate captured
+    * non-attribute subtrees PER ELEMENT, so the regex split ran
+    * (#grams × n) times per row instead of n (measured on the sf0.1
+    * documents corpus, n=2: 4.6 s → 0.2 s noop-isolated). Gram values
+    * are identical: gram_i = concat_ws(" ", t_i..t_{i+n-1}).
+    */
+  private def gramChain(toks: Column, n: Int): Column = {
+    val cnt = size(toks) - n + 1 // number of grams when size >= n
+    (2 to n).foldLeft(slice(toks, lit(1), cnt))((acc, j) =>
+      zip_with(acc, slice(toks, lit(j), cnt), (a, b) => concat_ws(" ", a, b)))
+  }
+
   /** n-gram shingles WITH multiplicity (no dedup) — the input to
     * repetition statistics, where how often a gram repeats is the point.
     * Same short-document guard as [[shingles]].
     */
   def shinglesAll(text: Column, n: Int): Column = {
     val toks = split(trim(text), "\\s+")
-    val idx = sequence(lit(0), size(toks) - n)
-    when(size(toks) >= n,
-      transform(idx, i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+    when(size(toks) >= n, gramChain(toks, n))
       .otherwise(array().cast("array<string>"))
   }
 
@@ -175,16 +188,12 @@ object TextOps {
 
   /** n-gram shingles over whitespace tokens (n fixed at call site).
     * Documents with fewer than `n` tokens yield an EMPTY shingle set —
-    * guarded so `element_at` never sees an out-of-range index (Spark 4
-    * ANSI mode throws INVALID_ARRAY_INDEX; a single short/empty doc must
-    * not crash a 100 TB dedup job).
+    * guarded so `slice` never sees a negative gram count (a single
+    * short/empty doc must not crash a 100 TB dedup job).
     */
   def shingles(text: Column, n: Int): Column = {
     val toks = split(trim(text), "\\s+")
-    val idx = sequence(lit(0), size(toks) - n)
-    when(size(toks) >= n,
-      array_distinct(
-        transform(idx, i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))))
+    when(size(toks) >= n, array_distinct(gramChain(toks, n)))
       .otherwise(array().cast("array<string>"))
   }
 }

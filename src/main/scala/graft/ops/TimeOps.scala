@@ -106,12 +106,23 @@ object TimeOps {
       valueCol, "ffill")
   }
 
-  /** Backward-fill per entity. */
+  /** Backward-fill per entity.
+    *
+    * Computed as a RUNNING `last` over descending time, not a
+    * `first over (0, unboundedFollowing)`: Spark's unbounded-FOLLOWING
+    * frame re-scans from the current row to the partition end for every
+    * row (UnboundedFollowingWindowFunctionFrame), O(p²) per partition — a
+    * hot entity with 10^6 points would pay 10^12 evaluations. The running
+    * form is O(p) and costs only one extra in-partition sort; identical
+    * values (same rows in frame; on a unique (entity, time) axis the two
+    * are exactly equivalent, and with duplicate times both forms are
+    * order-dependent in the same way).
+    */
   def bfill(df: DataFrame, entity: Seq[String], timeCol: String, valueCol: String): DataFrame = {
-    val w = Window.partitionBy(entity.map(col): _*).orderBy(col(timeCol))
-      .rowsBetween(0, Window.unboundedFollowing)
+    val w = Window.partitionBy(entity.map(col): _*).orderBy(col(timeCol).desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
     MetaOps.relog(df,
-      df.withColumn(valueCol, first(col(valueCol), ignoreNulls = true).over(w)),
+      df.withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w)),
       valueCol, "bfill")
   }
 
@@ -126,14 +137,17 @@ object TimeOps {
                   valueCol: String): DataFrame = {
     val back = Window.partitionBy(entity.map(col): _*).orderBy(col(timeCol))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val fwd = Window.partitionBy(entity.map(col): _*).orderBy(col(timeCol))
-      .rowsBetween(0, Window.unboundedFollowing)
+    // next-observation leg as a RUNNING last over DESCENDING time — same
+    // O(p²) unbounded-following frame avoidance as [[bfill]]; one extra
+    // in-partition sort, no extra exchange, identical values
+    val fwdRev = Window.partitionBy(entity.map(col): _*).orderBy(col(timeCol).desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
     val v = col(valueCol)
     val tAt = when(v.isNotNull, col(timeCol))
     val prevV = last(v, ignoreNulls = true).over(back)
     val prevT = last(tAt, ignoreNulls = true).over(back)
-    val nextV = first(v, ignoreNulls = true).over(fwd)
-    val nextT = first(tAt, ignoreNulls = true).over(fwd)
+    val nextV = last(v, ignoreNulls = true).over(fwdRev)
+    val nextT = last(tAt, ignoreNulls = true).over(fwdRev)
     val interp = when(v.isNotNull, v)
       .when(prevV.isNull, nextV) // leading gap
       .when(nextV.isNull, prevV) // trailing gap

@@ -119,4 +119,54 @@ class PlanShapeSpec extends SparkSpec {
     // and no quadratic leg, same contract as the batch operators
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("window fills plan running frames only — no unbounded-FOLLOWING scan") {
+    // Spark's UnboundedFollowingWindowFunctionFrame re-scans from the
+    // current row to the partition end for EVERY row — O(p²) per
+    // partition. bfill and interpolate's next-observation leg must plan
+    // as running frames over descending time instead (round-6 finding #5).
+    import spark.implicits._
+    val df = Seq((1L, 1L, Some(1.0)), (1L, 2L, None), (1L, 3L, Some(3.0)))
+      .toDF("ent", "t", "v")
+    for ((name, out) <- Seq(
+        "bfill" -> graft.ops.TimeOps.bfill(df, Seq("ent"), "t", "v"),
+        "interpolate" -> graft.ops.TimeOps.interpolate(df, Seq("ent"), "t", "v"))) {
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.toLowerCase.contains("unboundedfollowing"),
+        s"$name plans an unbounded-following frame:\n${plan.take(3000)}")
+    }
+    // value golden for the rewritten legs: interior gap interpolated,
+    // bfill takes the next observation
+    val interp = graft.ops.TimeOps.interpolate(df, Seq("ent"), "t", "v")
+      .orderBy("t").collect().map(_.getDouble(2))
+    assert(interp.toSeq == Seq(1.0, 2.0, 3.0))
+    val bf = graft.ops.TimeOps.bfill(df, Seq("ent"), "t", "v")
+      .orderBy("t").collect().map(_.getDouble(2))
+    assert(bf.toSeq == Seq(1.0, 3.0, 3.0))
+  }
+
+  test("shingles evaluate the tokenize per ROW, not per gram element") {
+    // The gram builder must be the zip_with chain (one split per slice),
+    // not a transform lambda indexing a captured token array — a captured
+    // non-attribute subtree re-evaluates PER ELEMENT (round-6 finding #3).
+    // parquet-backed input: a local literal relation would be constant-
+    // folded into a LocalTableScan and show no expressions at all
+    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val plan = df.select(graft.ops.TextOps.shingles(col("text"), 3).as("s"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("zip_with"), s"expected zip_with gram chain:\n${plan.take(2000)}")
+    assert(!plan.contains("element_at"),
+      s"gram lambda still indexes a captured token array:\n${plan.take(2000)}")
+    // staged forms keep their materializing projections (CollapseProject
+    // must not re-inline the multiply-referenced arrays)
+    val rep = graft.ops.QualityOps.repetitionSignals(df, "doc_id", "text", 2, " ")
+      .queryExecution.executedPlan.toString
+    assert(rep.contains("__ls") && rep.contains("__gr"),
+      s"repetitionSignals lost its staged array columns:\n${rep.take(3000)}")
+    val chunks = graft.ops.ChunkOps.chunkByTokens(df, "doc_id", "text", 2, 0)
+      .queryExecution.executedPlan.toString
+    assert(chunks.contains("__toks"),
+      s"chunkByTokens lost its staged token column:\n${chunks.take(3000)}")
+  }
 }
